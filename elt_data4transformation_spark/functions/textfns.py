@@ -1,0 +1,158 @@
+"""Text-analysis column builders.
+
+Each helper has a Spark (Column) and a DuckDB (SQL-string) twin built
+from the same constants, so oracle queries stay in lock-step with the
+Spark plans. All helpers are pure built-in expressions (JVM-side,
+whole-stage-codegen friendly) — no Python UDFs in the hot path.
+
+Reference analogs: token vectors study_scraper/clustering.py:128-166,
+quality/plausibility heuristics study_scraper/pipeline.py:36-64,
+fingerprints study_scraper/ingest.py:12-14.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists (public common words). Deterministic
+# language-ID heuristic: count stopword hits per language, argmax with a
+# fixed precedence order on ties.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "with", "for", "on"),
+    "de": ("der", "die", "das", "und", "ist", "mit", "ein", "nicht", "von", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "avec", "un", "une", "pour", "dans"),
+    "es": ("el", "la", "los", "y", "es", "con", "un", "una", "para", "por"),
+    "zh": ("de5", "shi4", "le5", "zai4", "you3", "he2", "wo3", "ta1", "men5", "bu4"),
+}
+LANG_ORDER = ("en", "de", "fr", "es", "zh")  # tie-break precedence
+
+
+def words_col(text: str = "text") -> Column:
+    return F.split(F.col(text), " ")
+
+
+def words_sql(text: str = "text") -> str:
+    return f"STRING_SPLIT({text}, ' ')"
+
+
+def stopword_hits_col(lang: str, text: str = "text") -> Column:
+    sw = STOPWORDS[lang]
+    return F.size(F.filter(words_col(text), lambda w: w.isin(*sw))).cast("long")
+
+
+def stopword_hits_sql(lang: str, text: str = "text") -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"LEN(LIST_FILTER({words_sql(text)}, w -> LIST_CONTAINS([{lst}], w)))"
+    )
+
+
+def char_shingles_col(n: int, text: str = "text") -> Column:
+    """Distinct character n-gram shingles (1-based substring positions)."""
+    t = F.col(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(t, i, n)))
+
+
+def char_shingles_sql(n: int, text: str = "text") -> str:
+    return (
+        f"LIST_DISTINCT(LIST_TRANSFORM("
+        f"RANGE(1, GREATEST(LENGTH({text}) - {n - 1}, 1) + 1), "
+        f"i -> SUBSTRING({text}, i, {n})))"
+    )
+
+
+def word_ngrams_col(n: int, words: Column) -> Column:
+    """Distinct word n-grams (space-joined) over a pre-split word array."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + j) for j in range(n)]
+            ),
+        )
+    )
+
+
+def word_ngrams_sql(n: int, wcol: str = "w") -> str:
+    """DuckDB twin; ``wcol`` must be a projected list column (1-based)."""
+    parts = " || ' ' || ".join(f"{wcol}[i + {j}]" for j in range(n))
+    return (
+        f"LIST_DISTINCT(LIST_TRANSFORM("
+        f"RANGE(1, GREATEST(LEN({wcol}) - {n - 1}, 1) + 1), "
+        f"i -> {parts}))"
+    )
+
+
+# --- MinHash family -------------------------------------------------------
+# Hash function i over a shingle s is MD5(i || '|' || s); the "min" is the
+# lexicographic minimum of the hex strings. This is engine-portable (md5 is
+# identical everywhere), deterministic, and a valid min-wise hash family.
+
+
+def minhash_col(shingles: Column, i: int) -> Column:
+    return F.array_min(
+        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
+    )
+
+
+def minhash_sql(shingles_sql: str, i: int) -> str:
+    return f"LIST_MIN(LIST_TRANSFORM({shingles_sql}, s -> MD5('{i}|' || s)))"
+
+
+# --- SimHash (32-bit, md5-derived) ---------------------------------------
+# For each distinct word w: take the first 8 hex chars of MD5(w); hex digit
+# d contributes 4 bits. Bit_b(doc) = sign(sum over words of (2*bit_b(w)-1)).
+# Emitted as a 32-char '0'/'1' string. Both twins are generated from the
+# same loop, so they cannot drift.
+
+_HEX = "0123456789abcdef"
+
+
+def _hex_digit_vals(uw: Column, pos: int) -> Column:
+    # NOTE: single-parameter lambdas only — transform() interprets a
+    # two-parameter lambda (even one with a default arg) as its
+    # (element, index) variant, silently binding the second name to the
+    # array index. Closures via factory functions avoid that trap.
+    def digit(w: Column) -> Column:
+        return F.conv(F.substring(F.md5(w), pos + 1, 1), 16, 10).cast("int")
+
+    return F.transform(uw, digit)
+
+
+def _bit_vote(dval: Column, b: int) -> Column:
+    def contrib(v: Column) -> Column:
+        return (F.floor(v / (2**b)).cast("int") % 2) * 2 - 1
+
+    total = F.aggregate(F.transform(dval, contrib), F.lit(0), lambda a, x: a + x)
+    return F.when(total > 0, F.lit("1")).otherwise(F.lit("0"))
+
+
+def simhash_col(words: Column) -> Column:
+    uw = F.array_distinct(words)
+    bits = []
+    for pos in range(8):  # hex char position in md5 prefix
+        dval = _hex_digit_vals(uw, pos)
+        for b in range(3, -1, -1):  # high bit first
+            bits.append(_bit_vote(dval, b))
+    return F.concat(*bits)
+
+
+def simhash_sql(words_sql_expr: str) -> str:
+    uw = f"LIST_DISTINCT({words_sql_expr})"
+    bits = []
+    for pos in range(8):
+        dval = (
+            f"LIST_TRANSFORM({uw}, w -> "
+            f"STRPOS('{_HEX}', SUBSTRING(MD5(w), {pos + 1}, 1)) - 1)"
+        )
+        for b in range(3, -1, -1):
+            contrib = (
+                f"LIST_TRANSFORM({dval}, "
+                f"v -> (CAST(FLOOR(v / {2**b}) AS INTEGER) % 2) * 2 - 1)"
+            )
+            total = f"LIST_SUM({contrib})"
+            bits.append(f"CASE WHEN {total} > 0 THEN '1' ELSE '0' END")
+    return "CONCAT(" + ", ".join(bits) + ")"

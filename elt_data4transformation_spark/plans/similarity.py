@@ -1,0 +1,183 @@
+"""Similarity search over the `embeddings` table: brute-force cosine
+top-k (baseline) and an IVF-bucketed variant (the 100 TB scale path).
+
+No UDFs: the dot product / norms are JVM-side higher-order-function
+folds over array<double>, inside whole-stage codegen. At cluster scale
+the base table is hash-partitioned; the query set is broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import table
+from .registry import register
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 5
+N_CENTROIDS = 16  # vec_id < 16 seed the IVF buckets
+
+
+def dot_col(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm_col(a) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_col(a, b) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}
+        ), scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+                   LIST_COSINE_SIMILARITY(q.qv, e.v) AS cos
+            FROM q JOIN e ON e.vec_id <> q.query_id
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, rank, neighbor_id, neighbor_label,
+               ROUND(cos, 6) AS cosine
+        FROM ranked WHERE rank <= {TOP_K}
+        ORDER BY query_id, rank
+    """,
+    tags=("similarity",),
+    doc="Brute-force cosine top-k ANN baseline: broadcast the query set, "
+    "score every base vector (codegen'd fold, no shuffle of the base "
+    "table), per-query top-k via window — training-data pipeline op; "
+    "reference analog: semantic search over distinct questions, "
+    "storage/postgres.py:921-988 + clustering.py:185-221.",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _vectors(spark, sf_dir)
+    q = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            cosine_col(F.col("qv"), F.col("v")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "rank", "neighbor_id", "neighbor_label",
+            F.round("cos", 6).alias("cosine"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ), cent AS (
+            SELECT vec_id AS centroid_id, v AS cv FROM e
+            WHERE vec_id < {N_CENTROIDS}
+        ), assigned AS (
+            SELECT vec_id, label, v, centroid_id FROM (
+                SELECT e.vec_id, e.label, e.v, cent.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY LIST_COSINE_SIMILARITY(e.v, cent.cv) DESC,
+                                    cent.centroid_id) AS crn
+                FROM e CROSS JOIN cent
+            ) WHERE crn = 1
+        ), q AS (
+            SELECT vec_id AS query_id, v AS qv, centroid_id AS qc
+            FROM assigned WHERE vec_id < {N_QUERIES}
+        ), scored AS (
+            SELECT q.query_id, a.vec_id AS neighbor_id,
+                   LIST_COSINE_SIMILARITY(q.qv, a.v) AS cos
+            FROM q JOIN assigned a
+              ON a.centroid_id = q.qc AND a.vec_id <> q.query_id
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cosine
+        FROM ranked WHERE rank <= {TOP_K}
+        ORDER BY query_id, rank
+    """,
+    tags=("similarity",),
+    doc="IVF-bucketed ANN (scale path): assign every vector to its "
+    "nearest of the deterministic seed centroids (vec_id < "
+    f"{N_CENTROIDS}), then search only the query's bucket — turns a full "
+    "scan per query into a 1/n_centroids partition probe; the bucket "
+    "assignment is a broadcast join + per-row argmax, and buckets map to "
+    "partitions at cluster scale. Approximate by construction (recall "
+    "vs ann_cosine_topk measured in tests).",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _vectors(spark, sf_dir)
+    cent = (
+        e.filter(F.col("vec_id") < N_CENTROIDS)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv"))
+    )
+    crn = Window.partitionBy("vec_id").orderBy(
+        F.desc("ccos"), "centroid_id"
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("ccos", cosine_col(F.col("v"), F.col("cv")))
+        .withColumn("crn", F.row_number().over(crn))
+        .filter(F.col("crn") == 1)
+        .select("vec_id", "label", "v", "centroid_id")
+    )
+    q = (
+        assigned.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("centroid_id").alias("qc"),
+        )
+    )
+    scored = (
+        assigned.join(
+            F.broadcast(q),
+            (F.col("centroid_id") == F.col("qc"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_col(F.col("qv"), F.col("v")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", F.round("cos", 6).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )

@@ -1,0 +1,266 @@
+"""Window functions: lag/trend, moving frames, ranking, share-of-total,
+latest-row dedup and sessionization (SURVEY.md §2.5 W1-W8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import table
+from .registry import register
+
+
+@register(
+    "lag_trend",
+    oracle="""
+        SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice,
+               ROUND(LAG(o_totalprice, 1) OVER w, 4) AS prev_price,
+               CASE
+                 WHEN LAG(o_totalprice, 1) OVER w IS NULL THEN 'new'
+                 WHEN o_totalprice > LAG(o_totalprice, 1) OVER w THEN 'up'
+                 WHEN o_totalprice < LAG(o_totalprice, 1) OVER w THEN 'down'
+                 ELSE 'flat'
+               END AS trend
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("window",),
+    doc="W1 LAG previous value + trend direction — dbt fact_polls.sql:69-77, "
+    "macros/political_data_macros.sql:33-63. Order key includes the unique "
+    "o_orderkey so same-date rows stay deterministic.",
+)
+def lag_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_totalprice", 1).over(w)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+            F.round(prev, 4).alias("prev_price"),
+            F.when(prev.isNull(), "new")
+            .when(F.col("o_totalprice") > prev, "up")
+            .when(F.col("o_totalprice") < prev, "down")
+            .otherwise("flat")
+            .alias("trend"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "moving_avg",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(l_shipdate AS DATE) AS day,
+                   SUM(l_extendedprice * (1 - l_discount)) AS revenue
+            FROM lineitem GROUP BY day
+        )
+        SELECT STRFTIME(day, '%Y-%m-%d') AS day,
+               ROUND(revenue, 4) AS revenue,
+               ROUND(AVG(revenue) OVER (ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7,
+               ROUND(AVG(revenue) OVER (ORDER BY day
+                     ROWS BETWEEN 29 PRECEDING AND CURRENT ROW), 6) AS ma30,
+               ROUND(STDDEV_POP(revenue) OVER (ORDER BY day
+                     ROWS BETWEEN 29 PRECEDING AND CURRENT ROW), 6) AS vol30
+        FROM daily
+        ORDER BY day
+    """,
+    tags=("window",),
+    doc="W2/W3 moving average + rolling volatility with ROWS frames — "
+    "dbt fact_polls.sql:80-90, daily_poll_averages.sql:71-88.",
+)
+def moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.to_date("l_shipdate").alias("day")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-6, 0)
+    w30 = Window.orderBy("day").rowsBetween(-29, 0)
+    return (
+        daily.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round("revenue", 4).alias("revenue"),
+            F.round(F.avg("revenue").over(w7), 6).alias("ma7"),
+            F.round(F.avg("revenue").over(w30), 6).alias("ma30"),
+            F.round(F.stddev_pop("revenue").over(w30), 6).alias("vol30"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "latest_order",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_orderstatus,
+               ROUND(o_totalprice, 4) AS o_totalprice
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders
+        ) WHERE rn = 1
+        ORDER BY o_custkey
+    """,
+    tags=("window", "dedup"),
+    doc="W4/W8 row_number()=1 latest-row selection — the canonical "
+    "ReplacingMergeTree/argMax emulation; streamlit 4_Topic_Terms.py:98-123, "
+    "dbt fact_polls.sql:93-102.",
+)
+def latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "nth_value_prev",
+    oracle="""
+        SELECT o_custkey,
+               MAX(CASE WHEN rn = 1 THEN o_orderkey END) AS latest_orderkey,
+               ROUND(MAX(CASE WHEN rn = 1 THEN o_totalprice END), 4) AS latest_price,
+               ROUND(MAX(CASE WHEN rn = 2 THEN o_totalprice END), 4) AS prev_price
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders
+        )
+        GROUP BY o_custkey
+        ORDER BY o_custkey
+    """,
+    tags=("window",),
+    doc="W5 nth_value(value, 2) previous-observation — dbt "
+    "latest_poll_standings.sql:25-33. Expressed as rank-then-pivot, which "
+    "is the deterministic equivalent (nth_value over an unbounded-preceding "
+    "frame yields the same rows).",
+)
+def nth_value_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    ranked = o.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+    return (
+        ranked.groupBy("o_custkey")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("o_orderkey"))).alias(
+                "latest_orderkey"
+            ),
+            F.round(
+                F.max(F.when(F.col("rn") == 1, F.col("o_totalprice"))), 4
+            ).alias("latest_price"),
+            F.round(
+                F.max(F.when(F.col("rn") == 2, F.col("o_totalprice"))), 4
+            ).alias("prev_price"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "rank_share",
+    oracle="""
+        WITH totals AS (
+            SELECT o_custkey, SUM(o_totalprice) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT o_custkey,
+               ROUND(revenue, 4) AS revenue,
+               n_orders,
+               ROW_NUMBER() OVER (ORDER BY revenue DESC, o_custkey) AS revenue_rank,
+               ROUND(revenue / SUM(revenue) OVER () * 100, 6) AS revenue_share_pct
+        FROM totals
+        ORDER BY revenue_rank
+    """,
+    tags=("window",),
+    doc="W6 global rank + W7 share-of-total over an empty window — dbt "
+    "latest_poll_standings.sql:87-95. Single-partition window: fine after "
+    "the group-by collapses to |customers| rows (documented skew caveat).",
+)
+def rank_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    totals = o.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("revenue"), F.count(F.lit(1)).alias("n_orders")
+    )
+    w_rank = Window.orderBy(F.desc("revenue"), F.asc("o_custkey"))
+    w_all = Window.partitionBy()
+    return (
+        totals.select(
+            "o_custkey",
+            F.round("revenue", 4).alias("revenue"),
+            "n_orders",
+            F.row_number().over(w_rank).alias("revenue_rank"),
+            F.round(F.col("revenue") / F.sum("revenue").over(w_all) * 100, 6).alias(
+                "revenue_share_pct"
+            ),
+        )
+        .orderBy("revenue_rank")
+    )
+
+
+@register(
+    "sessionize",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_id, ts,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM events
+        ), flagged AS (
+            SELECT *, CASE WHEN prev_ts IS NULL
+                             OR DATEDIFF('second', prev_ts, ts) > 1800
+                           THEN 1 ELSE 0 END AS is_new
+            FROM seq
+        ), sess AS (
+            SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM flagged
+        )
+        SELECT user_id, session_seq, COUNT(*) AS n_events,
+               MIN(ts) AS session_start, MAX(ts) AS session_end
+        FROM sess
+        GROUP BY user_id, session_seq
+        ORDER BY user_id, session_seq
+    """,
+    tags=("window", "sessionize"),
+    doc="Sessionization (gap > 30 min): lag + cumulative-sum window — the "
+    "batch rendition of the reference's run/watch grouping (SURVEY §2.11); "
+    "streaming variant uses session_window in streaming/events.py.",
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w_ord)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts) > 1800),
+        1,
+    ).otherwise(0)
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    sess = e.withColumn("is_new", is_new).withColumn(
+        "session_seq", F.sum("is_new").over(w_cum)
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
