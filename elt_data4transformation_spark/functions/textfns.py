@@ -87,19 +87,37 @@ def word_ngrams_sql(n: int, wcol: str = "w") -> str:
 
 
 # --- MinHash family -------------------------------------------------------
-# Hash function i over a shingle s is MD5(i || '|' || s); the "min" is the
-# lexicographic minimum of the hex strings. This is engine-portable (md5 is
-# identical everywhere), deterministic, and a valid min-wise hash family.
+# Hash function i over a shingle s is an 8-hex-char (32-bit) slice of
+# MD5(salt_g || s), where salt_g distinguishes groups of 4 slices: i in
+# 0..3 slice MD5(s), i in 4..7 slice MD5('x|' || s). The "min" is the
+# lexicographic minimum of the slices. Engine-portable (md5 is identical
+# everywhere), deterministic, and 2 md5 evaluations per shingle instead
+# of one per hash function.
+
+_MH_SALTS = ("", "x|")
+
+
+def _mh_salt_slice(i: int) -> tuple[str, int]:
+    return _MH_SALTS[i // 4], (i % 4) * 8 + 1
 
 
 def minhash_col(shingles: Column, i: int) -> Column:
-    return F.array_min(
-        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
-    )
+    salt, start = _mh_salt_slice(i)
+
+    def h(s: Column) -> Column:
+        digest = F.md5(F.concat(F.lit(salt), s)) if salt else F.md5(s)
+        return F.substring(digest, start, 8)
+
+    return F.array_min(F.transform(shingles, h))
 
 
 def minhash_sql(shingles_sql: str, i: int) -> str:
-    return f"LIST_MIN(LIST_TRANSFORM({shingles_sql}, s -> MD5('{i}|' || s)))"
+    salt, start = _mh_salt_slice(i)
+    digest = f"MD5('{salt}' || s)" if salt else "MD5(s)"
+    return (
+        f"LIST_MIN(LIST_TRANSFORM({shingles_sql}, "
+        f"s -> SUBSTRING({digest}, {start}, 8)))"
+    )
 
 
 # --- SimHash (32-bit, md5-derived) ---------------------------------------
@@ -111,33 +129,39 @@ def minhash_sql(shingles_sql: str, i: int) -> str:
 _HEX = "0123456789abcdef"
 
 
-def _hex_digit_vals(uw: Column, pos: int) -> Column:
-    # NOTE: single-parameter lambdas only — transform() interprets a
-    # two-parameter lambda (even one with a default arg) as its
-    # (element, index) variant, silently binding the second name to the
-    # array index. Closures via factory functions avoid that trap.
-    def digit(w: Column) -> Column:
-        return F.conv(F.substring(F.md5(w), pos + 1, 1), 16, 10).cast("int")
-
-    return F.transform(uw, digit)
+# NOTE: single-parameter lambdas only in HOFs — transform() interprets a
+# two-parameter lambda (even one with a default arg) as its
+# (element, index) variant, silently binding the second name to the
+# array index. Use factory-function closures for loop constants.
 
 
-def _bit_vote(dval: Column, b: int) -> Column:
-    def contrib(v: Column) -> Column:
-        return (F.floor(v / (2**b)).cast("int") % 2) * 2 - 1
-
-    total = F.aggregate(F.transform(dval, contrib), F.lit(0), lambda a, x: a + x)
-    return F.when(total > 0, F.lit("1")).otherwise(F.lit("0"))
+def _word_bits(m: Column) -> Column:
+    """32-element ±1 vote array from an 8-hex-char md5 prefix column."""
+    votes = []
+    for pos in range(8):
+        v = F.conv(F.substring(m, pos + 1, 1), 16, 10).cast("int")
+        for b in range(3, -1, -1):  # high bit first
+            votes.append((F.floor(v / (2**b)).cast("int") % 2) * 2 - 1)
+    return F.array(*votes)
 
 
 def simhash_col(words: Column) -> Column:
-    uw = F.array_distinct(words)
-    bits = []
-    for pos in range(8):  # hex char position in md5 prefix
-        dval = _hex_digit_vals(uw, pos)
-        for b in range(3, -1, -1):  # high bit first
-            bits.append(_bit_vote(dval, b))
-    return F.concat(*bits)
+    """Single-pass variant: md5 computed once per distinct word, 32 bit
+    votes accumulated with one zip_with fold (identical output to the
+    per-bit definition in simhash_sql)."""
+    prefixes = F.transform(
+        F.array_distinct(words), lambda w: F.substring(F.md5(w), 1, 8)
+    )
+    wordvecs = F.transform(prefixes, _word_bits)
+    totals = F.aggregate(
+        wordvecs,
+        F.array_repeat(F.lit(0), 32),
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+    )
+    bits = F.transform(
+        totals, lambda s: F.when(s > 0, F.lit("1")).otherwise(F.lit("0"))
+    )
+    return F.array_join(bits, "")
 
 
 def simhash_sql(words_sql_expr: str) -> str:

@@ -1,0 +1,187 @@
+"""Set-similarity dedup operators, built for scale.
+
+- ``jaccard_pairs``: sparse inverted-index join — explode token sets,
+  equi-join on (block, token) to count intersections, derive the union
+  from per-doc set sizes. Never materializes a quadratic candidate
+  array comparison; the shuffle key is the token, and hot tokens can be
+  pre-filtered (df idf cap) at 100 TB.
+- ``minhash_lsh_pairs``: portable MinHash (lexicographic min of
+  MD5(i||'|'||shingle)) banded into LSH keys; candidates come from a
+  band-key equi-join; exact Jaccard re-scores candidates only.
+
+Reference analog: T5 trigram title dedup
+(migrations/0006_title_dedup.sql:51-72) — pg_trgm's similarity index
+becomes LSH banding + exact re-score.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import textfns as T
+
+
+def jaccard_pairs(
+    sets_df: DataFrame,
+    id_col: str,
+    set_col: str,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Pairwise Jaccard over distinct-element array column ``set_col``,
+    restricted to pairs sharing >= 1 element (sparse join), optionally
+    blocked by ``block_col``. Output: block, doc_a, doc_b, jac."""
+    block = F.col(block_col) if block_col else F.lit("_all")
+    base = sets_df.select(
+        block.alias("_blk"),
+        F.col(id_col).alias("_id"),
+        F.col(set_col).alias("_set"),
+        F.size(set_col).cast("long").alias("_n"),
+    )
+    tok = base.select("_blk", "_id", "_n", F.explode("_set").alias("_tok"))
+    a = tok.select(
+        F.col("_blk"),
+        F.col("_id").alias("doc_a"),
+        F.col("_n").alias("_na"),
+        F.col("_tok"),
+    )
+    b = tok.select(
+        F.col("_blk").alias("_blk_b"),
+        F.col("_id").alias("doc_b"),
+        F.col("_n").alias("_nb"),
+        F.col("_tok").alias("_tok_b"),
+    )
+    inter = (
+        a.join(
+            b,
+            (F.col("_blk") == F.col("_blk_b"))
+            & (F.col("_tok") == F.col("_tok_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .groupBy("_blk", "doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("_inter"),
+            F.first("_na").alias("_na"),
+            F.first("_nb").alias("_nb"),
+        )
+    )
+    return inter.select(
+        F.col("_blk").alias("block"),
+        "doc_a",
+        "doc_b",
+        (
+            F.col("_inter").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("_inter"))
+        ).alias("jac"),
+    )
+
+
+def _slice_min(digests: Column, start: int) -> Column:
+    def sl(x: Column) -> Column:
+        return F.substring(x, start, 8)
+
+    return F.array_min(F.transform(digests, sl))
+
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str,
+    shingles_col: str,
+    n_hashes: int = 8,
+    n_bands: int = 2,
+) -> DataFrame:
+    """Append mh0..mh{n-1} and band0..band{b-1} columns.
+
+    The md5 digests (one per salt group of 4 slices) are projected ONCE
+    per document, then each hash function is a cheap substring slice —
+    see functions/textfns.py minhash_col for the hash-family definition.
+    """
+    n_groups = (n_hashes + 3) // 4
+    digested = df.select(
+        F.col(id_col),
+        F.col(shingles_col),
+        *[
+            F.transform(
+                F.col(shingles_col),
+                (lambda salt: lambda s: F.md5(F.concat(F.lit(salt), s)) if salt else F.md5(s))(
+                    T._MH_SALTS[g]
+                ),
+            ).alias(f"_d{g}")
+            for g in range(n_groups)
+        ],
+    )
+    sig = digested.select(
+        F.col(id_col),
+        F.col(shingles_col),
+        *[
+            _slice_min(F.col(f"_d{i // 4}"), (i % 4) * 8 + 1).alias(f"mh{i}")
+            for i in range(n_hashes)
+        ],
+    )
+    per_band = n_hashes // n_bands
+    for b in range(n_bands):
+        cols = [F.col(f"mh{i}") for i in range(b * per_band, (b + 1) * per_band)]
+        sig = sig.withColumn(f"band{b}", F.md5(F.concat(*cols)))
+    return sig
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle: int = 5,
+    n_hashes: int = 8,
+    n_bands: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidate pairs with exact-Jaccard re-score >= threshold.
+    Output: doc_a, doc_b, jaccard_raw (unrounded)."""
+    sh = docs.select(
+        F.col(id_col).alias("_id"),
+        T.char_shingles_col(shingle, text_col).alias("_sh"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Eager materialization: shingling is the expensive projection and is
+    # reused three times (signatures, re-score x2); materializing now also
+    # gives AQE real size stats so the re-score join can go broadcast when
+    # the corpus side is small instead of shuffling shingle arrays.
+    sh.count()
+    sig = minhash_signature(sh, "_id", "_sh", n_hashes, n_bands)
+    bands = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.col(f"band{b}").alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bd"),
+    ).select("_id", "bd.band_idx", "bd.band_key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("_id").alias("doc_a"), F.col("_sh").alias("_sa"))
+    sb = sh.select(F.col("_id").alias("doc_b"), F.col("_sh").alias("_sb"))
+    jac: Column = F.size(F.array_intersect("_sa", "_sb")).cast("double") / F.size(
+        F.array_distinct(F.concat("_sa", "_sb"))
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard_raw", jac)
+        .filter(F.col("jaccard_raw") >= threshold)
+        .select("doc_a", "doc_b", "jaccard_raw")
+    )

@@ -18,7 +18,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import textfns as T
-from ..sources import table
+from ..operators import dedup_ops, vectors
+from ..sources import spread, table
 from .registry import register
 
 N_MINHASH = 8
@@ -27,34 +28,27 @@ SHINGLE = 5
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"))
     return d.select("doc_id", "lang", T.char_shingles_col(SHINGLE).alias("shingles"))
 
 
-def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingled(spark, sf_dir)
-    sig = sh.select(
-        "doc_id",
-        "shingles",
-        *[
-            T.minhash_col(F.col("shingles"), i).alias(f"mh{i}")
-            for i in range(N_MINHASH)
-        ],
-    )
-    per_band = N_MINHASH // N_BANDS
-    for b in range(N_BANDS):
-        cols = [F.col(f"mh{i}") for i in range(b * per_band, (b + 1) * per_band)]
-        sig = sig.withColumn(f"band{b}", F.md5(F.concat(*cols)))
-    return sig
-
-
-def _signatures_sql() -> tuple[str, str]:
-    """(sh CTE, sig CTE) DuckDB twins of _shingled/_signatures."""
+def _signatures_sql() -> tuple[str, str, str]:
+    """(sh, dg, sig) DuckDB CTE twins of _shingled/minhash_signature."""
     sh = (
         f"SELECT doc_id, lang, {T.char_shingles_sql(SHINGLE)} AS shingles "
         f"FROM documents"
     )
-    mh = [T.minhash_sql("shingles", i) for i in range(N_MINHASH)]
+    n_groups = (N_MINHASH + 3) // 4
+    dcols = []
+    for g in range(n_groups):
+        salt = T._MH_SALTS[g]
+        digest = f"MD5('{salt}' || s)" if salt else "MD5(s)"
+        dcols.append(f"LIST_TRANSFORM(shingles, s -> {digest}) AS d{g}")
+    dg = f"SELECT doc_id, shingles, {', '.join(dcols)} FROM sh"
+    mh = [
+        f"LIST_MIN(LIST_TRANSFORM(d{i // 4}, x -> SUBSTRING(x, {(i % 4) * 8 + 1}, 8)))"
+        for i in range(N_MINHASH)
+    ]
     per_band = N_MINHASH // N_BANDS
     bands = ", ".join(
         "MD5("
@@ -63,8 +57,8 @@ def _signatures_sql() -> tuple[str, str]:
         for b in range(N_BANDS)
     )
     mh_cols = ", ".join(f"{m} AS mh{i}" for i, m in enumerate(mh))
-    sig = f"SELECT doc_id, shingles, {mh_cols}, {bands} FROM sh"
-    return sh, sig
+    sig = f"SELECT doc_id, shingles, {mh_cols}, {bands} FROM dg"
+    return sh, dg, sig
 
 
 @register(
@@ -95,11 +89,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sig_oracle() -> str:
-    sh, sig = _signatures_sql()
+    sh, dg, sig = _signatures_sql()
     mh_names = ", ".join(f"mh{i}" for i in range(N_MINHASH))
     band_names = ", ".join(f"band{b}" for b in range(N_BANDS))
     return f"""
-        WITH sh AS ({sh}), sig AS ({sig})
+        WITH sh AS ({sh}), dg AS ({dg}), sig AS ({sig})
         SELECT doc_id, {mh_names}, {band_names}
         FROM sig ORDER BY doc_id
     """
@@ -110,12 +104,15 @@ def _minhash_sig_oracle() -> str:
     oracle=_minhash_sig_oracle(),
     tags=("dedup", "hash"),
     doc=f"MinHash signatures: {SHINGLE}-char shingles → {N_MINHASH} "
-    "portable min-wise hashes (lexicographic min of MD5(i||'|'||s)) → "
-    f"{N_BANDS} LSH band keys. The signature stage of T5-style dedup at "
-    "scale (reference: pg_trgm trigram index, migrations/0006:28-29).",
+    "portable min-wise hashes (lexicographic min of 8-hex-char slices of "
+    f"two salted md5 digests) → {N_BANDS} LSH band keys. The signature "
+    "stage of T5-style dedup at scale (reference: pg_trgm trigram index, "
+    "migrations/0006:28-29).",
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = _signatures(spark, sf_dir)
+    sig = dedup_ops.minhash_signature(
+        _shingled(spark, sf_dir), "doc_id", "shingles", N_MINHASH, N_BANDS
+    )
     return sig.select(
         "doc_id",
         *[f"mh{i}" for i in range(N_MINHASH)],
@@ -124,13 +121,13 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_pairs_oracle() -> str:
-    sh, sig = _signatures_sql()
+    sh, dg, sig = _signatures_sql()
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_idx, band{b} AS band_key FROM sig"
         for b in range(N_BANDS)
     )
     return f"""
-        WITH sh AS ({sh}), sig AS ({sig}),
+        WITH sh AS ({sh}), dg AS ({dg}), sig AS ({sig}),
         bands AS ({band_selects}),
         cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -162,37 +159,17 @@ def _minhash_pairs_oracle() -> str:
     "cross-joins; see tests for synthetic near-dup coverage.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = _signatures(spark, sf_dir)
-    bands = None
-    for b in range(N_BANDS):
-        part = sig.select(
-            "doc_id", F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_key")
-        )
-        bands = part if bands is None else bands.unionByName(part)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sh = _shingled(spark, sf_dir)
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
-    jac = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size(
-        F.array_distinct(F.concat("sa", "sb"))
+    pairs = dedup_ops.minhash_lsh_pairs(
+        spread(table(spark, sf_dir, "documents")),
+        id_col="doc_id",
+        text_col="text",
+        shingle=SHINGLE,
+        n_hashes=N_MINHASH,
+        n_bands=N_BANDS,
+        threshold=0.5,
     )
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard_raw", jac)
-        .filter(F.col("jaccard_raw") >= 0.5)
-        .select("doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard"))
+        pairs.select("doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 
@@ -210,6 +187,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(LEN(LIST_INTERSECT(a.grams, b.grams)) AS DOUBLE)
                    / LEN(LIST_DISTINCT(LIST_CONCAT(a.grams, b.grams))) AS jac
             FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE LEN(LIST_INTERSECT(a.grams, b.grams)) > 0
         ), ranked AS (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
                       ORDER BY jac DESC, doc_a, doc_b) AS rn
@@ -220,33 +198,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY lang, doc_a, doc_b
     """,
     tags=("dedup",),
-    doc="Word-3-gram Jaccard similarity, blocked by language (blocking key "
-    "stands in for LSH buckets at this scale), top-5 most-similar pairs "
-    "per block — T5/J11 trigram similarity join analog "
-    "(migrations/0006_title_dedup.sql:51-72).",
+    doc="Word-3-gram Jaccard similarity via a sparse inverted-index join "
+    "(explode tokens, equi-join on (lang, gram), derive union from set "
+    "sizes — only pairs sharing a gram are ever materialized), blocked by "
+    "language, top-5 most-similar pairs per block — T5/J11 trigram "
+    "similarity join analog (migrations/0006_title_dedup.sql:51-72).",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"))
     w = T.words_col()
     g = d.filter(F.size(w) >= 3).select(
         "doc_id", "lang", T.word_ngrams_col(3, w).alias("grams")
     )
-    a = g.select(
-        F.col("lang"),
-        F.col("doc_id").alias("doc_a"),
-        F.col("grams").alias("ga"),
-    )
-    b = g.select(
-        F.col("lang").alias("lang_b"),
-        F.col("doc_id").alias("doc_b"),
-        F.col("grams").alias("gb"),
-    )
-    jac = F.size(F.array_intersect("ga", "gb")).cast("double") / F.size(
-        F.array_distinct(F.concat("ga", "gb"))
-    )
-    pairs = (
-        a.join(b, (F.col("lang") == F.col("lang_b")) & (F.col("doc_a") < F.col("doc_b")))
-        .select("lang", "doc_a", "doc_b", jac.alias("jac"))
+    pairs = dedup_ops.jaccard_pairs(g, "doc_id", "grams", block_col="lang").select(
+        F.col("block").alias("lang"), "doc_a", "doc_b", "jac"
     )
     wnd = Window.partitionBy("lang").orderBy(F.desc("jac"), "doc_a", "doc_b")
     return (
@@ -272,7 +237,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the same loop (functions/textfns.py).",
 )
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"))
     return (
         d.select("doc_id", "lang", T.simhash_col(T.words_col()).alias("simhash32"))
         .orderBy("doc_id")
@@ -295,37 +260,25 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("dedup", "similarity"),
     doc="Embedding-cosine near-duplicate pairs (threshold 0.45 for this "
-    "synthetic corpus) — brute-force within-corpus variant; the bucketed "
-    "scale path is ann_ivf_topk. Cosine is computed as a JVM-side "
-    "aggregate fold over array<double>, no UDF.",
+    "synthetic corpus) — exact all-pairs via the block-partitioned "
+    "vectorized operator (operators/vectors.py): Arrow batches + one "
+    "numpy matrix multiply per block pair, no driver collect, no "
+    "per-row Python.",
 )
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = (
-        table(spark, sf_dir, "embeddings")
-        .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").alias("v")
     )
-    a = e.select(
-        F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"), F.col("v").alias("va")
+    pairs = vectors.cosine_pairs(
+        e, id_col="vec_id", vec_col="v", threshold=0.45, carry_cols=("label",)
     )
-    b = e.select(
-        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"), F.col("v").alias("vb")
-    )
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    cos = dot / (norm(F.col("va")) * norm(F.col("vb")))
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_raw", cos)
-        .filter(F.col("cos_raw") >= 0.45)
-        .select(
-            "vec_a", "vec_b", "label_a", "label_b",
-            F.round("cos_raw", 6).alias("cosine"),
+        pairs.select(
+            F.col("id_a").alias("vec_a"),
+            F.col("id_b").alias("vec_b"),
+            F.col("label_a"),
+            F.col("label_b"),
+            F.round("cosine", 6).alias("cosine"),
         )
         .orderBy("vec_a", "vec_b")
     )

@@ -194,12 +194,19 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
+    # single percentile aggregate over an array of fractions: one pass,
+    # one sort-based agg state instead of three
+    pct = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.1), F.lit(0.5), F.lit(0.9))
+    )
     return (
         li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.percentile("l_extendedprice", F.lit(0.1)), 6).alias("p10"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90"),
+        .agg(pct.alias("_p"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("_p")[0], 6).alias("p10"),
+            F.round(F.col("_p")[1], 6).alias("p50"),
+            F.round(F.col("_p")[2], 6).alias("p90"),
         )
         .orderBy("l_returnflag")
     )

@@ -8,10 +8,11 @@ the base table is hash-partitioned; the query set is broadcast.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources import table
+from ..operators.vectors import cosine_col
+from ..sources import spread, table
 from .registry import register
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -19,22 +20,8 @@ TOP_K = 5
 N_CENTROIDS = 16  # vec_id < 16 seed the IVF buckets
 
 
-def dot_col(a, b) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-
-
-def norm_col(a) -> Column:
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
-
-
-def cosine_col(a, b) -> Column:
-    return dot_col(a, b) / (norm_col(a) * norm_col(b))
-
-
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return table(spark, sf_dir, "embeddings").select(
+    return spread(table(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
 

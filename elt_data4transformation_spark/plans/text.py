@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import textfns as T
-from ..sources import table
+from ..sources import spread, table
 from .registry import register
 
 
@@ -46,7 +46,7 @@ def _langid_oracle() -> str:
     "analog: rule-based topic scoring study_scraper/topic_filter.py:62-115.",
 )
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"))
     scored = d.select(
         "doc_id",
         F.col("lang").alias("actual_lang"),
@@ -97,7 +97,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "study_scraper/pipeline.py:36-64, value sanity flags claims.py:173-177.",
 )
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"))
     n_words = F.size(T.words_col()).cast("long")
     feats = d.select(
         "doc_id",
@@ -149,7 +149,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "training-data op for budget accounting.",
 )
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"))
     return (
         d.select(
             "doc_id",
@@ -190,7 +190,7 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "reference analog: content-hash idempotency ingest.py:12-14.",
 )
 def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"))
     norm = F.md5(F.lower(F.trim(F.regexp_replace("text", " +", " "))))
     shingles = T.char_shingles_col(8)
     return (

@@ -1,3 +1,3 @@
-from .tables import TABLES, load_tables, table
+from .tables import TABLES, load_tables, spread, table
 
-__all__ = ["TABLES", "load_tables", "table"]
+__all__ = ["TABLES", "load_tables", "spread", "table"]

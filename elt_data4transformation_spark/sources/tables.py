@@ -43,3 +43,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: table(spark, sf_dir, t) for t in TABLES}
+
+
+def spread(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Repartition a small-file scan before CPU-heavy per-row work.
+
+    A single-file parquet scan yields one partition, serializing any
+    expensive projection (hashing, shingling, vector math) onto one
+    core. The shuffle cost of a few thousand rows is trivial next to
+    the win of engaging every core; on a real cluster the same helper
+    spreads per-document work across executors."""
+    if n is None:
+        n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
