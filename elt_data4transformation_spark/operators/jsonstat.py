@@ -1,0 +1,192 @@
+"""JSON-stat 2.0 N-dimensional cube flattening (SURVEY §2.10 M1/M2).
+
+Reference: study_scraper/jsonstat.py:30-109 — row-major strides (last
+dim fastest), dense-array or sparse-dict ``value``, label fallback to
+category id, malformed category indexes skipped.
+
+Two implementations:
+
+- ``decode_jsonstat`` + ``flatten_jsonstat``: the pure-Python decoder
+  (unit-testable, byte-faithful to the reference semantics) applied per
+  payload with mapInPandas — one Arrow batch per partition, payloads
+  decode independently, so this scales horizontally with payload count.
+- ``flatten_jsonstat_spark``: pure-DataFrame variant for dense-array
+  payloads — posexplode the value array, compute each dimension's
+  coordinate with integer div/mod stride arithmetic over the ``size``
+  array, resolve category ids/labels from inverted index maps, all with
+  built-in higher-order functions (no Python in the hot path).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+OUT_SCHEMA = "record_id string, dims map<string,string>, value double"
+
+
+def decode_jsonstat(doc: dict) -> Iterator[tuple[dict[str, str], float]]:
+    """Yield (dim_name -> category_label, value) per non-null data point.
+
+    Row-major order, last dimension fastest; ``value`` may be a dense
+    list or a sparse {str(offset): value} dict; label falls back to the
+    category id; category indexes that are not well-formed ints are
+    skipped (reference jsonstat.py:63-71)."""
+    dim_ids: list[str] = doc.get("id") or []
+    sizes: list[int] = doc.get("size") or []
+    if len(dim_ids) != len(sizes) or not dim_ids:
+        return
+    # per-dim position -> label lookup
+    lookups: list[dict[int, str]] = []
+    for d in dim_ids:
+        cat = (doc.get("dimension", {}).get(d) or {}).get("category", {})
+        index = cat.get("index") or {}
+        labels = cat.get("label") or {}
+        if isinstance(index, list):  # JSON-stat allows list form
+            index = {cid: i for i, cid in enumerate(index)}
+        lk: dict[int, str] = {}
+        for cid, pos in index.items():
+            if not isinstance(pos, int):
+                try:
+                    pos = int(pos)
+                except (TypeError, ValueError):
+                    continue  # malformed index entry: skip
+            lk[pos] = labels.get(cid, cid)
+        lookups.append(lk)
+
+    value = doc.get("value")
+    total = math.prod(sizes)
+    if isinstance(value, dict):
+        items = []
+        for k, v in value.items():
+            try:
+                items.append((int(k), v))
+            except (TypeError, ValueError):
+                continue
+        points: Iterator[tuple[int, object]] = iter(sorted(items))
+    elif isinstance(value, list):
+        points = ((i, v) for i, v in enumerate(value))
+    else:
+        return
+
+    for offset, v in points:
+        if v is None or offset < 0 or offset >= total:
+            continue
+        dims: dict[str, str] = {}
+        rem = offset
+        ok = True
+        for d, size, lk in zip(
+            reversed(dim_ids), reversed(sizes), reversed(lookups)
+        ):
+            pos = rem % size
+            rem //= size
+            if pos not in lk:
+                ok = False
+                break
+            dims[d] = lk[pos]
+        if ok:
+            yield dims, float(v)
+
+
+def flatten_jsonstat(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "record_id"
+) -> DataFrame:
+    """mapInPandas flattener: one output row per non-null data point."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    doc = json.loads(payload)
+                except (TypeError, ValueError):
+                    continue
+                for dims, v in decode_jsonstat(doc):
+                    out.append({"record_id": rid, "dims": dims, "value": v})
+            yield pd.DataFrame(
+                out, columns=["record_id", "dims", "value"]
+            )
+
+    return df.mapInPandas(fn, OUT_SCHEMA)
+
+
+def flatten_jsonstat_spark(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "record_id"
+) -> DataFrame:
+    """Pure-Spark flattener for dense-array payloads.
+
+    Stride arithmetic: coordinate of dim k for offset p is
+    (p div prod(size[k+1:])) mod size[k]; categories resolve through an
+    inverted (position -> label-or-id) map per dimension. Everything is
+    a built-in expression, so it runs inside codegen and scales as a
+    plain projection + two explodes."""
+    dim_schema = (
+        "map<string, struct<category: struct<"
+        "index: map<string,long>, label: map<string,string>>>>"
+    )
+    st = df.select(
+        F.col(id_col).alias("record_id"),
+        F.from_json(
+            F.col(payload_col),
+            "struct<id: array<string>, size: array<long>, value: array<double>, "
+            f"dimension: {dim_schema}>",
+        ).alias("d"),
+    )
+    # (record, offset, value) per non-null point
+    pts = st.select(
+        "record_id",
+        F.col("d.id").alias("dim_ids"),
+        F.col("d.size").alias("sizes"),
+        F.col("d.dimension").alias("dimension"),
+        F.posexplode("d.value").alias("offset", "value"),
+    ).filter(F.col("value").isNotNull())
+    # one row per (point, dimension k)
+    k = pts.select(
+        "record_id",
+        "offset",
+        "value",
+        "sizes",
+        "dimension",
+        F.posexplode("dim_ids").alias("k", "dim_name"),
+    )
+    # stride_k = product of sizes after k
+    stride = F.aggregate(
+        F.slice(F.col("sizes"), F.col("k") + 2, F.size("sizes")),
+        F.lit(1).cast("long"),
+        lambda acc, x: acc * x,
+    )
+    coord = (F.col("offset") / stride).cast("long") % F.element_at(
+        "sizes", F.col("k") + 1
+    )
+    cat = F.element_at("dimension", F.col("dim_name"))["category"]
+    # invert index map: position -> category id, then label fallback
+    inv = F.map_from_entries(
+        F.transform(
+            F.map_entries(cat["index"]),
+            lambda e: F.struct(e["value"].alias("pos"), e["key"].alias("cid")),
+        )
+    )
+    cid = F.element_at(inv, coord)
+    label = F.coalesce(F.element_at(cat["label"], cid), cid)
+    coords = k.select(
+        "record_id",
+        "offset",
+        "value",
+        F.col("dim_name"),
+        label.alias("category"),
+    )
+    return (
+        coords.groupBy("record_id", "offset")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("dim_name", "category"))
+            ).alias("dims"),
+            F.first("value").alias("value"),
+        )
+        .select("record_id", "dims", "value")
+    )

@@ -15,5 +15,8 @@ from . import events  # noqa: F401,E402
 from . import text  # noqa: F401,E402
 from . import dedup  # noqa: F401,E402
 from . import similarity  # noqa: F401,E402
+from . import upserts  # noqa: F401,E402
+from . import streaming_queries  # noqa: F401,E402
+from . import semistructured  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "QuerySpec", "register"]

@@ -5,9 +5,10 @@ high-watermark incremental reads (SURVEY.md §2.8 JSON family, §2.11).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.upsert import latest_wins
 from ..sources import table
 from .registry import register
 
@@ -61,12 +62,8 @@ def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy(
-        F.desc("ts"), F.desc("event_id")
-    )
     return (
-        e.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        latest_wins(e, ["user_id", "event_type"], ["ts", "event_id"])
         .select(
             "user_id", "event_type", "event_id", "ts", F.round("value", 4).alias("value")
         )

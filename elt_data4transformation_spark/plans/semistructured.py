@@ -1,0 +1,218 @@
+"""Semi-structured / multidimensional / conversion queries:
+JSON-stat cube flattening (M1), German number parsing, best-effort
+timestamps (§2.8 conversions), OpenAlex-style inverted-index abstract
+reconstruction (T15), and multimodal binary feature extraction.
+
+The JSON-stat / parsing queries run on fixed inline fixtures (their
+inputs are payload shapes, not testdata tables); their oracles are
+golden VALUES relations, which the driver checks like any other query.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import parsing
+from ..operators import jsonstat, multimodal
+from ..sources import spread, table
+from .registry import register
+
+_CUBE1 = json.dumps(
+    {
+        "id": ["geo", "time"],
+        "size": [2, 3],
+        "dimension": {
+            "geo": {
+                "category": {
+                    "index": {"DE": 0, "FR": 1},
+                    "label": {"DE": "Germany", "FR": "France"},
+                }
+            },
+            "time": {
+                "category": {"index": {"2020": 0, "2021": 1, "2022": 2}}
+            },
+        },
+        "value": [1.5, None, 3.0, 4.0, 5.5, None],
+    }
+)
+_CUBE2 = json.dumps(
+    {
+        "id": ["sex"],
+        "size": [2],
+        "dimension": {"sex": {"category": {"index": {"M": 0, "F": 1}}}},
+        "value": {"1": 7.25},
+    }
+)
+
+
+@register(
+    "jsonstat_flatten",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('c1', 'geo=Germany|time=2020', 1.5),
+            ('c1', 'geo=Germany|time=2022', 3.0),
+            ('c1', 'geo=France|time=2020', 4.0),
+            ('c1', 'geo=France|time=2021', 5.5),
+            ('c2', 'sex=F', 7.25)
+        ) AS t(record_id, dims, value)
+        ORDER BY record_id, dims
+    """,
+    tags=("jsonstat", "semistructured"),
+    doc="M1 JSON-stat 2.0 N-dim cube flatten: row-major strides (last dim "
+    "fastest), dense-array AND sparse-dict values, label fallback to "
+    "category id, nulls skipped — study_scraper/jsonstat.py:30-109, "
+    "operators/jsonstat.py (mapInPandas decode; the pure-Spark stride "
+    "variant is equivalence-tested in tests/test_operators.py).",
+)
+def jsonstat_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.createDataFrame(
+        [("c1", _CUBE1), ("c2", _CUBE2)], ["record_id", "payload"]
+    )
+    flat = jsonstat.flatten_jsonstat(df)
+    dims_str = F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries("dims"),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            )
+        ),
+        "|",
+    )
+    return flat.select(
+        "record_id", dims_str.alias("dims"), "value"
+    ).orderBy("record_id", "dims")
+
+
+_DE_NUMBERS = [
+    "62,5",
+    "6.063",
+    "1.234.567,89",
+    "12.34",
+    "-1.234",
+    "7",
+    "abc",
+]
+
+
+@register(
+    "parse_german_numbers",
+    oracle=f"""
+        SELECT raw, {parsing.parse_german_number_sql('raw')} AS parsed
+        FROM (SELECT UNNEST({_DE_NUMBERS!r}) AS raw)
+        ORDER BY raw
+    """,
+    tags=("scalar", "conversion"),
+    doc="German decimal/thousands parsing: '62,5'->62.5, '6.063'->6063, "
+    "'1.234.567,89'->1234567.89; dot-groups-of-3 = thousands, comma = "
+    "decimal, unparseable -> NULL — study_scraper/claims.py:136-155 "
+    "(functions/parsing.py, SQL twin generated from the same pattern).",
+)
+def parse_german_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.createDataFrame([(s,) for s in _DE_NUMBERS], ["raw"])
+    return (
+        df.select("raw", parsing.parse_german_number_col("raw").alias("parsed"))
+        .orderBy("raw")
+    )
+
+
+_TS_SAMPLES = [
+    "2024-03-01T10:00:05",
+    "2024-03-01 10:00:05",
+    "2024-03-01",
+    "01.03.2024",
+    "03/01/2024",
+    "garbage",
+]
+
+
+@register(
+    "parse_best_effort_ts",
+    oracle=f"""
+        SELECT raw,
+               STRFTIME({parsing.best_effort_timestamp_sql('raw')},
+                        '%Y-%m-%d %H:%M:%S') AS parsed
+        FROM (SELECT UNNEST({_TS_SAMPLES!r}) AS raw)
+        ORDER BY raw
+    """,
+    tags=("scalar", "conversion", "date"),
+    doc="parseDateTimeBestEffort parity: ordered multi-format "
+    "try_to_timestamp fallback chain (ISO-T, ISO-space, date-only, "
+    "dd.MM.yyyy, MM/dd/yyyy), unparseable -> NULL — dbt "
+    "raw_dawum_polls.sql:16-23, unified view :51 (functions/parsing.py).",
+)
+def parse_best_effort_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.createDataFrame([(s,) for s in _TS_SAMPLES], ["raw"])
+    ts = parsing.best_effort_timestamp_col("raw")
+    return (
+        df.select(
+            "raw", F.date_format(ts, "yyyy-MM-dd HH:mm:ss").alias("parsed")
+        )
+        .orderBy("raw")
+    )
+
+
+@register(
+    "abstract_roundtrip",
+    oracle="""
+        SELECT doc_id, text AS reconstructed
+        FROM documents
+        ORDER BY doc_id
+    """,
+    tags=("text", "semistructured"),
+    doc="T15 OpenAlex abstract reconstruction: build the inverted index "
+    "(word -> positions) from each document, then reconstruct the text "
+    "by exploding positions, sorting, and joining — the oracle asserts "
+    "an exact round trip (discovery/openalex.py:15-17: {word:[pos...]} "
+    "-> ordered text).",
+)
+def abstract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents"))
+    # 1. inverted index, as OpenAlex publishes it
+    inverted = (
+        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
+        .groupBy("doc_id", "word")
+        .agg(F.collect_list("pos").alias("positions"))
+    )
+    # 2. reconstruction from the index alone
+    return (
+        inverted.select("doc_id", "word", F.explode("positions").alias("pos"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"],
+                ),
+                " ",
+            ).alias("reconstructed")
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+        SELECT doc_id, 'text/plain' AS mime,
+               LENGTH(text) AS n_bytes,
+               LOWER(HEX(ENCODE(SUBSTRING(text, 1, 4)))) AS header_hex,
+               SHA256(text) AS digest,
+               64 + (LENGTH(text) % 64) * 16 AS fake_width,
+               64 + (LENGTH(text) % 7) * 32 AS fake_height
+        FROM documents
+        ORDER BY doc_id
+    """,
+    tags=("multimodal",),
+    doc="Multimodal column plumbing: binary payload + typed metadata "
+    "struct, Arrow-batched mapInPandas feature extraction with a "
+    "deterministic fake decoder (real decode stubbed — no media libs in "
+    "container; operators/multimodal.py). Schema, batching and "
+    "partition-parallelism are real and oracle-checked byte-level.",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents"))
+    binary = multimodal.with_binary_payload(d, "doc_id", "text")
+    return multimodal.decode_features(binary).orderBy("doc_id")

@@ -1,0 +1,88 @@
+"""Streaming queries registered against batch oracles: each runs a real
+Structured Streaming job (file source → watermark/window/state → memory
+sink) to completion and returns the result, which must hash-match the
+equivalent batch SQL in DuckDB. This is the strongest check available
+for streaming semantics on a bounded input (SURVEY §2.11 / Phase 5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming import events as streaming_events
+from .registry import register
+
+
+@register(
+    "stream_tumbling",
+    oracle="""
+        SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+        FROM events
+        GROUP BY window_start, event_type
+        ORDER BY window_start, event_type
+    """,
+    tags=("streaming",),
+    doc="Structured Streaming tumbling-window aggregation with watermark "
+    "(readStream -> window('1 hour') -> memory sink); epoch-aligned "
+    "windows equal date_trunc buckets, so the batch oracle is exact — "
+    "§2.11 Spark mapping of the reference's incremental aggregates.",
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming_events.tumbling_counts(spark, sf_dir).orderBy(
+        "window_start", "event_type"
+    )
+
+
+@register(
+    "stream_new_ids",
+    oracle="""
+        SELECT DISTINCT user_id, event_type
+        FROM events
+        ORDER BY user_id, event_type
+    """,
+    tags=("streaming",),
+    doc="Stateful streaming dropDuplicates on the entity key — "
+    "new-vs-known id detection (reference main.py:80-85 known_ids set "
+    "diff) as a streaming operator; emitted key set equals batch "
+    "DISTINCT.",
+)
+def stream_new_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming_events.stateful_new_ids(spark, sf_dir).orderBy(
+        "user_id", "event_type"
+    )
+
+
+@register(
+    "stream_sessions",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_id, ts,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM events
+        ), flagged AS (
+            SELECT *, CASE WHEN prev_ts IS NULL
+                             OR DATE_DIFF('microsecond', prev_ts, ts) >= 1800000000
+                           THEN 1 ELSE 0 END AS is_new
+            FROM seq
+        ), sess AS (
+            SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM flagged
+        )
+        SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+               COUNT(*) AS n_events
+        FROM sess
+        GROUP BY user_id, session_seq
+        ORDER BY user_id, session_start
+    """,
+    tags=("streaming", "sessionize"),
+    doc="Native session_window sessionization (30 min gap) driven as a "
+    "real streaming job; oracle is the batch lag+cumsum rendition with "
+    "the gap compared in microseconds (session_window starts a new "
+    "session when the gap >= the timeout).",
+)
+def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming_events.session_windows(spark, sf_dir).orderBy(
+        "user_id", "session_start"
+    )

@@ -1,0 +1,249 @@
+"""Upsert / merge-policy queries (SURVEY §2.1 S6-S12) — the reference's
+write-side semantics as deterministic snapshot reconciliations over the
+events table — plus JSON-map explosion and pivot shapes (§2.8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as Ty
+
+from ..operators import upsert
+from ..sources import table
+from .registry import register
+
+T1 = "2024-01-15 00:00:00"
+T2 = "2024-02-01 00:00:00"
+
+
+def _snapshot(ev: DataFrame, lo: str | None, hi: str, status_mod: int, status_val: str) -> DataFrame:
+    src = ev.filter(F.col("ts") < F.lit(hi).cast("timestamp"))
+    if lo:
+        src = src.filter(F.col("ts") >= F.lit(lo).cast("timestamp"))
+    return (
+        src.groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_seen"),
+            F.max_by("value", "event_id").alias("last_value"),
+            F.array_sort(F.collect_set("event_type")).alias("topics"),
+        )
+        .withColumn(
+            "status",
+            F.when(F.col("user_id") % status_mod == 0, status_val).otherwise(
+                F.lit("kept")
+            ),
+        )
+    )
+
+
+@register(
+    "upsert_merge_policy",
+    oracle=f"""
+        WITH old_s AS (
+            SELECT user_id, MIN(ts) AS first_seen,
+                   ARG_MAX(value, event_id) AS last_value,
+                   LIST_SORT(LIST_DISTINCT(LIST(event_type))) AS topics,
+                   CASE WHEN user_id % 7 = 0 THEN 'rejected' ELSE 'kept' END AS status
+            FROM events WHERE ts < TIMESTAMP '{T1}'
+            GROUP BY user_id
+        ), new_s AS (
+            SELECT user_id, MIN(ts) AS first_seen,
+                   ARG_MAX(value, event_id) AS last_value,
+                   LIST_SORT(LIST_DISTINCT(LIST(event_type))) AS topics,
+                   CASE WHEN user_id % 5 = 0 THEN 'review' ELSE 'kept' END AS status
+            FROM events
+            WHERE ts >= TIMESTAMP '{T1}' AND ts < TIMESTAMP '{T2}'
+            GROUP BY user_id
+        )
+        SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+               COALESCE(o.first_seen, n.first_seen) AS first_seen,
+               ROUND(COALESCE(n.last_value, o.last_value), 4) AS last_value,
+               ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(
+                   COALESCE(o.topics, []) || COALESCE(n.topics, []))), '|')
+                   AS topics,
+               CASE WHEN o.status = 'rejected' THEN o.status
+                    ELSE COALESCE(n.status, o.status) END AS status
+        FROM old_s o FULL OUTER JOIN new_s n ON o.user_id = n.user_id
+        ORDER BY user_id
+    """,
+    tags=("upsert",),
+    doc="S9/S10 SQL-conflict upsert with per-column merge policy: arrays "
+    "union-merged, first-seen sticky (COALESCE(old,new)), value fresh "
+    "(COALESCE(new,old)), status state-machine with sticky 'rejected' — "
+    "storage/postgres.py:325-390 (rules :345-378), 1160-1239; expressed "
+    "as a full-outer-join reconciliation (operators/upsert.py).",
+)
+def upsert_merge_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    old = _snapshot(ev, None, T1, 7, "rejected")
+    new = _snapshot(ev, T1, T2, 5, "review")
+    merged = upsert.merge_policy_upsert(
+        old,
+        new,
+        keys=["user_id"],
+        array_union_cols=("topics",),
+        sticky_cols=("first_seen",),
+        fresh_cols=("last_value",),
+        status_col="status",
+        sticky_status=("rejected",),
+    )
+    return (
+        merged.select(
+            "user_id",
+            "first_seen",
+            F.round("last_value", 4).alias("last_value"),
+            F.concat_ws("|", F.array_sort("topics")).alias("topics"),
+            "status",
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "upsert_delete_insert",
+    oracle=f"""
+        WITH old_s AS (
+            SELECT user_id, event_type, event_id, value FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events WHERE ts < TIMESTAMP '{T1}'
+            ) WHERE rn = 1
+        ), new_s AS (
+            SELECT user_id, event_type, event_id, value FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+                WHERE ts >= TIMESTAMP '{T1}' AND ts < TIMESTAMP '{T2}'
+            ) WHERE rn = 1
+        )
+        SELECT user_id, event_type, event_id, ROUND(value, 4) AS value
+        FROM (
+            SELECT o.* FROM old_s o
+            LEFT JOIN (SELECT DISTINCT user_id, event_type FROM new_s) k
+              ON o.user_id = k.user_id AND o.event_type = k.event_type
+            WHERE k.user_id IS NULL
+            UNION ALL
+            SELECT * FROM new_s
+        )
+        ORDER BY user_id, event_type
+    """,
+    tags=("upsert",),
+    doc="S7 delete-then-insert upsert (ALTER TABLE ... DELETE WHERE id IN "
+    "(incoming) + INSERT, elt/loader_clickhouse.py:530-573) — rewritten as "
+    "anti-join + unionByName (operators/upsert.py:delete_insert_upsert).",
+)
+def upsert_delete_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    keys = ["user_id", "event_type"]
+
+    def snap(lo: str | None, hi: str) -> DataFrame:
+        src = ev.filter(F.col("ts") < F.lit(hi).cast("timestamp"))
+        if lo:
+            src = src.filter(F.col("ts") >= F.lit(lo).cast("timestamp"))
+        return upsert.latest_wins(src, keys, ["ts", "event_id"]).select(
+            *keys, "event_id", "value"
+        )
+
+    merged = upsert.delete_insert_upsert(snap(None, T1), snap(T1, T2), keys)
+    return (
+        merged.select(
+            "user_id", "event_type", "event_id", F.round("value", 4).alias("value")
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+@register(
+    "content_hash_dedup",
+    oracle="""
+        WITH hashed AS (
+            SELECT user_id, event_type,
+                   SHA256(CONCAT_WS('|', CAST(user_id AS VARCHAR), event_type,
+                                    props)) AS payload_hash
+            FROM events
+        )
+        SELECT payload_hash, MIN(user_id) AS first_user,
+               COUNT(*) AS n_rows
+        FROM hashed
+        GROUP BY payload_hash
+        HAVING COUNT(*) > 1
+        ORDER BY payload_hash
+    """,
+    tags=("upsert", "hash", "incremental"),
+    doc="§2.11 content-hash change detection / idempotent skip: sha256 of "
+    "a canonical payload rendering, groups with >1 occurrence are "
+    "no-op re-ingests — study_scraper/ingest.py:12-14, "
+    "sources/dawum.py:130-133 (operators/upsert.py:content_hash_col).",
+)
+def content_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    hashed = ev.select(
+        "user_id",
+        "event_type",
+        upsert.content_hash_col(["user_id", "event_type", "props"]).alias(
+            "payload_hash"
+        ),
+    )
+    return (
+        hashed.groupBy("payload_hash")
+        .agg(F.min("user_id").alias("first_user"), F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") > 1)
+        .orderBy("payload_hash")
+    )
+
+
+@register(
+    "json_map_explode",
+    oracle="""
+        SELECT event_id, key,
+               CAST(JSON_EXTRACT_STRING(props, '$.' || key) AS BIGINT) AS value
+        FROM (SELECT event_id, props, UNNEST(JSON_KEYS(props)) AS key
+              FROM events)
+        ORDER BY event_id, key
+    """,
+    tags=("json",),
+    doc="§2.8 JSON map explosion: parse-once from_json to map<string,long> "
+    "then explode to (key, value) rows — ClickHouse JSONExtract(results, "
+    "'Map(String,Float64)') + mapKeys/arrayMap, dbt stg_dawum_polls.sql:"
+    "29, 54-60; PG jsonb_array_elements migrations/0005:196-197.",
+)
+def json_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    m = F.from_json("props", Ty.MapType(Ty.StringType(), Ty.LongType()))
+    return (
+        ev.select("event_id", F.explode(m).alias("key", "value"))
+        .orderBy("event_id", "key")
+    )
+
+
+@register(
+    "pivot_status",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("aggregate", "pivot"),
+    doc="Pivot (long -> wide conditional counts) with explicit value list "
+    "so the output schema is static — Spark .pivot(); the reference "
+    "expresses the same shape as CASE ladders (§2.4 A3).",
+)
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return (
+        pivoted.select(
+            "o_orderpriority",
+            *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ("F", "O", "P")],
+        )
+        .orderBy("o_orderpriority")
+    )

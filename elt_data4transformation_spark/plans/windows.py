@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.upsert import latest_wins
 from ..sources import table
 from .registry import register
 
@@ -112,12 +113,8 @@ def moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.desc("o_orderdate"), F.desc("o_orderkey")
-    )
     return (
-        o.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        latest_wins(o, ["o_custkey"], ["o_orderdate", "o_orderkey"])
         .select(
             "o_custkey",
             "o_orderkey",

@@ -1,0 +1,249 @@
+"""Pure-operator unit tests with the reference's documented edge cases
+(SURVEY §5): merge-policy rules, latest-wins determinism, JSON-stat
+decode corners (sparse dict, label fallback, malformed index), LSH on
+synthetic near-duplicates, parser edge cases."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from elt_data4transformation_spark.functions import textfns as T
+from elt_data4transformation_spark.operators import (
+    dedup_ops,
+    jsonstat,
+    multimodal,
+    upsert,
+    vectors,
+)
+
+
+# --- upsert ---------------------------------------------------------------
+
+
+def test_merge_policy_rules(spark):
+    old = spark.createDataFrame(
+        [
+            (1, ["a"], "2020-01-01", 10.0, "rejected"),
+            (2, ["a", "b"], "2020-01-02", 20.0, "kept"),
+            (3, None, "2020-01-03", 30.0, "kept"),
+        ],
+        "id long, topics array<string>, first_seen string, val double, status string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, ["c"], "2021-01-01", 11.0, "kept"),
+            (2, ["b", "d"], "2021-01-02", None, "review"),
+            (4, ["e"], "2021-01-04", 40.0, "review"),
+        ],
+        "id long, topics array<string>, first_seen string, val double, status string",
+    )
+    out = {
+        r["id"]: r
+        for r in upsert.merge_policy_upsert(
+            old,
+            new,
+            keys=["id"],
+            array_union_cols=("topics",),
+            sticky_cols=("first_seen",),
+            fresh_cols=("val",),
+            status_col="status",
+        ).collect()
+    }
+    # sticky rejected status survives the new 'kept'
+    assert out[1]["status"] == "rejected"
+    assert sorted(out[1]["topics"]) == ["a", "c"]
+    assert out[1]["first_seen"] == "2020-01-01"  # sticky
+    assert out[1]["val"] == 11.0  # fresh
+    # null new value falls back to old
+    assert out[2]["val"] == 20.0
+    assert out[2]["status"] == "review"
+    assert sorted(out[2]["topics"]) == ["a", "b", "d"]
+    # null old array treated as empty
+    assert out[3]["topics"] == []
+    # insert-only row passes through
+    assert out[4]["val"] == 40.0 and out[4]["status"] == "review"
+
+
+def test_latest_wins_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "2020", 1, "a"), (1, "2020", 2, "b"), (1, "2019", 3, "c")],
+        "k long, version string, uid long, payload string",
+    )
+    row = upsert.latest_wins(df, ["k"], ["version", "uid"]).collect()
+    assert len(row) == 1 and row[0]["payload"] == "b"  # ties broken by uid
+
+
+def test_delete_insert_upsert(spark):
+    old = spark.createDataFrame([(1, "x"), (2, "y")], "k long, v string")
+    new = spark.createDataFrame([(2, "y2"), (3, "z")], "k long, v string")
+    out = {
+        r["k"]: r["v"]
+        for r in upsert.delete_insert_upsert(old, new, ["k"]).collect()
+    }
+    assert out == {1: "x", 2: "y2", 3: "z"}
+
+
+# --- jsonstat -------------------------------------------------------------
+
+DENSE = {
+    "id": ["geo", "time"],
+    "size": [2, 2],
+    "dimension": {
+        "geo": {
+            "category": {
+                "index": {"DE": 0, "FR": 1},
+                "label": {"DE": "Germany"},  # FR falls back to id
+            }
+        },
+        "time": {"category": {"index": {"2020": 0, "2021": 1}}},
+    },
+    "value": [1.0, None, 3.0, 4.0],
+}
+
+
+def test_jsonstat_dense_decode():
+    rows = list(jsonstat.decode_jsonstat(DENSE))
+    assert rows == [
+        ({"time": "2020", "geo": "Germany"}, 1.0),
+        ({"time": "2020", "geo": "FR"}, 3.0),
+        ({"time": "2021", "geo": "FR"}, 4.0),
+    ]
+
+
+def test_jsonstat_sparse_and_malformed():
+    sparse = {
+        "id": ["s"],
+        "size": [3],
+        "dimension": {
+            "s": {"category": {"index": {"a": 0, "b": "oops", "c": 2}}}
+        },
+        "value": {"2": 9.0, "x": 1.0, "7": 2.0},  # bad key + out of range
+    }
+    rows = list(jsonstat.decode_jsonstat(sparse))
+    assert rows == [({"s": "c"}, 9.0)]
+    # list-form index is accepted
+    listform = {
+        "id": ["s"],
+        "size": [2],
+        "dimension": {"s": {"category": {"index": ["p", "q"]}}},
+        "value": [5.0, 6.0],
+    }
+    assert list(jsonstat.decode_jsonstat(listform)) == [
+        ({"s": "p"}, 5.0),
+        ({"s": "q"}, 6.0),
+    ]
+
+
+def test_jsonstat_spark_variants_agree(spark):
+    import json
+
+    df = spark.createDataFrame(
+        [("r1", json.dumps(DENSE))], ["record_id", "payload"]
+    )
+
+    def norm(frame):
+        return sorted(
+            (r["record_id"], tuple(sorted(r["dims"].items())), r["value"])
+            for r in frame.collect()
+        )
+
+    assert norm(jsonstat.flatten_jsonstat(df)) == norm(
+        jsonstat.flatten_jsonstat_spark(df)
+    )
+
+
+# --- dedup / similarity ---------------------------------------------------
+
+
+def test_minhash_lsh_finds_synthetic_neardups(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the spark engine shuffles partitions across the cluster"
+    )
+    near = base.replace("lazy", "sleepy")  # high jaccard
+    other = "completely different words in this unrelated document here"
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    pairs = dedup_ops.minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.5
+    ).collect()
+    assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [(1, 2)]
+    assert pairs[0]["jaccard_raw"] > 0.7
+
+
+def test_jaccard_pairs_sparse_join(spark):
+    sets = spark.createDataFrame(
+        [
+            (1, ["a", "b", "c"], "g"),
+            (2, ["b", "c", "d"], "g"),
+            (3, ["x", "y"], "g"),
+            (4, ["a", "b", "c"], "h"),  # other block: never paired with 1
+        ],
+        "id long, s array<string>, blk string",
+    )
+    out = {
+        (r["doc_a"], r["doc_b"]): r["jac"]
+        for r in dedup_ops.jaccard_pairs(sets, "id", "s", "blk").collect()
+    }
+    assert out == {(1, 2): 0.5}  # |{b,c}| / |{a,b,c,d}|
+
+
+def test_cosine_pairs_blocked(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9999, 0.01, 0.0]),
+        (5000, [1.0, 0.001, 0.0]),  # different block than 0/1
+        (7, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in vectors.cosine_pairs(
+            df, "vec_id", "v", threshold=0.99, block_size=1024
+        ).collect()
+    }
+    # cross-block pair (0,5000) and (1,5000) must be found too
+    assert (0, 1) in pairs and (0, 5000) in pairs and (1, 5000) in pairs
+    assert all(a < b for a, b in pairs)
+    assert not any(7 in p for p in pairs)
+
+
+def test_simhash_close_for_similar_docs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),
+            (3, "one two three four five six seven eight"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["sh"]
+        for r in df.select(
+            "doc_id", T.simhash_col(F.split("text", " ")).alias("sh")
+        ).collect()
+    }
+
+    def ham(a, b):
+        return sum(x != y for x, y in zip(a, b))
+
+    assert ham(out[1], out[2]) < ham(out[1], out[3])
+    assert len(out[1]) == 32 and set(out[1]) <= {"0", "1"}
+
+
+# --- multimodal -----------------------------------------------------------
+
+
+def test_multimodal_decode_stub(spark):
+    df = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    out = multimodal.decode_features(
+        multimodal.with_binary_payload(df, "doc_id", "text")
+    ).collect()[0]
+    assert out["n_bytes"] == 11
+    assert out["header_hex"] == "68656c6c"
+    assert out["mime"] == "text/plain"
+    assert out["fake_width"] == 64 + (11 % 64) * 16
+    with pytest.raises(NotImplementedError):
+        multimodal._decode_real(b"x", "image/png")
