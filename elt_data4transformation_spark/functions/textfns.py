@@ -86,6 +86,40 @@ def word_ngrams_sql(n: int, wcol: str = "w") -> str:
     )
 
 
+def pg_trgm_col(text: Column) -> Column:
+    """pg_trgm-compatible trigram set: lowercase, per word pad with two
+    leading and one trailing space, distinct 3-grams over all words
+    (PostgreSQL pg_trgm semantics — the reference's similarity() at
+    migrations/0006_title_dedup.sql:51-72 operates on these sets)."""
+    words = F.filter(
+        F.split(F.lower(text), " "), lambda w: F.length(w) > 0
+    )
+    padded = F.transform(
+        words, lambda w: F.concat(F.lit("  "), w, F.lit(" "))
+    )
+    grams = F.flatten(
+        F.transform(
+            padded,
+            lambda p: F.transform(
+                F.sequence(F.lit(1), F.length(p) - 2),
+                lambda i: F.substring(p, i, 3),
+            ),
+        )
+    )
+    return F.array_distinct(grams)
+
+
+def pg_trgm_sql(text: str) -> str:
+    return (
+        f"LIST_DISTINCT(FLATTEN(LIST_TRANSFORM("
+        f"LIST_TRANSFORM("
+        f"LIST_FILTER(STRING_SPLIT(LOWER({text}), ' '), w -> LENGTH(w) > 0), "
+        f"w -> '  ' || w || ' '), "
+        f"p -> LIST_TRANSFORM(RANGE(1, LENGTH(p) - 1), "
+        f"i -> SUBSTRING(p, i, 3)))))"
+    )
+
+
 # --- MinHash family -------------------------------------------------------
 # Hash function i over a shingle s is an 8-hex-char (32-bit) slice of
 # MD5(salt_g || s), where salt_g distinguishes groups of 4 slices: i in

@@ -1,0 +1,545 @@
+"""Dedup-merge / clustering / search-union semantics (SURVEY §2.9,
+§2.3 J10-J12, §2.4 A11): pg_trgm-parity trigram similarity (T5),
+DOI-group merge (T4), read-time finding dedup (T6), greedy
+single-linkage clustering (T9, driver-side by design), cluster-label
+election (A11), snapshot shift/novelty diff (T12/J12), and the
+lexical+semantic search union (T11 with T7/T8 token-vector cosine).
+
+Scale notes are per-query; the common principle: candidate pairs are
+always generated within blocking keys (never a global cross join), and
+group-wise reductions are single hash aggregates / windows on the
+group key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Row, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import textfns as T
+from ..sources import spread, table
+from .registry import register
+
+# --- T5: pg_trgm-parity trigram title similarity --------------------------
+
+_TRGM_THRESHOLD = 0.55
+
+
+def _title_sql() -> str:
+    return (
+        "ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:6], ' ')"
+    )
+
+
+def _title_col() -> F.Column:
+    return F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 6))
+
+
+@register(
+    "trigram_similarity",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang, source,
+                   CASE WHEN doc_id % 7 = 0 THEN NULL
+                        ELSE n_chars // 100 END AS yr,
+                   {T.pg_trgm_sql(_title_sql())} AS trgm
+            FROM documents
+        ), pairs AS (
+            SELECT a.lang AS lang, a.source AS source,
+                   a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(LEN(LIST_INTERSECT(a.trgm, b.trgm)) AS DOUBLE)
+                   / (LEN(a.trgm) + LEN(b.trgm)
+                      - LEN(LIST_INTERSECT(a.trgm, b.trgm))) AS sim
+            FROM t a JOIN t b
+              ON a.lang = b.lang AND a.source = b.source
+             AND a.doc_id < b.doc_id
+             AND (a.yr IS NULL OR b.yr IS NULL OR a.yr = b.yr)
+        ), best AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_a
+                       ORDER BY sim DESC, doc_b) AS rn
+            FROM pairs WHERE sim >= {_TRGM_THRESHOLD}
+        )
+        SELECT lang, source, doc_a, doc_b, ROUND(sim, 6) AS sim
+        FROM best WHERE rn = 1
+        ORDER BY doc_a
+    """,
+    tags=("dedup", "similarity"),
+    doc="T5/J11 trigram title dedup with exact pg_trgm parity: "
+    "lowercase + per-word '  w ' padding, distinct 3-grams, set "
+    "similarity = |∩|/|∪| (PostgreSQL similarity()), year gate "
+    "NULL-permissive, best match per left row — "
+    "migrations/0006_title_dedup.sql:51-72 + caller postgres.py:281-323. "
+    "Pairs form only inside (lang, source) blocks, so the join is a "
+    "bounded equi-join; the LSH variant (dedup_minhash_lsh) is the "
+    "unblocked 100 TB path, with this exact re-score on candidates.",
+)
+def trigram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents"))
+    t = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None))
+        .otherwise(F.floor(F.col("n_chars") / 100))
+        .alias("yr"),
+        T.pg_trgm_col(_title_col()).alias("trgm"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    inter = F.size(
+        F.array_intersect(F.col("a.trgm"), F.col("b.trgm"))
+    ).cast("double")
+    union = (
+        F.size(F.col("a.trgm")) + F.size(F.col("b.trgm"))
+    ).cast("double") - inter
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.col("a.yr").isNull()
+                | F.col("b.yr").isNull()
+                | (F.col("a.yr") == F.col("b.yr"))
+            ),
+        )
+        .select(
+            F.col("a.lang").alias("lang"),
+            F.col("a.source").alias("source"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (inter / union).alias("sim"),
+        )
+        .filter(F.col("sim") >= _TRGM_THRESHOLD)
+    )
+    best = Window.partitionBy("doc_a").orderBy(F.desc("sim"), "doc_b")
+    return (
+        pairs.withColumn("rn", F.row_number().over(best))
+        .filter(F.col("rn") == 1)
+        .select("lang", "source", "doc_a", "doc_b", F.round("sim", 6).alias("sim"))
+        .orderBy("doc_a")
+    )
+
+
+# --- T4: DOI-group dedup-merge -------------------------------------------
+
+
+@register(
+    "doi_merge",
+    oracle="""
+        WITH keyed AS (
+            SELECT 'doi:10.5555/' || (doc_id % 97) AS doi, *
+            FROM documents
+        )
+        SELECT doi,
+               MIN(doc_id) AS canonical_doc_id,
+               ARG_MIN(lang, doc_id) AS lang,
+               ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST(source))), '|')
+                   AS merged_sources,
+               MAX(n_chars) AS max_n_chars,
+               COUNT(*) AS n_merged
+        FROM keyed
+        GROUP BY doi
+        ORDER BY canonical_doc_id
+    """,
+    tags=("dedup",),
+    doc="T4 DOI dedup-merge: rows sharing a DOI collapse into the "
+    "first-created canonical row — first metadata wins (arg_min by "
+    "created order), URL/source lists union-merged, max-style fields "
+    "kept (storage/postgres.py:228-270: merge URLs/topics/scores into "
+    "canonical, first metadata wins). One hash aggregate on the DOI key; "
+    "at 100 TB this is a single shuffle on a high-cardinality key with "
+    "map-side partial aggregation.",
+)
+def doi_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    keyed = d.withColumn(
+        "doi",
+        F.concat(F.lit("doi:10.5555/"), (F.col("doc_id") % 97).cast("string")),
+    )
+    return (
+        keyed.groupBy("doi")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.min_by("lang", "doc_id").alias("lang"),
+            # '|'-joined like the reference's CSV export of list cells
+            # (study_scraper/export.py:45-85)
+            F.array_join(F.array_sort(F.collect_set("source")), "|").alias(
+                "merged_sources"
+            ),
+            F.max("n_chars").alias("max_n_chars"),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+        .orderBy("canonical_doc_id")
+    )
+
+
+# --- T6: read-time finding dedup -----------------------------------------
+
+_POS = ("support", "oppose", "neutral")
+
+
+@register(
+    "findings_dedup",
+    oracle="""
+        WITH f AS (
+            SELECT event_id, event_type,
+                   ['support','oppose','neutral'][CAST(user_id % 3 AS INTEGER) + 1]
+                       AS position,
+                   ROUND(value, 0) AS pct_bucket, value, ts
+            FROM events
+        ), ranked AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type, position, pct_bucket
+                       ORDER BY value DESC, ts DESC, event_id DESC) AS rn,
+                   COUNT(*) OVER (
+                       PARTITION BY event_type, position, pct_bucket)
+                       AS dup_count
+            FROM f
+        )
+        SELECT event_type, position, pct_bucket,
+               event_id AS best_event_id,
+               ROUND(value, 2) AS best_value, dup_count
+        FROM ranked WHERE rn = 1
+        ORDER BY event_type, position, pct_bucket
+    """,
+    tags=("dedup", "agg"),
+    doc="T6 read-time finding dedup: key = (question-analog, position, "
+    "rounded percent), keep the best row by (confidence-analog, "
+    "recency, id) with the duplicate count carried "
+    "(study_scraper/findings.py:37-61 key, :99-137 max-wins reduce). "
+    "Window rn=1 over the dedup key — the canonical latest-wins idiom; "
+    "shuffles once on the key, AQE handles skewed hot keys.",
+)
+def findings_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    pos = F.element_at(
+        F.array(*[F.lit(p) for p in _POS]),
+        (F.col("user_id") % 3).cast("int") + 1,
+    )
+    f = e.select(
+        "event_id",
+        "event_type",
+        pos.alias("position"),
+        F.round("value", 0).alias("pct_bucket"),
+        "value",
+        "ts",
+    )
+    key = ["event_type", "position", "pct_bucket"]
+    wr = Window.partitionBy(*key).orderBy(
+        F.desc("value"), F.desc("ts"), F.desc("event_id")
+    )
+    wc = Window.partitionBy(*key)
+    return (
+        f.withColumn("rn", F.row_number().over(wr))
+        .withColumn("dup_count", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "position",
+            "pct_bucket",
+            F.col("event_id").alias("best_event_id"),
+            F.round("value", 2).alias("best_value"),
+            "dup_count",
+        )
+        .orderBy("event_type", "position", "pct_bucket")
+    )
+
+
+# --- T9: greedy single-linkage clustering (driver-side by design) ---------
+
+_CLUSTER_THRESHOLD = 0.5
+
+
+def _jaccard(a: frozenset[str], b: frozenset[str]) -> float:
+    if not a or not b:
+        return 0.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)
+
+
+@register(
+    "greedy_cluster",
+    oracle=None,  # order-dependent greedy linkage is not SQL-expressible
+    tags=("cluster",),
+    doc="T9 greedy single-linkage clustering, reference-faithful: in "
+    "deterministic input order, each question joins the FIRST existing "
+    "cluster containing any member with similarity >= threshold, else "
+    "starts a new one (study_scraper/clustering.py:224-255). Parity "
+    "requires sequential order, so the distinct-question set (bounded, "
+    "~10^3 — postgres.py:961-966) is collected to the driver, clustered, "
+    "and the assignment joined back — exactly the reference's shape. "
+    "SURVEY §7 hard-item 2 documents the ceiling; the declared "
+    "100 TB variant is similarity-edge join + connected components "
+    "(transitive closure — different, documented semantics). No SQL "
+    "oracle: driver does the rows-only check; unit tests pin the "
+    "greedy behavior.",
+)
+def greedy_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    q = (
+        d.filter(F.col("lang") == "de")
+        .select(
+            F.concat_ws(
+                " ", F.slice(F.split(F.col("text"), " "), 1, 4)
+            ).alias("question"),
+            "doc_id",
+        )
+        .groupBy("question")
+        .agg(F.min("doc_id").alias("first_seen"))
+        .orderBy("first_seen")
+    )
+    rows = q.collect()  # bounded distinct-question set, by design (see doc)
+    clusters: list[list[frozenset[str]]] = []
+    assignment: dict[str, int] = {}
+    for r in rows:
+        toks = frozenset(r["question"].split(" "))
+        placed = False
+        for cid, members in enumerate(clusters):
+            if any(
+                _jaccard(toks, m) >= _CLUSTER_THRESHOLD for m in members
+            ):
+                members.append(toks)
+                assignment[r["question"]] = cid
+                placed = True
+                break
+        if not placed:
+            assignment[r["question"]] = len(clusters)
+            clusters.append([toks])
+    adf = spark.createDataFrame(
+        [Row(question=k, cluster_id=v) for k, v in assignment.items()]
+    )
+    sizes = adf.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        adf.join(sizes, "cluster_id")
+        .select("question", "cluster_id", "cluster_size")
+        .orderBy("cluster_id", "question")
+    )
+
+
+# --- A11: cluster-label election -----------------------------------------
+
+
+@register(
+    "label_election",
+    oracle="""
+        WITH phrases AS (
+            SELECT lang, source,
+                   ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:3], ' ')
+                       AS phrase
+            FROM documents
+        ), counted AS (
+            SELECT lang, source, phrase, COUNT(*) AS n
+            FROM phrases GROUP BY lang, source, phrase
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, source
+                      ORDER BY n DESC, LENGTH(phrase), phrase) AS rn
+            FROM counted
+        )
+        SELECT lang, source, phrase AS label, n AS n_mentions
+        FROM ranked WHERE rn = 1
+        ORDER BY lang, source
+    """,
+    tags=("cluster", "agg"),
+    doc="A11 cluster-label election: the most common phrasing per "
+    "cluster wins, shortest on ties, lexicographic as final tiebreak "
+    "(study_scraper/clustering.py:274-279). Count aggregate + rn=1 "
+    "window, both shuffling on the same (cluster) key — Spark reuses "
+    "the partitioning between the two stages.",
+)
+def label_election(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    phrase = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 3))
+    counted = (
+        d.select("lang", "source", phrase.alias("phrase"))
+        .groupBy("lang", "source", "phrase")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.desc("n"), F.length("phrase"), "phrase"
+    )
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lang", "source", F.col("phrase").alias("label"),
+                F.col("n").alias("n_mentions"))
+        .orderBy("lang", "source")
+    )
+
+
+# --- T12/J12: snapshot shift / novelty diff ------------------------------
+
+_SNAPSHOT_SPLIT = "2024-01-16"
+_SHIFT_THRESHOLD = 1.0
+
+
+@register(
+    "snapshot_diff",
+    oracle=f"""
+        WITH prev AS (
+            SELECT event_type, ROUND(AVG(value), 2) AS avg_value,
+                   COUNT(*) AS n
+            FROM events WHERE ts < TIMESTAMP '{_SNAPSHOT_SPLIT}'
+            GROUP BY event_type
+        ), cur AS (
+            SELECT event_type, ROUND(AVG(value), 2) AS avg_value,
+                   COUNT(*) AS n
+            FROM events WHERE ts >= TIMESTAMP '{_SNAPSHOT_SPLIT}'
+            GROUP BY event_type
+        )
+        SELECT COALESCE(c.event_type, p.event_type) AS event_type,
+               p.avg_value AS prev_avg, c.avg_value AS cur_avg,
+               ROUND(c.avg_value - p.avg_value, 2) AS delta,
+               CASE
+                 WHEN p.event_type IS NULL THEN 'new'
+                 WHEN c.event_type IS NULL THEN 'dropped'
+                 WHEN ABS(c.avg_value - p.avg_value) >= {_SHIFT_THRESHOLD}
+                   THEN 'shift'
+                 ELSE 'steady'
+               END AS status
+        FROM cur c FULL OUTER JOIN prev p ON c.event_type = p.event_type
+        ORDER BY event_type
+    """,
+    tags=("cluster", "agg"),
+    doc="T12/J12 snapshot shift/novelty diff: aggregate two snapshot "
+    "windows, full-outer join run-over-run, |Δ| >= threshold flags a "
+    "shift, unmatched rows flag new/dropped questions "
+    "(study_scraper/digest.py:34, 97-139: |Δweighted_pct| >= 5 -> shift, "
+    "unmatched label -> new). Two filtered aggregates + a tiny join; "
+    "the time filters push down to the parquet scan.",
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    split = F.lit(_SNAPSHOT_SPLIT).cast("timestamp")
+
+    def snap(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.round(F.avg("value"), 2).alias("avg_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    prev = snap(e.filter(F.col("ts") < split)).alias("p")
+    cur = snap(e.filter(F.col("ts") >= split)).alias("c")
+    delta = F.round(F.col("c.avg_value") - F.col("p.avg_value"), 2)
+    status = (
+        F.when(F.col("p.event_type").isNull(), "new")
+        .when(F.col("c.event_type").isNull(), "dropped")
+        .when(F.abs(delta) >= _SHIFT_THRESHOLD, "shift")
+        .otherwise("steady")
+    )
+    return (
+        cur.join(
+            prev, F.col("c.event_type") == F.col("p.event_type"), "full_outer"
+        )
+        .select(
+            F.coalesce(F.col("c.event_type"), F.col("p.event_type")).alias(
+                "event_type"
+            ),
+            F.col("p.avg_value").alias("prev_avg"),
+            F.col("c.avg_value").alias("cur_avg"),
+            delta.alias("delta"),
+            status.alias("status"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- T11 (+T7/T8): lexical + semantic search union -----------------------
+
+_QUERY_TERMS = ("table", "window")
+
+
+def _cosine_sql() -> str:
+    """Token-count-vector cosine against the fixed query vector."""
+    numer = " + ".join(
+        f"LEN(LIST_FILTER(w, x -> x = '{t}'))" for t in _QUERY_TERMS
+    )
+    return f"""
+        CAST({numer} AS DOUBLE) /
+        (SQRT(LIST_SUM(LIST_TRANSFORM(LIST_DISTINCT(w),
+              t -> CAST(LEN(LIST_FILTER(w, x -> x = t)) AS DOUBLE)
+                   * LEN(LIST_FILTER(w, x -> x = t)))))
+         * SQRT({len(_QUERY_TERMS)}))
+    """
+
+
+@register(
+    "search_union",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, text, STRING_SPLIT(text, ' ') AS w
+            FROM documents
+        ), lexical AS (
+            SELECT doc_id, 1 AS pass, 1.0 AS score
+            FROM base
+            WHERE {" OR ".join(f"CONTAINS(text, '{t}')" for t in _QUERY_TERMS)}
+        ), semantic AS (
+            SELECT doc_id, 2 AS pass, ROUND({_cosine_sql()}, 6) AS score
+            FROM base
+            WHERE {_cosine_sql()} >= 0.35
+        ), unioned AS (
+            SELECT * FROM lexical UNION ALL SELECT * FROM semantic
+        ), first_wins AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                      ORDER BY pass) AS rn
+            FROM unioned
+        )
+        SELECT doc_id, pass, score
+        FROM first_wins WHERE rn = 1
+        ORDER BY pass, score DESC, doc_id
+        LIMIT 200
+    """,
+    tags=("text", "similarity"),
+    doc="T11 semantic+lexical search union with T7/T8 token vectors: "
+    "lexical ILIKE-style pass (alias list, precedence 1) unioned with a "
+    "semantic pass — token-count-vector cosine vs the query vector, "
+    "threshold 0.35 (study_scraper/clustering.py:185-221) — lexical "
+    "first-wins dedup by physical row "
+    "(storage/postgres.py:884-959). Both passes are scans with "
+    "projections; first-wins is one window on doc_id.",
+)
+def search_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents"))
+    base = d.select("doc_id", "text", F.split(F.col("text"), " ").alias("w"))
+    lex_pred = None
+    for t in _QUERY_TERMS:
+        p = F.col("text").contains(t)
+        lex_pred = p if lex_pred is None else (lex_pred | p)
+    lexical = base.filter(lex_pred).select(
+        "doc_id", F.lit(1).alias("pass"), F.lit(1.0).alias("score")
+    )
+    w = F.col("w")
+    numer = None
+    for t in _QUERY_TERMS:
+        c = F.size(F.filter(w, lambda x: x == t)).cast("double")
+        numer = c if numer is None else (numer + c)
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(
+                F.array_distinct(w),
+                lambda t: F.size(F.filter(w, lambda x: x == t)),
+            ),
+            F.lit(0.0),
+            lambda acc, c: acc + c.cast("double") * c,
+        )
+    )
+    cosine = numer / (norm * F.sqrt(F.lit(float(len(_QUERY_TERMS)))))
+    semantic = (
+        base.withColumn("cos", cosine)
+        .filter(F.col("cos") >= 0.35)
+        .select(
+            "doc_id", F.lit(2).alias("pass"), F.round("cos", 6).alias("score")
+        )
+    )
+    unioned = lexical.unionByName(semantic)
+    fw = Window.partitionBy("doc_id").orderBy("pass")
+    return (
+        unioned.withColumn("rn", F.row_number().over(fw))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "pass", "score")
+        .orderBy("pass", F.desc("score"), "doc_id")
+        .limit(200)
+    )

@@ -247,3 +247,45 @@ def test_multimodal_decode_stub(spark):
     assert out["fake_width"] == 64 + (11 % 64) * 16
     with pytest.raises(NotImplementedError):
         multimodal._decode_real(b"x", "image/png")
+
+
+# --- pg_trgm parity + greedy clustering (T5 / T9) -------------------------
+
+
+def test_pg_trgm_matches_postgres_semantics(spark):
+    # pg_trgm('cat'): {'  c',' ca','cat','at '} — two leading spaces,
+    # one trailing, lowercased, distinct.
+    df = spark.createDataFrame([("Cat cat",)], "t string")
+    out = df.select(T.pg_trgm_col(F.col("t")).alias("g")).collect()[0]["g"]
+    assert sorted(out) == sorted(["  c", " ca", "cat", "at "])
+
+
+def test_pg_trgm_similarity_boundary(spark):
+    # similarity('word','word') = 1.0; disjoint strings -> 0 overlap
+    df = spark.createDataFrame([("word", "word", "zzzz")], "a string, b string, c string")
+    ga = T.pg_trgm_col(F.col("a"))
+    gb = T.pg_trgm_col(F.col("b"))
+    gc = T.pg_trgm_col(F.col("c"))
+    row = df.select(
+        F.size(F.array_intersect(ga, gb)).alias("ab"),
+        F.size(ga).alias("na"),
+        F.size(F.array_intersect(ga, gc)).alias("ac"),
+    ).collect()[0]
+    assert row["ab"] == row["na"]  # identical strings share every trigram
+    assert row["ac"] == 0
+
+
+def test_greedy_cluster_order_dependence():
+    # First-cluster-wins, in input order: c joins cluster of a (via b),
+    # even though c is also similar to d — reference clustering.py:224-255.
+    from elt_data4transformation_spark.plans.cluster import (
+        _CLUSTER_THRESHOLD,
+        _jaccard,
+    )
+
+    assert _CLUSTER_THRESHOLD == 0.5
+    a = frozenset({"w1", "w2", "w3", "w4"})
+    b = frozenset({"w1", "w2", "w3", "w5"})
+    assert _jaccard(a, b) == pytest.approx(3 / 5)
+    assert _jaccard(a, frozenset()) == 0.0
+    assert _jaccard(a, a) == 1.0
