@@ -26,6 +26,15 @@ def main() -> None:
 
     # JVM + parquet-footer warmup so q1 doesn't absorb session startup.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).count()
+    # Python-worker pool warmup: the first Arrow/pandas-UDF stage pays
+    # one worker launch per core (~5s on 32 cores); that's session
+    # setup, not query cost.
+    n = spark.sparkContext.defaultParallelism
+    (
+        spark.range(n).repartition(n)
+        .mapInPandas(lambda it: it, "id long")
+        .write.format("noop").mode("overwrite").save()
+    )
 
     timings: dict[str, float] = {}
     for name in sorted(REGISTRY):
@@ -37,6 +46,10 @@ def main() -> None:
         except Exception as exc:  # keep benching; report the failure
             timings[name] = -1.0
             print(f"# bench FAILED {name}: {exc}", file=sys.stderr)
+        finally:
+            # free any per-query persisted intermediates so one query's
+            # cache can't degrade the next one's memory budget
+            spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -147,20 +147,27 @@ def minhash_lsh_pairs(
     # the corpus side is small instead of shuffling shingle arrays.
     sh.count()
     sig = minhash_signature(sh, "_id", "_sh", n_hashes, n_bands)
-    bands = sig.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.col(f"band{b}").alias("band_key"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bd"),
-    ).select("_id", "bd.band_idx", "bd.band_key")
+    bands = (
+        sig.select(
+            "_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_idx"),
+                            F.col(f"band{b}").alias("band_key"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bd"),
+        )
+        .select("_id", "bd.band_idx", "bd.band_key")
+        # tiny (id, band) table; caching it keeps the md5 signature
+        # computation from running once per side of the self-join
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bands.count()  # eager: concurrent self-join sides can't dedupe a cold cache
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -173,11 +180,21 @@ def minhash_lsh_pairs(
         .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
         .distinct()
     )
-    sa = sh.select(F.col("_id").alias("doc_a"), F.col("_sh").alias("_sa"))
-    sb = sh.select(F.col("_id").alias("doc_b"), F.col("_sh").alias("_sb"))
-    jac: Column = F.size(F.array_intersect("_sa", "_sb")).cast("double") / F.size(
-        F.array_distinct(F.concat("_sa", "_sb"))
+    sa = sh.select(
+        F.col("_id").alias("doc_a"),
+        F.col("_sh").alias("_sa"),
+        F.size("_sh").alias("_na"),
     )
+    sb = sh.select(
+        F.col("_id").alias("doc_b"),
+        F.col("_sh").alias("_sb"),
+        F.size("_sh").alias("_nb"),
+    )
+    # |A∪B| from precomputed set sizes — array_distinct(concat(a,b))
+    # would re-hash every element per candidate pair for a number the
+    # sizes already determine.
+    inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
+    jac: Column = inter / (F.col("_na") + F.col("_nb") - inter)
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")

@@ -307,17 +307,14 @@ def greedy_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not placed:
             assignment[r["question"]] = len(clusters)
             clusters.append([toks])
-    adf = spark.createDataFrame(
-        [Row(question=k, cluster_id=v) for k, v in assignment.items()]
+    sizes = {cid: len(m) for cid, m in enumerate(clusters)}
+    out = spark.createDataFrame(
+        [
+            Row(question=k, cluster_id=v, cluster_size=sizes[v])
+            for k, v in assignment.items()
+        ]
     )
-    sizes = adf.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
-    return (
-        adf.join(sizes, "cluster_id")
-        .select("question", "cluster_id", "cluster_size")
-        .orderBy("cluster_id", "question")
-    )
+    return out.orderBy("cluster_id", "question")
 
 
 # --- A11: cluster-label election -----------------------------------------

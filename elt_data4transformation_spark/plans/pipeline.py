@@ -106,7 +106,8 @@ def _claim_text_col() -> F.Column:
     "the ops under test. Pure projection — no shuffle at any scale.",
 )
 def claims_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = table(spark, sf_dir, "orders")
+    # regex-heavy per-row work: spread the single-file scan across cores
+    o = spread(table(spark, sf_dir, "orders"))
     src = o.select(
         F.col("o_orderkey").alias("study_id"), _claim_text_col().alias("text")
     )
