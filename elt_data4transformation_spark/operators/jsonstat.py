@@ -37,6 +37,12 @@ def decode_jsonstat(doc: dict) -> Iterator[tuple[dict[str, str], float]]:
     list or a sparse {str(offset): value} dict; label falls back to the
     category id; category indexes that are not well-formed ints are
     skipped (reference jsonstat.py:63-71)."""
+    for _offset, dims, v in _decode_points(doc):
+        yield dims, v
+
+
+def _decode_points(doc: dict) -> Iterator[tuple[int, dict[str, str], float]]:
+    """Core decoder: yields (offset, dims, value) per surviving point."""
     dim_ids: list[str] = doc.get("id") or []
     sizes: list[int] = doc.get("size") or []
     if len(dim_ids) != len(sizes) or not dim_ids:
@@ -90,7 +96,7 @@ def decode_jsonstat(doc: dict) -> Iterator[tuple[dict[str, str], float]]:
                 break
             dims[d] = lk[pos]
         if ok:
-            yield dims, float(v)
+            yield offset, dims, float(v)
 
 
 def flatten_jsonstat(
@@ -113,6 +119,54 @@ def flatten_jsonstat(
             )
 
     return df.mapInPandas(fn, OUT_SCHEMA)
+
+
+OUT_SCHEMA_STATUS = (
+    "record_id string, dims map<string,string>, value double, status string"
+)
+
+
+def decode_jsonstat_status(
+    doc: dict,
+) -> Iterator[tuple[dict[str, str], float, str | None]]:
+    """M2 legacy variant: also carry the per-point ``status`` flag
+    ({str(offset): code} map, JSON-stat 1.x/eurostat style — reference
+    connectors/eurostat_connector.py:436-541). Decode semantics are
+    shared with decode_jsonstat via _decode_points."""
+    status_map = doc.get("status") or {}
+    if not isinstance(status_map, dict):
+        status_map = {}
+    for offset, dims, v in _decode_points(doc):
+        yield dims, v, status_map.get(str(offset))
+
+
+def flatten_jsonstat_status(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "record_id"
+) -> DataFrame:
+    """mapInPandas flattener for the legacy status-carrying decode."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    doc = json.loads(payload)
+                except (TypeError, ValueError):
+                    continue
+                for dims, v, st in decode_jsonstat_status(doc):
+                    out.append(
+                        {
+                            "record_id": rid,
+                            "dims": dims,
+                            "value": v,
+                            "status": st,
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=["record_id", "dims", "value", "status"]
+            )
+
+    return df.mapInPandas(fn, OUT_SCHEMA_STATUS)
 
 
 def flatten_jsonstat_spark(

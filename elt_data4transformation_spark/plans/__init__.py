@@ -20,5 +20,6 @@ from . import streaming_queries  # noqa: F401,E402
 from . import semistructured  # noqa: F401,E402
 from . import pipeline  # noqa: F401,E402
 from . import cluster  # noqa: F401,E402
+from . import marts  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "QuerySpec", "register"]

@@ -1,0 +1,298 @@
+"""Mart-layer composites — the reference's dbt model chain re-expressed
+as one Spark pipeline each (SURVEY §3.2): raw → staging → fact →
+standings, the DAWUM ingest-time broadcast denormalization (S15/J8),
+and catalog table stats (A13).
+
+These are the integration queries of SURVEY §7 Phase 1: each one
+exercises several §2 operators in the exact composition the reference's
+dbt DAG runs them (raw_dawum_polls → stg_dawum_polls → fact_polls →
+latest_poll_standings, dbt_project/models/).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import TABLES, table
+from .registry import register
+
+# Tiny dimension tables, broadcast everywhere they're joined
+# (reference embeds these lookups at ingest, study_scraper/sources/
+# dawum.py:160-232; institute quality weights mirror the dbt
+# generate_poll_quality_score macro, macros/political_data_macros.sql:74-97).
+_INSTITUTES = [
+    (0, "Forsa", 1.0),
+    (1, "Emnid", 0.9),
+    (2, "Allensbach", 1.1),
+    (3, "Infratest", 1.05),
+    (4, "INSA", 0.85),
+]
+_PARLIAMENTS = [(0, "Bundestag"), (1, "Landtag BY"), (2, "Landtag NW")]
+_METHODS = [(0, "online"), (1, "phone")]
+_PARTIES = [(0, "SPD"), (1, "CDU/CSU"), (2, "GRUENE")]
+
+
+def _values_sql(rows: list[tuple], cols: str) -> str:
+    vals = ", ".join(
+        "(" + ", ".join(repr(v) if isinstance(v, str) else str(v) for v in r) + ")"
+        for r in rows
+    )
+    return f"(VALUES {vals}) AS t({cols})"
+
+
+@register(
+    "poll_pipeline",
+    oracle=f"""
+        WITH inst AS (SELECT * FROM
+            {_values_sql(_INSTITUTES, 'institute_id, institute_name, w')}),
+        raw AS (
+            SELECT event_type AS party,
+                   CAST(user_id % 5 AS INTEGER) AS institute_id,
+                   CAST(ts AS DATE) AS poll_date,
+                   value AS poll_value
+            FROM events
+        ),
+        stg AS (
+            SELECT r.*, i.institute_name, i.w
+            FROM raw r JOIN inst i USING (institute_id)
+            WHERE poll_value IS NOT NULL
+              AND poll_value >= 0 AND poll_value <= 100
+        ),
+        daily AS (
+            SELECT party, poll_date,
+                   COUNT(*) AS n_polls,
+                   ROUND(AVG(poll_value), 4) AS avg_value,
+                   ROUND(SUM(poll_value * w) / SUM(w), 4) AS wavg_value
+            FROM stg GROUP BY party, poll_date
+        ),
+        fact AS (
+            SELECT *,
+                   LAG(wavg_value, 1) OVER pw AS prev_value,
+                   ROUND(AVG(wavg_value) OVER (pw ROWS BETWEEN 2 PRECEDING
+                         AND CURRENT ROW), 4) AS ma3,
+                   ROUND(STDDEV_POP(wavg_value) OVER (pw ROWS BETWEEN 6
+                         PRECEDING AND CURRENT ROW), 4) AS vol7,
+                   ROW_NUMBER() OVER (PARTITION BY party
+                                      ORDER BY poll_date DESC) AS rn
+            FROM daily
+            WINDOW pw AS (PARTITION BY party ORDER BY poll_date)
+        ),
+        latest AS (SELECT * FROM fact WHERE rn = 1)
+        SELECT party,
+               STRFTIME(poll_date, '%Y-%m-%d') AS latest_date,
+               n_polls, wavg_value, prev_value,
+               CASE WHEN prev_value IS NULL THEN 'none'
+                    WHEN wavg_value > prev_value THEN 'up'
+                    WHEN wavg_value < prev_value THEN 'down'
+                    ELSE 'flat' END AS trend,
+               ma3, vol7,
+               ROUND(100.0 * wavg_value / SUM(wavg_value) OVER (), 4)
+                   AS share_pct,
+               ROW_NUMBER() OVER (ORDER BY wavg_value DESC, party) AS rank
+        FROM latest
+        ORDER BY rank
+    """,
+    tags=("mart", "composite"),
+    doc="dbt chain end-to-end in one plan (SURVEY §3.2): raw projection "
+    "(raw_dawum_polls.sql:10-30) → staging broadcast-dim join + sanity "
+    "gates (stg_dawum_polls.sql:96-99) → daily weighted aggregates "
+    "(daily_poll_averages.sql:18-26) → fact windows: lag/trend W1, ma3 "
+    "W2, rolling volatility W3, latest-rank W4 (fact_polls.sql:69-102) "
+    "→ standings: share-of-total W7 + global rank W6 "
+    "(latest_poll_standings.sql:87-95). One dim broadcast join, one "
+    "shuffle for the daily agg, windows reuse the party partitioning; "
+    "the final single-partition window runs over 5 rows only.",
+)
+def poll_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inst = spark.createDataFrame(
+        _INSTITUTES, "institute_id int, institute_name string, w double"
+    )
+    raw = table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("party"),
+        (F.col("user_id") % 5).cast("int").alias("institute_id"),
+        F.to_date("ts").alias("poll_date"),
+        F.col("value").alias("poll_value"),
+    )
+    stg = raw.join(F.broadcast(inst), "institute_id").filter(
+        F.col("poll_value").isNotNull()
+        & (F.col("poll_value") >= 0)
+        & (F.col("poll_value") <= 100)
+    )
+    daily = stg.groupBy("party", "poll_date").agg(
+        F.count(F.lit(1)).alias("n_polls"),
+        F.round(F.avg("poll_value"), 4).alias("avg_value"),
+        F.round(
+            F.sum(F.col("poll_value") * F.col("w")) / F.sum("w"), 4
+        ).alias("wavg_value"),
+    )
+    pw = Window.partitionBy("party").orderBy("poll_date")
+    fact = daily.select(
+        "party",
+        "poll_date",
+        "n_polls",
+        "wavg_value",
+        F.lag("wavg_value", 1).over(pw).alias("prev_value"),
+        F.round(F.avg("wavg_value").over(pw.rowsBetween(-2, 0)), 4).alias(
+            "ma3"
+        ),
+        F.round(
+            F.stddev_pop("wavg_value").over(pw.rowsBetween(-6, 0)), 4
+        ).alias("vol7"),
+        F.row_number()
+        .over(Window.partitionBy("party").orderBy(F.desc("poll_date")))
+        .alias("rn"),
+    )
+    latest = fact.filter(F.col("rn") == 1)
+    trend = (
+        F.when(F.col("prev_value").isNull(), "none")
+        .when(F.col("wavg_value") > F.col("prev_value"), "up")
+        .when(F.col("wavg_value") < F.col("prev_value"), "down")
+        .otherwise("flat")
+    )
+    everyone = Window.partitionBy()
+    return (
+        latest.select(
+            "party",
+            F.date_format("poll_date", "yyyy-MM-dd").alias("latest_date"),
+            "n_polls",
+            "wavg_value",
+            "prev_value",
+            trend.alias("trend"),
+            "ma3",
+            "vol7",
+            F.round(
+                100.0 * F.col("wavg_value") / F.sum("wavg_value").over(everyone),
+                4,
+            ).alias("share_pct"),
+            F.row_number()
+            .over(
+                Window.partitionBy().orderBy(F.desc("wavg_value"), "party")
+            )
+            .alias("rank"),
+        )
+        .orderBy("rank")
+    )
+
+
+@register(
+    "dawum_denormalize",
+    oracle=f"""
+        WITH inst AS (SELECT * FROM
+            {_values_sql(_INSTITUTES, 'institute_id, institute_name, w')}),
+        parl AS (SELECT * FROM
+            {_values_sql(_PARLIAMENTS, 'parliament_id, parliament_name')}),
+        meth AS (SELECT * FROM
+            {_values_sql(_METHODS, 'method_id, method_name')}),
+        party AS (SELECT * FROM
+            {_values_sql(_PARTIES, 'party_id, party_name')}),
+        surveys AS (
+            SELECT o_orderkey AS survey_id,
+                   CAST(o_custkey % 5 AS INTEGER) AS institute_id,
+                   CAST(o_custkey % 3 AS INTEGER) AS parliament_id,
+                   CAST(o_custkey % 2 AS INTEGER) AS method_id,
+                   STRFTIME(o_orderdate, '%Y-%m-%d') AS survey_date
+            FROM orders
+        )
+        SELECT s.survey_id, s.survey_date,
+               i.institute_name, pl.parliament_name, m.method_name,
+               p.party_name,
+               ROUND(((s.survey_id * (p.party_id + 7)) % 600) / 10.0, 1)
+                   AS pct
+        FROM surveys s
+        JOIN inst i USING (institute_id)
+        JOIN parl pl USING (parliament_id)
+        JOIN meth m USING (method_id)
+        CROSS JOIN party p
+        ORDER BY survey_id, party_name
+    """,
+    tags=("mart", "join"),
+    doc="S15/J8 DAWUM ingest-time denormalization: each survey is "
+    "broadcast-joined with institutes / parliaments / methods lookup "
+    "dims, results embedded as a nested array<struct> and exploded back "
+    "to one row per (survey, party) — study_scraper/sources/dawum.py:"
+    "91-154, 160-232; lake payload shape migrations/0005:143-156. All "
+    "four dim joins broadcast (tiny dims); the only data motion is the "
+    "fact scan itself.",
+)
+def dawum_denormalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inst = spark.createDataFrame(
+        _INSTITUTES, "institute_id int, institute_name string, w double"
+    ).drop("w")
+    parl = spark.createDataFrame(
+        _PARLIAMENTS, "parliament_id int, parliament_name string"
+    )
+    meth = spark.createDataFrame(_METHODS, "method_id int, method_name string")
+    surveys = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("survey_id"),
+        (F.col("o_custkey") % 5).cast("int").alias("institute_id"),
+        (F.col("o_custkey") % 3).cast("int").alias("parliament_id"),
+        (F.col("o_custkey") % 2).cast("int").alias("method_id"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("survey_date"),
+    )
+    # nested results payload, as the lake stores it (then exploded back,
+    # as the typed lake views do — migrations/0005:196-197)
+    results = F.array(
+        *[
+            F.struct(
+                F.lit(pid).alias("party_id"),
+                F.lit(pname).alias("party_name"),
+                F.round(
+                    ((F.col("survey_id") * (pid + 7)) % 600) / 10.0, 1
+                ).alias("pct"),
+            )
+            for pid, pname in _PARTIES
+        ]
+    )
+    denorm = (
+        surveys.join(F.broadcast(inst), "institute_id")
+        .join(F.broadcast(parl), "parliament_id")
+        .join(F.broadcast(meth), "method_id")
+        .withColumn("results", results)
+    )
+    r = F.explode("results").alias("r")
+    return (
+        denorm.select(
+            "survey_id",
+            "survey_date",
+            "institute_name",
+            "parliament_name",
+            "method_name",
+            r,
+        )
+        .select(
+            "survey_id",
+            "survey_date",
+            "institute_name",
+            "parliament_name",
+            "method_name",
+            F.col("r.party_name").alias("party_name"),
+            F.col("r.pct").alias("pct"),
+        )
+        .orderBy("survey_id", "party_name")
+    )
+
+
+@register(
+    "table_stats",
+    oracle=" UNION ALL ".join(
+        f"SELECT '{t}' AS table_name, COUNT(*) AS row_count FROM {t}"
+        for t in TABLES
+    )
+    + " ORDER BY table_name",
+    tags=("mart", "catalog"),
+    doc="A13 catalog table stats: per-table row counts across the whole "
+    "star schema (elt/loader_clickhouse.py:351-385: system.parts row/"
+    "byte stats). Parquet count(*) is metadata-only — each leg reads "
+    "row-group footers, not data pages.",
+)
+def table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    legs = [
+        table(spark, sf_dir, t).agg(
+            F.count(F.lit(1)).alias("row_count")
+        ).select(F.lit(t).alias("table_name"), "row_count")
+        for t in TABLES
+    ]
+    return reduce(DataFrame.unionByName, legs).orderBy("table_name")

@@ -86,6 +86,53 @@ def jsonstat_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("record_id", "dims")
 
 
+_CUBE3 = json.dumps(
+    {
+        "id": ["geo", "year"],
+        "size": [2, 2],
+        "dimension": {
+            "geo": {"category": {"index": {"DE": 0, "FR": 1}}},
+            "year": {"category": {"index": {"2023": 0, "2024": 1}}},
+        },
+        "value": [10.0, 11.5, None, 13.0],
+        "status": {"0": "p", "3": "e"},  # p=provisional, e=estimated
+    }
+)
+
+
+@register(
+    "jsonstat_status",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('c3', 'geo=DE|year=2023', 10.0, 'p'),
+            ('c3', 'geo=DE|year=2024', 11.5, NULL),
+            ('c3', 'geo=FR|year=2024', 13.0, 'e')
+        ) AS t(record_id, dims, value, status)
+        ORDER BY record_id, dims
+    """,
+    tags=("jsonstat", "semistructured"),
+    doc="M2 legacy JSON-stat decode with per-point status flags "
+    "({offset: code} map; p=provisional etc.) — reference "
+    "connectors/eurostat_connector.py:436-541; shares the stride decode "
+    "with M1 (operators/jsonstat.py:_decode_points).",
+)
+def jsonstat_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.createDataFrame([("c3", _CUBE3)], ["record_id", "payload"])
+    flat = jsonstat.flatten_jsonstat_status(df)
+    dims_str = F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries("dims"),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            )
+        ),
+        "|",
+    )
+    return flat.select(
+        "record_id", dims_str.alias("dims"), "value", "status"
+    ).orderBy("record_id", "dims")
+
+
 _DE_NUMBERS = [
     "62,5",
     "6.063",

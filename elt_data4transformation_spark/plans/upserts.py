@@ -247,3 +247,49 @@ def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "partition_overwrite",
+    oracle="""
+        WITH replaced AS (
+            SELECT event_id, event_type, user_id, value
+            FROM events WHERE event_type <> 'click'
+            UNION ALL
+            SELECT event_id, event_type, user_id, ROUND(value) AS value
+            FROM events WHERE event_type = 'click'
+        )
+        SELECT event_type, COUNT(*) AS n,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM replaced
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("upsert",),
+    doc="S11/S12 idempotent replace-partition write: all rows of one "
+    "logical partition (one (study, extractor) group — here one "
+    "event_type) are dropped and re-inserted from the new extraction, "
+    "other partitions untouched (storage/postgres.py:650-694, 761-822; "
+    "Spark-native form = dynamic partition overwrite on a table "
+    "partitioned by the logical key). The partition filter prunes the "
+    "scan on both branches; verified via per-partition aggregates.",
+)
+def partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    cols = ["event_id", "event_type", "user_id", "value"]
+    keep = ev.filter(F.col("event_type") != "click").select(*cols)
+    # the "re-extracted" replacement rows for the one partition
+    fresh = (
+        ev.filter(F.col("event_type") == "click")
+        .withColumn("value", F.round("value", 0))
+        .select(*cols)
+    )
+    return (
+        keep.unionByName(fresh)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

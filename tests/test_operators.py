@@ -289,3 +289,55 @@ def test_greedy_cluster_order_dependence():
     assert _jaccard(a, b) == pytest.approx(3 / 5)
     assert _jaccard(a, frozenset()) == 0.0
     assert _jaccard(a, a) == 1.0
+
+
+# --- export sink (S25) + identifier guard (P7) ----------------------------
+
+
+def test_validate_identifier():
+    from elt_data4transformation_spark.sources.export import validate_identifier
+
+    assert validate_identifier("findings_v2") == "findings_v2"
+    for bad in ("1abc", "a-b", "a b", "a;drop", "", "päyload"):
+        with pytest.raises(ValueError):
+            validate_identifier(bad)
+
+
+def test_export_dataset_csv_and_manifest(spark, tmp_path):
+    import json as _json
+
+    from elt_data4transformation_spark.sources.export import export_dataset
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b"], "x"), (2, [], "y")],
+        "id long, topics array<string>, note string",
+    )
+    manifest = export_dataset({"findings": df}, str(tmp_path))
+    assert manifest["tables"]["findings"]["row_count"] == 2
+    back = (
+        spark.read.option("header", True)
+        .csv(str(tmp_path / "findings"))
+        .orderBy("id")
+        .collect()
+    )
+    assert back[0]["topics"] == "a|b"  # '|'-joined list cell
+    on_disk = _json.loads((tmp_path / "manifest.json").read_text())
+    assert on_disk["tables"]["findings"]["columns"] == ["id", "topics", "note"]
+    with pytest.raises(ValueError):
+        export_dataset({"bad name": df}, str(tmp_path))
+
+
+def test_jsonstat_status_decode():
+    from elt_data4transformation_spark.operators.jsonstat import (
+        decode_jsonstat_status,
+    )
+
+    doc = {
+        "id": ["g"],
+        "size": [3],
+        "dimension": {"g": {"category": {"index": {"a": 0, "b": 1, "c": 2}}}},
+        "value": [1.0, None, 3.0],
+        "status": {"0": "p"},
+    }
+    pts = list(decode_jsonstat_status(doc))
+    assert pts == [({"g": "a"}, 1.0, "p"), ({"g": "c"}, 3.0, None)]
