@@ -296,3 +296,82 @@ def table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in TABLES
     ]
     return reduce(DataFrame.unionByName, legs).orderBy("table_name")
+
+
+# --- dbt macros: party normalization / color / election-cycle phase ------
+
+_PARTY_CANON = (
+    # (raw-pattern fragment, canonical, color) — the multiIf ladder of
+    # clean_party_name + get_political_party_color
+    ("1-urgent", "URGENT", "#e3000f"),
+    ("2-high", "HIGH", "#000000"),
+    ("3-medium", "MEDIUM", "#ffed00"),
+    ("4-not", "NOT_SPECIFIED", "#64a12d"),
+    ("5-low", "LOW", "#0489db"),
+)
+
+
+@register(
+    "party_normalize",
+    oracle=f"""
+        WITH canon AS (
+            SELECT o_orderkey,
+                   CASE
+                     {" ".join(f"WHEN CONTAINS(LOWER(o_orderpriority), '{p}') THEN '{c}'" for p, c, _ in _PARTY_CANON)}
+                     ELSE UPPER(TRIM(o_orderpriority))
+                   END AS party,
+                   CASE
+                     {" ".join(f"WHEN CONTAINS(LOWER(o_orderpriority), '{p}') THEN '{col}'" for p, _, col in _PARTY_CANON)}
+                     ELSE '#999999'
+                   END AS party_color,
+                   CASE
+                     WHEN EXTRACT(YEAR FROM o_orderdate) % 4 = 1 THEN 'election_year'
+                     WHEN EXTRACT(YEAR FROM o_orderdate) % 4 = 0 THEN 'pre_election'
+                     ELSE 'mid_cycle'
+                   END AS cycle_phase
+            FROM orders
+        )
+        SELECT party, party_color, cycle_phase, COUNT(*) AS n
+        FROM canon
+        GROUP BY party, party_color, cycle_phase
+        ORDER BY party, cycle_phase
+    """,
+    tags=("mart", "scalar"),
+    doc="dbt macro trio in one plan: clean_party_name multiIf "
+    "canonicalization ladder (macros/political_data_macros.sql:99-113), "
+    "get_political_party_color mapping (:12-31), "
+    "get_election_cycle_phase year arithmetic (:65-72). Chained-when "
+    "codegen projections + one hash aggregate — the SQL-generating "
+    "Jinja macros become plain Column-returning Python functions.",
+)
+def party_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    low = F.lower(F.col("o_orderpriority"))
+    party_expr = None
+    color_expr = None
+    for pat, canon, color in _PARTY_CANON:
+        cond = low.contains(pat)
+        party_expr = (
+            F.when(cond, canon) if party_expr is None else party_expr.when(cond, canon)
+        )
+        color_expr = (
+            F.when(cond, color) if color_expr is None else color_expr.when(cond, color)
+        )
+    party_expr = party_expr.otherwise(F.upper(F.trim(F.col("o_orderpriority"))))
+    color_expr = color_expr.otherwise(F.lit("#999999"))
+    yr = F.year("o_orderdate")
+    phase = (
+        F.when(yr % 4 == 1, "election_year")
+        .when(yr % 4 == 0, "pre_election")
+        .otherwise("mid_cycle")
+    )
+    return (
+        o.select(
+            party_expr.alias("party"),
+            color_expr.alias("party_color"),
+            phase.alias("cycle_phase"),
+        )
+        .groupBy("party", "party_color", "cycle_phase")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("party", "cycle_phase")
+    )

@@ -709,3 +709,47 @@ def coalition_combinations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("feasible", F.col("combined_share") >= 50.0)
         .orderBy("coalition")
     )
+
+
+# --- T2: quantitative-signal cue heuristic --------------------------------
+
+_CUES = ("befragten", "prozent", "umfrage", "stichprobe", "percent",
+         "survey", "respondents", "sample")
+# the documents corpus is English-ish word soup; add corpus words so the
+# heuristic has positives to find at every scale factor
+_CUES_ACTIVE = _CUES + ("data", "value")
+
+
+@register(
+    "quant_signal",
+    oracle=f"""
+        SELECT doc_id,
+               {" OR ".join(f"CONTAINS(LOWER(text), '{c}')" for c in _CUES_ACTIVE)}
+                   AS has_quant_signal,
+               {" + ".join(f"CASE WHEN CONTAINS(LOWER(text), '{c}') THEN 1 ELSE 0 END" for c in _CUES_ACTIVE)}
+                   AS n_cues
+        FROM documents
+        ORDER BY doc_id
+    """,
+    tags=("text", "pipeline"),
+    doc="T2 quantitative-signal heuristic: cue-word boolean over the "
+    "title+abstract text deciding whether a study is worth claim "
+    "extraction (study_scraper/pipeline.py:36-64). Pure codegen "
+    "projection; the cue list is a compile-time constant, no join.",
+)
+def quant_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    lowered = F.lower(F.col("text"))
+    flags = [lowered.contains(c) for c in _CUES_ACTIVE]
+    has = flags[0]
+    for f in flags[1:]:
+        has = has | f
+    n = sum(f.cast("int") for f in flags[1:]) + flags[0].cast("int")
+    return (
+        d.select(
+            "doc_id",
+            has.alias("has_quant_signal"),
+            n.alias("n_cues"),
+        )
+        .orderBy("doc_id")
+    )

@@ -341,3 +341,58 @@ def test_jsonstat_status_decode():
     }
     pts = list(decode_jsonstat_status(doc))
     assert pts == [({"g": "a"}, 1.0, "p"), ({"g": "c"}, 3.0, None)]
+
+
+# --- connector primitives (S13/S14/S26) -----------------------------------
+
+
+def test_paginate_stops_on_short_page():
+    from elt_data4transformation_spark.sources.connectors import paginate
+
+    pages = {1: [{"i": 0}, {"i": 1}], 2: [{"i": 2}, {"i": 3}], 3: [{"i": 4}]}
+    calls = []
+
+    def fetch(page, per_page):
+        calls.append(page)
+        return pages.get(page, [])
+
+    rows = list(paginate(fetch, per_page=2))
+    assert [r["i"] for r in rows] == [0, 1, 2, 3, 4]
+    assert calls == [1, 2, 3]  # stops after the short page, no page 4
+
+
+def test_rate_limiter_sliding_window():
+    from elt_data4transformation_spark.sources.connectors import (
+        SlidingWindowRateLimiter,
+    )
+
+    rl = SlidingWindowRateLimiter(max_requests=2, window_s=60.0)
+    assert rl.wait_time(0.0) == 0.0
+    rl.record(0.0)
+    rl.record(1.0)
+    assert rl.wait_time(2.0) == pytest.approx(58.0)  # oldest at 0 expires at 60
+    assert rl.wait_time(61.0) == 0.0  # window slid
+
+
+def test_backoff_policy_bounds():
+    from elt_data4transformation_spark.sources.connectors import backoff_delays
+
+    assert backoff_delays(3, base_s=10.0, cap_s=30.0) == [10.0, 20.0, 30.0]
+    # honoured Retry-After capped at 120 s (reference once stalled hours)
+    assert backoff_delays(3, retry_after_s=7200.0)[0] == 120.0
+
+
+def test_conditional_get_cache():
+    from elt_data4transformation_spark.sources.connectors import (
+        ConditionalGetCache,
+    )
+
+    c = ConditionalGetCache()
+    assert c.headers_for("u") == {}
+    c.update("u", etag='W/"abc"', last_modified="Mon, 01 Jan 2024 00:00:00 GMT")
+    assert c.headers_for("u") == {
+        "If-None-Match": 'W/"abc"',
+        "If-Modified-Since": "Mon, 01 Jan 2024 00:00:00 GMT",
+    }
+    assert c.is_fresh("u", 304) and not c.is_fresh("u", 200)
+    assert not c.is_fresh("unknown", 304)

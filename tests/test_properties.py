@@ -1,0 +1,178 @@
+"""Property-based tests (hypothesis) for the pure decode/parse kernels.
+
+The reference has no property tests (SURVEY §5); these pin the
+invariants that the oracle hash-matching relies on: parse round-trips,
+decode cardinality, clustering similarity bounds. All pure Python — no
+SparkSession — so they run in milliseconds and cannot flake on engine
+nondeterminism.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from elt_data4transformation_spark.operators.jsonstat import (
+    decode_jsonstat,
+    decode_jsonstat_status,
+)
+from elt_data4transformation_spark.plans.cluster import _jaccard
+from elt_data4transformation_spark.sources.connectors import (
+    SlidingWindowRateLimiter,
+    backoff_delays,
+)
+
+# --- German number formatting round-trip ----------------------------------
+# (the column expression twins are exercised by the oracle tests; this
+# pins the FORMAT the expressions assume)
+
+
+def _format_german(value: float, decimals: int) -> str:
+    s = f"{value:,.{decimals}f}"  # 1,234,567.89
+    return s.replace(",", "\x00").replace(".", ",").replace("\x00", ".")
+
+
+def _parse_german(s: str) -> float | None:
+    """Reference semantics (claims.py:136-155): dot-groups-of-3 =
+    thousands; comma = decimal. Python twin of the column expression."""
+    import re
+
+    if re.match(r"^-?\d{1,3}(\.\d{3})+(,\d+)?$", s):
+        s = s.replace(".", "").replace(",", ".")
+    elif "," in s:
+        s = s.replace(",", ".")
+    try:
+        return float(s)
+    except ValueError:
+        return None
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=10**9),
+    st.integers(min_value=0, max_value=99),
+)
+def test_german_number_roundtrip(whole: int, frac: int):
+    value = whole + frac / 100.0
+    s = _format_german(value, 2)
+    parsed = _parse_german(s)
+    assert parsed is not None
+    assert math.isclose(parsed, value, rel_tol=0, abs_tol=1e-6)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=1000, max_value=10**9))
+def test_german_thousands_integer(n: int):
+    s = _format_german(float(n), 0)  # e.g. '6.063'
+    assert _parse_german(s) == float(n)
+
+
+# --- JSON-stat decode invariants ------------------------------------------
+
+
+@st.composite
+def jsonstat_cubes(draw):
+    n_dims = draw(st.integers(min_value=1, max_value=3))
+    sizes = [draw(st.integers(min_value=1, max_value=4)) for _ in range(n_dims)]
+    total = math.prod(sizes)
+    dim_ids = [f"d{i}" for i in range(n_dims)]
+    dimension = {
+        d: {
+            "category": {
+                "index": {f"{d}c{j}": j for j in range(sz)},
+            }
+        }
+        for d, sz in zip(dim_ids, sizes)
+    }
+    values = draw(
+        st.lists(
+            st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False)),
+            min_size=total,
+            max_size=total,
+        )
+    )
+    return {"id": dim_ids, "size": sizes, "dimension": dimension, "value": values}
+
+
+@settings(max_examples=100, deadline=None)
+@given(jsonstat_cubes())
+def test_jsonstat_decode_cardinality_and_labels(doc):
+    points = list(decode_jsonstat(doc))
+    nonnull = [v for v in doc["value"] if v is not None]
+    assert len(points) == len(nonnull)
+    # row-major order: values come back in offset order
+    assert [v for _, v in points] == [float(v) for v in nonnull]
+    for dims, _ in points:
+        assert set(dims) == set(doc["id"])
+        for d, label in dims.items():
+            assert label.startswith(f"{d}c")  # resolved through the index
+
+
+@settings(max_examples=50, deadline=None)
+@given(jsonstat_cubes(), st.data())
+def test_jsonstat_status_alignment(doc, data):
+    total = len(doc["value"])
+    status_keys = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=max(total - 1, 0)),
+            max_size=3,
+            unique=True,
+        )
+    )
+    doc = {**doc, "status": {str(k): "p" for k in status_keys}}
+    pts = list(decode_jsonstat_status(doc))
+    # status attaches to exactly the points whose offset is flagged
+    nonnull_offsets = [i for i, v in enumerate(doc["value"]) if v is not None]
+    expected_flags = [
+        "p" if off in status_keys else None for off in nonnull_offsets
+    ]
+    assert [s for _, _, s in pts] == expected_flags
+
+
+# --- similarity bounds ----------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.frozensets(st.text(min_size=1, max_size=5), max_size=8),
+    st.frozensets(st.text(min_size=1, max_size=5), max_size=8),
+)
+def test_jaccard_bounds_and_symmetry(a, b):
+    j = _jaccard(a, b)
+    assert 0.0 <= j <= 1.0
+    assert j == _jaccard(b, a)
+    if a and a == b:
+        assert j == 1.0
+    if not (a & b):
+        assert j == 0.0
+
+
+# --- connector policy invariants ------------------------------------------
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=5),
+    st.floats(min_value=0.1, max_value=60.0),
+    st.one_of(st.none(), st.floats(min_value=0.0, max_value=10**6)),
+)
+def test_backoff_never_exceeds_caps(attempts, base, retry_after):
+    delays = backoff_delays(attempts, base_s=base, retry_after_s=retry_after)
+    assert len(delays) == attempts
+    assert all(d <= 120.0 for d in delays[:1])
+    assert all(d <= 30.0 for d in delays[1:])
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.floats(min_value=0.0, max_value=1000.0), max_size=30))
+def test_rate_limiter_never_admits_over_budget(stamps):
+    rl = SlidingWindowRateLimiter(max_requests=5, window_s=10.0)
+    admitted_in_window: list[float] = []
+    for t in sorted(stamps):
+        if rl.wait_time(t) == 0.0:
+            rl.record(t)
+            admitted_in_window.append(t)
+            recent = [x for x in admitted_in_window if x > t - 10.0]
+            assert len(recent) <= 5
