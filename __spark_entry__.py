@@ -18,8 +18,12 @@ SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return REGISTRY["pricing_summary"].fn(spark, SF0001)
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    answer_pipeline is the reference's own flagship read path (SURVEY
+    §3.1: search → dedup → cluster → weighted aggregate) end-to-end.
+    """
+    return REGISTRY["answer_pipeline"].fn(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

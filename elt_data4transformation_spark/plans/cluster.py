@@ -406,7 +406,10 @@ _SHIFT_THRESHOLD = 1.0
     "shift, unmatched rows flag new/dropped questions "
     "(study_scraper/digest.py:34, 97-139: |Δweighted_pct| >= 5 -> shift, "
     "unmatched label -> new). Two filtered aggregates + a tiny join; "
-    "the time filters push down to the parquet scan.",
+    "the events nanos->timestamp conversion blocks range-predicate "
+    "pushdown locally (only IsNotNull reaches the scan) — at scale the "
+    "snapshot table is date-partitioned so the time filter prunes "
+    "partitions instead (see SCALE.md).",
 )
 def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
@@ -539,4 +542,195 @@ def search_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "pass", "score")
         .orderBy("pass", F.desc("score"), "doc_id")
         .limit(200)
+    )
+
+
+# --- §3.1 flagship: the full `answer <query>` read path ------------------
+
+_ANSWER_TERMS = ("table", "window")
+
+
+@register(
+    "answer_pipeline",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, text, STRING_SPLIT(text, ' ') AS w
+            FROM documents
+        ), lexical AS (
+            SELECT doc_id, 1 AS pass FROM base
+            WHERE {" OR ".join(f"CONTAINS(text, '{t}')" for t in _ANSWER_TERMS)}
+        ), semantic AS (
+            SELECT doc_id, 2 AS pass FROM base
+            WHERE {_cosine_sql()} >= 0.35
+        ), hits AS (
+            SELECT doc_id, MIN(pass) AS pass
+            FROM (SELECT * FROM lexical UNION ALL SELECT * FROM semantic)
+            GROUP BY doc_id
+        ), attrib AS (
+            SELECT b.doc_id,
+                   ARRAY_TO_STRING(b.w[1:3], ' ') AS question,
+                   ['support','oppose','neutral']
+                       [CAST(b.doc_id % 3 AS INTEGER) + 1] AS position,
+                   CAST((b.doc_id * 17) % 101 AS DOUBLE) AS pct,
+                   2015 + CAST(b.doc_id % 10 AS INTEGER) AS pub_year,
+                   100 + CAST((b.doc_id * 7) % 2000 AS INTEGER) AS sample_n
+            FROM base b JOIN hits USING (doc_id)
+        ), deduped AS (
+            SELECT * FROM (
+                SELECT *,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY question, position, ROUND(pct, 0)
+                           ORDER BY pub_year DESC, pct DESC, doc_id DESC)
+                           AS rn,
+                       COUNT(*) OVER (
+                           PARTITION BY question, position, ROUND(pct, 0))
+                           AS dup_count
+                FROM attrib
+            ) WHERE rn = 1
+        ), clustered AS (
+            SELECT *,
+                   MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(
+                       STRING_SPLIT(question, ' '))), ' ')) AS cluster_id,
+                   POW(0.5, (2024 - pub_year) / 3.0)
+                     * LEAST(GREATEST(SQRT(sample_n / 1000.0), 0.3), 3.0)
+                       AS wt
+            FROM deduped
+        ), agg AS (
+            SELECT cluster_id, position,
+                   ROUND(SUM(pct * wt) / SUM(wt), 4) AS weighted_pct,
+                   ROUND(MIN(pct), 1) AS min_pct,
+                   ROUND(MAX(pct), 1) AS max_pct,
+                   COUNT(*) AS n_findings,
+                   MIN(pub_year) AS yr_min, MAX(pub_year) AS yr_max,
+                   SUM(sample_n) AS total_n
+            FROM clustered GROUP BY cluster_id, position
+        ), label AS (
+            SELECT cluster_id, question AS cluster_label FROM (
+                SELECT cluster_id, question,
+                       ROW_NUMBER() OVER (PARTITION BY cluster_id
+                           ORDER BY COUNT(*) DESC, LENGTH(question), question)
+                           AS lrn
+                FROM clustered GROUP BY cluster_id, question
+            ) WHERE lrn = 1
+        )
+        SELECT l.cluster_label, a.position, a.weighted_pct,
+               a.min_pct, a.max_pct, a.n_findings,
+               a.yr_min, a.yr_max, a.total_n
+        FROM agg a JOIN label l USING (cluster_id)
+        ORDER BY cluster_label, position
+    """,
+    tags=("composite", "flagship"),
+    doc="§3.1 flagship `answer <query>` path, end-to-end in one plan: "
+    "lexical alias pass + semantic cosine pass unioned first-wins "
+    "(T11, storage/postgres.py:884-959) → read-time finding dedup with "
+    "dup_count (T6, findings.py:99-137) → clustering by sorted-token "
+    "key (DECLARED DEVIATION: deterministic token-set key instead of "
+    "order-dependent greedy linkage — the parity-faithful greedy lives "
+    "in greedy_cluster; this variant is the SQL-expressible, "
+    "shuffle-parallel 100 TB path) → poll-of-polls decay×sample weights "
+    "(A10, aggregate.py:44-51) → cluster-label election (A11, "
+    "clustering.py:274-279). Two scans of documents (search passes), "
+    "then every stage shuffles on the same cluster/dedup keys.",
+)
+def answer_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents"))
+    base = d.select("doc_id", "text", F.split(F.col("text"), " ").alias("w"))
+    lex_pred = None
+    for t in _ANSWER_TERMS:
+        p = F.col("text").contains(t)
+        lex_pred = p if lex_pred is None else (lex_pred | p)
+    lexical = base.filter(lex_pred).select("doc_id", F.lit(1).alias("pass"))
+    w = F.col("w")
+    numer = None
+    for t in _ANSWER_TERMS:
+        c = F.size(F.filter(w, lambda x: x == t)).cast("double")
+        numer = c if numer is None else (numer + c)
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(
+                F.array_distinct(w),
+                lambda t: F.size(F.filter(w, lambda x: x == t)),
+            ),
+            F.lit(0.0),
+            lambda acc, c: acc + c.cast("double") * c,
+        )
+    )
+    cosine = numer / (norm * F.sqrt(F.lit(float(len(_ANSWER_TERMS)))))
+    semantic = base.filter(cosine >= 0.35).select(
+        "doc_id", F.lit(2).alias("pass")
+    )
+    hits = (
+        lexical.unionByName(semantic)
+        .groupBy("doc_id")
+        .agg(F.min("pass").alias("pass"))
+    )
+    attrib = base.join(hits, "doc_id").select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(w, 1, 3)).alias("question"),
+        F.element_at(
+            F.array(F.lit("support"), F.lit("oppose"), F.lit("neutral")),
+            (F.col("doc_id") % 3).cast("int") + 1,
+        ).alias("position"),
+        ((F.col("doc_id") * 17) % 101).cast("double").alias("pct"),
+        (F.lit(2015) + (F.col("doc_id") % 10)).cast("int").alias("pub_year"),
+        (F.lit(100) + (F.col("doc_id") * 7) % 2000)
+        .cast("int")
+        .alias("sample_n"),
+    )
+    dk = ["question", "position"]
+    wr = Window.partitionBy(*dk, F.round("pct", 0)).orderBy(
+        F.desc("pub_year"), F.desc("pct"), F.desc("doc_id")
+    )
+    wc = Window.partitionBy(*dk, F.round("pct", 0))
+    deduped = (
+        attrib.withColumn("rn", F.row_number().over(wr))
+        .withColumn("dup_count", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+    )
+    cluster_id = F.md5(
+        F.array_join(
+            F.array_sort(F.array_distinct(F.split("question", " "))), " "
+        )
+    )
+    wt = F.pow(F.lit(0.5), (F.lit(2024) - F.col("pub_year")) / 3.0) * F.least(
+        F.greatest(F.sqrt(F.col("sample_n") / 1000.0), F.lit(0.3)), F.lit(3.0)
+    )
+    clustered = deduped.withColumn("cluster_id", cluster_id).withColumn(
+        "wt", wt
+    )
+    agg = clustered.groupBy("cluster_id", "position").agg(
+        F.round(F.sum(F.col("pct") * F.col("wt")) / F.sum("wt"), 4).alias(
+            "weighted_pct"
+        ),
+        F.round(F.min("pct"), 1).alias("min_pct"),
+        F.round(F.max("pct"), 1).alias("max_pct"),
+        F.count(F.lit(1)).alias("n_findings"),
+        F.min("pub_year").alias("yr_min"),
+        F.max("pub_year").alias("yr_max"),
+        F.sum("sample_n").alias("total_n"),
+    )
+    lw = Window.partitionBy("cluster_id").orderBy(
+        F.desc("cnt"), F.length("question"), "question"
+    )
+    label = (
+        clustered.groupBy("cluster_id", "question")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("lrn", F.row_number().over(lw))
+        .filter(F.col("lrn") == 1)
+        .select("cluster_id", F.col("question").alias("cluster_label"))
+    )
+    return (
+        agg.join(label, "cluster_id")
+        .select(
+            "cluster_label",
+            "position",
+            "weighted_pct",
+            "min_pct",
+            "max_pct",
+            "n_findings",
+            "yr_min",
+            "yr_max",
+            "total_n",
+        )
+        .orderBy("cluster_label", "position")
     )

@@ -86,3 +86,60 @@ def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_events.session_windows(spark, sf_dir).orderBy(
         "user_id", "session_start"
     )
+
+
+@register(
+    "stream_snapshot_diff",
+    oracle="""
+        WITH prev AS (
+            SELECT event_type, ROUND(AVG(value), 4) AS avg_value
+            FROM events WHERE ts < TIMESTAMP '2024-01-16'
+            GROUP BY event_type
+        ), cur AS (
+            SELECT event_type, ROUND(AVG(value), 4) AS avg_value
+            FROM events GROUP BY event_type
+        )
+        SELECT c.event_type, p.avg_value AS prev_avg, c.avg_value AS cur_avg,
+               CASE WHEN p.event_type IS NULL THEN 'new'
+                    WHEN ABS(c.avg_value - p.avg_value) >= 0.5 THEN 'shift'
+                    ELSE 'steady' END AS status
+        FROM cur c LEFT JOIN prev p ON c.event_type = p.event_type
+        ORDER BY c.event_type
+    """,
+    tags=("streaming",),
+    doc="foreachBatch run-over-run snapshot diff: run 1 streams the "
+    "pre-split events into a snapshot, run 2 streams everything and "
+    "diffs per-batch aggregates against it inside foreachBatch — the "
+    "Structured-Streaming form of the reference's digest cycle "
+    "(study_scraper/digest.py:97-139; §2.11 'foreachBatch comparing "
+    "against snapshot table').",
+)
+def stream_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming_events.foreach_batch_snapshot_diff(spark, sf_dir).orderBy(
+        "event_type"
+    )
+
+
+@register(
+    "stream_stateful_stats",
+    oracle="""
+        SELECT user_id, COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    tags=("streaming",),
+    doc="Custom stateful streaming operator (applyInPandasWithState): "
+    "per-user running (count, sum) held in GroupState across "
+    "micro-batches; final state equals the batch group-by on the "
+    "bounded fixture — the reference's partial-run progress counters "
+    "(ingest.py:30-36) as a first-class Arrow-batched stateful op.",
+)
+def stream_stateful_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = streaming_events.stateful_running_stats(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    return out.select(
+        "user_id", "n_events", F.round("sum_value", 4).alias("sum_value")
+    ).orderBy("user_id")

@@ -113,3 +113,99 @@ def session_windows(
     )
     out = _run_to_memory(agg, "complete")
     return out.select("user_id", "session_start", "session_end", "n_events")
+
+
+def foreach_batch_snapshot_diff(
+    spark: SparkSession, sf_dir: str, split: str = "2024-01-16"
+) -> DataFrame:
+    """Run-over-run snapshot diff via foreachBatch (§2.11: digest
+    shifts/novelties, study_scraper/digest.py:97-139).
+
+    Two streaming runs share a driver-held snapshot dict: run 1 (events
+    before ``split``) populates the snapshot; run 2 (all events) diffs
+    each micro-batch's aggregate against it inside foreachBatch —
+    exactly the reference's "compare this run's aggregates against the
+    stored watch_snapshots row" loop, with the snapshot table swapped
+    for a keyed dict (a Delta/parquet table in production)."""
+    snapshot: dict[str, float] = {}
+    diffs: list[tuple[str, float | None, float, str]] = []
+
+    def snap_agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.round(F.avg("value"), 4).alias("avg_value")
+        )
+
+    def record_run1(batch_df: DataFrame, _batch_id: int) -> None:
+        for r in snap_agg(batch_df).collect():
+            snapshot[r["event_type"]] = r["avg_value"]
+
+    def record_run2(batch_df: DataFrame, _batch_id: int) -> None:
+        for r in snap_agg(batch_df).collect():
+            prev = snapshot.get(r["event_type"])
+            cur = r["avg_value"]
+            if prev is None:
+                status = "new"
+            elif abs(cur - prev) >= 0.5:
+                status = "shift"
+            else:
+                status = "steady"
+            diffs.append((r["event_type"], prev, cur, status))
+
+    split_ts = F.lit(split).cast("timestamp")
+    for flt, sink in (
+        (F.col("ts") < split_ts, record_run1),
+        (F.lit(True), record_run2),
+    ):
+        ev = read_events_stream(spark, sf_dir).filter(flt)
+        ckpt = tempfile.mkdtemp(prefix="ckpt_fb_")
+        q = (
+            ev.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.createDataFrame(
+        diffs, "event_type string, prev_avg double, cur_avg double, status string"
+    )
+
+
+def stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per
+    (user_id) running event count + value sum held in GroupState across
+    micro-batches — the §2.11 'progress checkpointing' pattern
+    (ingest.py:30-36: partial run counters) as a first-class streaming
+    operator. On the bounded fixture the final state equals the batch
+    group-by, which is what the oracle checks."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    import pandas as pd
+
+    ev = read_events_stream(spark, sf_dir)
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [total]}
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    latest = _run_to_memory(out, "update")
+    # with >1 micro-batch a key may emit several cumulative rows; the
+    # final state per key is the max event count
+    return (
+        latest.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("sum_value").alias("sum_value"),
+        )
+    )
