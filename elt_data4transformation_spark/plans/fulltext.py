@@ -1,0 +1,316 @@
+"""Full-document acquisition surface (SURVEY §2.1 S23/S24:
+study_scraper/fulltext.py, study_scraper/pdf_resolver.py).
+
+S24: landing-page -> best-PDF-link resolution as pure column
+expressions — the reference's regex-fallback strategy order
+(pdf_resolver.py:120-141): (1) `citation_pdf_url` meta is
+authoritative; (2) otherwise rank every PDF-ish href: +5 for
+DSpace/SSOAR `/bitstream/`, +3 if any full-text marker token, -4 if
+any side-material token; first-seen wins ties. Relative hrefs resolve
+against the page URL.
+
+S23: fetched-document sniffing — `%PDF` / HTML magic detection on a
+binary payload column and a text-extraction stub (the real
+PDF-text library is not in this container; the Spark-side plumbing —
+binary column, detection, per-type routing — is the operator).
+
+The landing HTML / payload here are synthesized DETERMINISTICALLY from
+doc_id (the operator input is a fetched column in production); the
+resolver/sniffer logic is the unit under test, identically expressed
+in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import spread, table
+from .registry import register
+
+# pdf_resolver.py:31-43 (ranking token lists, regex-fallback path —
+# href only, no anchor text).
+_PREFER = (
+    "volltext", "fulltext", "full-text", "full_text",
+    "gesamt", "full", "complete", "report", "bericht",
+    "studie", "document", "dokument", "paper",
+)
+_DEPRIORITIZE = (
+    "anhang", "appendix", "supplement", "zusatz", "annex", "cover",
+    "abstract", "zusammenfassung", "toc", "inhaltsverzeichnis",
+    "erratum", "correction", "poster", "slides", "praesentation",
+)
+
+_ORIGIN = "https://journals.example.org"
+_HREF_RE = r'href="([^"]+?\.pdf(\?[^"]*)?)"'
+_META_RE = r'<meta name="citation_pdf_url" content="([^"]+)"'
+
+
+def _html_sql() -> str:
+    """Deterministic landing-page HTML per doc (5 variants)."""
+    return """
+        CASE doc_id % 5
+          WHEN 0 THEN '<html><meta name="citation_pdf_url" content="/meta/'
+                      || doc_id || '.pdf"><a href="decoy/appendix.pdf">x</a></html>'
+          WHEN 1 THEN '<html><a href="bitstream/doc' || doc_id
+                      || '.pdf">get</a><a href="notes/anhang.pdf">a</a></html>'
+          WHEN 2 THEN '<html><a href="extra/appendix' || doc_id
+                      || '.pdf">a</a><a href="dl/volltext' || doc_id
+                      || '.pdf">v</a></html>'
+          WHEN 3 THEN '<html><a href="https://cdn.example.org/f/' || doc_id
+                      || '.pdf?download=1">d</a></html>'
+          ELSE '<html><a href="/about.html">no pdf here</a></html>'
+        END
+    """
+
+
+def _html_col() -> F.Column:
+    i = F.col("doc_id")
+    mk = lambda *parts: F.concat(  # noqa: E731
+        *[p if isinstance(p, F.Column) else F.lit(p) for p in parts]
+    )
+    return (
+        F.when(
+            i % 5 == 0,
+            mk(
+                '<html><meta name="citation_pdf_url" content="/meta/',
+                i.cast("string"),
+                '.pdf"><a href="decoy/appendix.pdf">x</a></html>',
+            ),
+        )
+        .when(
+            i % 5 == 1,
+            mk(
+                '<html><a href="bitstream/doc',
+                i.cast("string"),
+                '.pdf">get</a><a href="notes/anhang.pdf">a</a></html>',
+            ),
+        )
+        .when(
+            i % 5 == 2,
+            mk(
+                '<html><a href="extra/appendix',
+                i.cast("string"),
+                '.pdf">a</a><a href="dl/volltext',
+                i.cast("string"),
+                '.pdf">v</a></html>',
+            ),
+        )
+        .when(
+            i % 5 == 3,
+            mk(
+                '<html><a href="https://cdn.example.org/f/',
+                i.cast("string"),
+                '.pdf?download=1">d</a></html>',
+            ),
+        )
+        .otherwise(F.lit('<html><a href="/about.html">no pdf here</a></html>'))
+    )
+
+
+def _token_hit_sql(tokens: tuple[str, ...]) -> str:
+    toks = ", ".join(f"'{t}'" for t in tokens)
+    return f"len(list_filter([{toks}], t -> contains(lower(href), t))) > 0"
+
+
+def _token_hit_col(href: F.Column, tokens: tuple[str, ...]) -> F.Column:
+    arr = F.array(*[F.lit(t) for t in tokens])
+
+    def hit(t: F.Column) -> F.Column:
+        return F.lower(href).contains(t)
+
+    return F.exists(arr, hit)
+
+
+@register(
+    "pdf_resolve",
+    oracle=f"""
+        WITH pages AS (
+            SELECT doc_id,
+                   '{_ORIGIN}/item/' || doc_id || '/' AS base_url,
+                   {_html_sql()} AS html
+            FROM documents
+        ), metas AS (
+            SELECT *, COALESCE(regexp_extract(html, '{_META_RE}', 1), '')
+                          AS meta_href
+            FROM pages
+        ), cands AS (
+            SELECT *,
+                   list_transform(
+                       regexp_extract_all(html, 'href="([^"]+?\\.pdf(\\?[^"]*)?)"', 1),
+                       href -> struct_pack(
+                           score := CASE WHEN contains(href, '/bitstream/')
+                                              OR starts_with(href, 'bitstream/')
+                                         THEN 5 ELSE 0 END
+                                  + CASE WHEN {_token_hit_sql(_PREFER)}
+                                         THEN 3 ELSE 0 END
+                                  - CASE WHEN {_token_hit_sql(_DEPRIORITIZE)}
+                                         THEN 4 ELSE 0 END,
+                           href := href)) AS scored
+            FROM metas
+        ), ranked AS (
+            SELECT doc_id, base_url, meta_href,
+                   list_transform(
+                       scored,
+                       s -> struct_pack(
+                           score := s.score,
+                           neg := -list_position(
+                               list_transform(scored, x -> x.href), s.href),
+                           href := s.href)) AS ordered
+            FROM cands
+        ), best AS (
+            SELECT doc_id, base_url, meta_href,
+                   CASE WHEN len(ordered) > 0
+                        THEN list_sort(ordered)[len(ordered)].href
+                        END AS best_href
+            FROM ranked
+        )
+        SELECT doc_id,
+               CASE
+                 WHEN meta_href <> '' THEN
+                   CASE WHEN starts_with(meta_href, 'http') THEN meta_href
+                        WHEN starts_with(meta_href, '/')
+                            THEN '{_ORIGIN}' || meta_href
+                        ELSE base_url || meta_href END
+                 WHEN best_href IS NOT NULL THEN
+                   CASE WHEN starts_with(best_href, 'http') THEN best_href
+                        WHEN starts_with(best_href, '/')
+                            THEN '{_ORIGIN}' || best_href
+                        ELSE base_url || best_href END
+               END AS pdf_url
+        FROM best
+        ORDER BY doc_id
+    """,
+    tags=("source", "fulltext"),
+    doc="S24 landing-page -> PDF resolver (pdf_resolver.py:120-141) as "
+    "pure column expressions: citation_pdf_url meta wins outright; "
+    "else every *.pdf href is scored (+5 bitstream, +3 full-text "
+    "marker, -4 side-material marker) and the first best-scoring link "
+    "wins; relative hrefs resolved against the page URL. Per-row "
+    "regex/array work, embarrassingly parallel — no shuffle at all.",
+)
+def pdf_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.concat(
+            F.lit(f"{_ORIGIN}/item/"), F.col("doc_id").cast("string"), F.lit("/")
+        ).alias("base_url"),
+        _html_col().alias("html"),
+    )
+    meta = F.regexp_extract("html", _META_RE, 1)
+    hrefs = F.regexp_extract_all("html", F.lit(_HREF_RE), F.lit(1))
+
+    def score(href: F.Column) -> F.Column:
+        return (
+            F.when(
+                href.contains("/bitstream/") | href.startswith("bitstream/"),
+                F.lit(5),
+            ).otherwise(F.lit(0))
+            + F.when(_token_hit_col(href, _PREFER), F.lit(3)).otherwise(F.lit(0))
+            - F.when(_token_hit_col(href, _DEPRIORITIZE), F.lit(4)).otherwise(
+                F.lit(0)
+            )
+        )
+
+    # (element, index) two-parameter transform — intentional: index is
+    # the first-seen tiebreak (strictly-greater-wins in the reference).
+    ordered = F.transform(
+        hrefs,
+        lambda href, i: F.struct(
+            score(href).alias("score"),
+            (-(i + 1)).alias("neg"),
+            href.alias("href"),
+        ),
+    )
+    best = F.when(
+        F.size(ordered) > 0,
+        F.element_at(F.array_sort(ordered), F.size(ordered))["href"],
+    )
+
+    def absolutize(href: F.Column) -> F.Column:
+        return (
+            F.when(href.startswith("http"), href)
+            .when(href.startswith("/"), F.concat(F.lit(_ORIGIN), href))
+            .otherwise(F.concat(F.col("base_url"), href))
+        )
+
+    pdf_url = F.when(meta != "", absolutize(meta)).otherwise(
+        F.when(best.isNotNull(), absolutize(best))
+    )
+    return (
+        d.select("doc_id", "base_url", F.col("html"))
+        .withColumn("pdf_url", pdf_url)
+        .select("doc_id", "pdf_url")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "fulltext_detect",
+    oracle="""
+        WITH fetched AS (
+            SELECT doc_id,
+                   CASE doc_id % 3
+                     WHEN 0 THEN '%PDF-1.7' || chr(10) || text
+                     WHEN 1 THEN '<!DOCTYPE html><html><body>' || text
+                                 || '</body></html>'
+                     ELSE text
+                   END AS raw
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN starts_with(raw, '%PDF') THEN 'application/pdf'
+                    WHEN starts_with(lower(raw), '<!doctype html')
+                         OR starts_with(lower(raw), '<html') THEN 'text/html'
+                    ELSE 'text/plain' END AS content_type,
+               length(raw) AS n_bytes,
+               CASE WHEN starts_with(raw, '%PDF')
+                    THEN 'pdf-extract-stub'
+                    WHEN starts_with(lower(raw), '<!doctype html')
+                         OR starts_with(lower(raw), '<html')
+                    THEN regexp_replace(raw, '<[^>]*>', '', 'g')
+                    ELSE raw END AS extracted_prefix_src
+        FROM fetched
+        ORDER BY doc_id
+    """,
+    tags=("source", "fulltext"),
+    doc="S23 fetched-document sniffing (study_scraper/fulltext.py): "
+    "%PDF / HTML magic detection and per-type text-extraction routing. "
+    "HTML extraction is tag-stripping; PDF extraction is a declared "
+    "stub (no PDF lib in this container) — the detection, routing and "
+    "schema are the real operator. Per-row, no shuffle.",
+)
+def fulltext_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents"))
+    i = F.col("doc_id")
+    raw = (
+        F.when(i % 3 == 0, F.concat(F.lit("%PDF-1.7\n"), F.col("text")))
+        .when(
+            i % 3 == 1,
+            F.concat(
+                F.lit("<!DOCTYPE html><html><body>"),
+                F.col("text"),
+                F.lit("</body></html>"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    low = F.lower(F.col("raw"))
+    is_pdf = F.col("raw").startswith("%PDF")
+    is_html = low.startswith("<!doctype html") | low.startswith("<html")
+    return (
+        d.select("doc_id", raw.alias("raw"))
+        .select(
+            "doc_id",
+            F.when(is_pdf, F.lit("application/pdf"))
+            .when(is_html, F.lit("text/html"))
+            .otherwise(F.lit("text/plain"))
+            .alias("content_type"),
+            F.length("raw").cast("long").alias("n_bytes"),
+            F.when(is_pdf, F.lit("pdf-extract-stub"))
+            .when(is_html, F.regexp_replace("raw", "<[^>]*>", ""))
+            .otherwise(F.col("raw"))
+            .alias("extracted_prefix_src"),
+        )
+        .orderBy("doc_id")
+    )

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources import table
+from ..sources import spread, table
 from .registry import register
 
 
@@ -487,4 +487,34 @@ def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_long_words"),
         )
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "audit_sample",
+    oracle="""
+        SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS sample_key
+        FROM documents
+        ORDER BY sample_key, doc_id
+        LIMIT 50
+    """,
+    tags=("sort", "sample"),
+    doc="§2.6 audit sampling (`ORDER BY random() LIMIT n`, "
+    "storage/postgres.py:1068-1069) made deterministic: rank by "
+    "md5(id) — a reproducible uniform pseudo-random order that is "
+    "identical across engines, runs, and partitionings (rand(seed) is "
+    "partitioning-dependent in Spark, so it cannot be oracle-checked). "
+    "TakeOrderedAndProject keeps it a top-k, not a global sort.",
+)
+def audit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents"))
+    return (
+        d.select(
+            "doc_id",
+            F.md5(F.col("doc_id").cast("string").cast("binary")).alias(
+                "sample_key"
+            ),
+        )
+        .orderBy("sample_key", "doc_id")
+        .limit(50)
     )

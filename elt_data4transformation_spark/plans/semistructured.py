@@ -263,3 +263,104 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(table(spark, sf_dir, "documents"))
     binary = multimodal.with_binary_payload(d, "doc_id", "text")
     return multimodal.decode_features(binary).orderBy("doc_id")
+
+
+# --- S19: OAI-PMH (Dublin Core) harvest decode ---------------------------
+
+_OAI_LANG_TO_6392 = {"en": "eng", "de": "deu", "fr": "fra", "es": "spa", "zh": "zho"}
+
+
+def _oai_xml_col() -> F.Column:
+    """Deterministic per-doc ListRecords response (the operator input is
+    a fetched XML body column in production)."""
+    i = F.col("doc_id").cast("string")
+    lang639_2 = F.element_at(
+        F.create_map(
+            *[F.lit(x) for k, v in _OAI_LANG_TO_6392.items() for x in (k, v)]
+        ),
+        F.col("lang"),
+    )
+    title = F.concat_ws(" ", F.slice(F.split("text", " "), 1, 4))
+    deleted = F.when(F.col("doc_id") % 11 == 0, F.lit(' status="deleted"')).otherwise(
+        F.lit("")
+    )
+    doi = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(F.lit("<dc:identifier>10.1234/ssoar."), i, F.lit("</dc:identifier>")),
+    ).otherwise(F.lit(""))
+    token = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(F.lit("<resumptionToken>tok-"), i, F.lit("</resumptionToken>")),
+    ).otherwise(F.lit(""))
+    parts = [
+        F.lit('<OAI-PMH xmlns="http://www.openarchives.org/OAI/2.0/"><ListRecords><record><header'),
+        deleted,
+        F.lit("><identifier>oai:ssoar:"),
+        i,
+        F.lit("</identifier></header><metadata>"
+              '<oai_dc:dc xmlns:oai_dc="http://www.openarchives.org/OAI/2.0/oai_dc/"'
+              ' xmlns:dc="http://purl.org/dc/elements/1.1/">'
+              "<dc:title>"),
+        title,
+        F.lit("</dc:title><dc:identifier>https://www.ssoar.info/handle/document/"),
+        i,
+        F.lit("</dc:identifier>"),
+        doi,
+        F.lit("<dc:creator>author"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("</dc:creator><dc:creator>author"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("</dc:creator><dc:language>"),
+        lang639_2,
+        F.lit("</dc:language><dc:subject>s"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("</dc:subject><dc:publisher>pub"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("</dc:publisher><dc:description>"),
+        F.substring("text", 1, 60),
+        F.lit("</dc:description></oai_dc:dc></metadata></record></ListRecords>"),
+        token,
+        F.lit("</OAI-PMH>"),
+    ]
+    return F.concat(*parts)
+
+
+@register(
+    "oai_harvest",
+    oracle=f"""
+        SELECT 'oai:ssoar:' || doc_id AS external_id,
+               ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:4], ' ') AS title,
+               'https://www.ssoar.info/handle/document/' || doc_id
+                   AS canonical_url,
+               CASE WHEN doc_id % 4 = 0
+                    THEN '10.1234/ssoar.' || doc_id END AS doi,
+               'author' || (doc_id % 7) || '|author' || (doc_id % 3)
+                   AS authors,
+               'pub' || (doc_id % 3) AS publisher,
+               TRIM(SUBSTR(text, 1, 60)) AS abstract,
+               CASE lang {" ".join(f"WHEN '{k}' THEN '{v if v not in ('eng','deu','fra') else k}'" for k, v in _OAI_LANG_TO_6392.items())} END
+                   AS language,
+               's' || (doc_id % 5) AS subjects,
+               CASE WHEN doc_id % 10 = 0 THEN 'tok-' || doc_id END
+                   AS resumption_token
+        FROM documents
+        WHERE doc_id % 11 <> 0
+        ORDER BY external_id
+    """,
+    tags=("source", "xml"),
+    doc="S19 SSOAR OAI-PMH ListRecords decode "
+    "(discovery/ssoar.py:133-237): namespace-aware Dublin Core parse "
+    "via Arrow-batched mapInPandas (stdlib ElementTree per partition "
+    "— XML has no namespace-aware Spark built-in); skips "
+    "status=deleted headers, first-http-identifier canonical URL, DOI "
+    "fished from the identifier list, ISO 639-2 -> 639-1 folding, "
+    "resumptionToken surfaced for the pagination loop. The oracle "
+    "regenerates the expected rows from the same deterministic "
+    "fixture formulas, checking the full encode->parse round-trip.",
+)
+def oai_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import oai
+
+    d = spread(table(spark, sf_dir, "documents"))
+    responses = d.select(_oai_xml_col().alias("xml"))
+    return oai.parse_oai_responses(responses).orderBy("external_id")

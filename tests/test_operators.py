@@ -396,3 +396,100 @@ def test_conditional_get_cache():
     }
     assert c.is_fresh("u", 304) and not c.is_fresh("u", 200)
     assert not c.is_fresh("unknown", 304)
+
+
+# --- concept vectors (T7/T8) ---------------------------------------------
+
+
+def test_question_vector_reference_examples():
+    """The tuned thresholds documented in clustering.py:33-37, 95-101."""
+    from math import sqrt
+
+    from elt_data4transformation_spark.functions import concepts as C
+
+    def cos(a, b):
+        va, vb = C.question_vector(a), C.question_vector(b)
+        dot = sum(w * vb.get(t, 0.0) for t, w in va.items())
+        na = sqrt(sum(w * w for w in va.values()))
+        nb = sqrt(sum(w * w for w in vb.values()))
+        return dot / (na * nb)
+
+    # DE/EN reversal pair clusters (>= 0.72)
+    assert cos("Atomausstieg rückgängig machen", "return to nuclear power") >= 0.72
+    # same-topic different questions must NOT merge (< 0.72)
+    assert cos("stricter climate laws", "EU climate priority") < 0.72
+    # polarity guard: keep vs phase-out stays below threshold
+    assert cos("Keep nuclear power", "Phase out nuclear power") < 0.72
+
+
+def test_doc_terms_spark_matches_python(spark):
+    from elt_data4transformation_spark.functions import concepts as C
+
+    rows = [
+        (1, "Klimaschutzgesetz jetzt"),
+        (2, "stricter climate laws"),
+        (3, "the a of and"),  # all stopwords/short -> empty vector
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id"], r["term"]): r["w"]
+        for r in C.doc_terms(spark, df).collect()
+    }
+    for i, text in rows:
+        for term, w in C.question_vector(text).items():
+            assert got.get((i, term)) == w, (i, term)
+    assert not [k for k in got if k[0] == 3]
+
+
+# --- pdf resolver (S24) ---------------------------------------------------
+
+
+def test_pdf_resolver_strategy_order(spark):
+    from elt_data4transformation_spark.plans import REGISTRY
+
+    out = {
+        r["doc_id"]: r["pdf_url"]
+        for r in REGISTRY["pdf_resolve"].fn(spark, "/root/testdata/sf0.001")
+        .limit(50)
+        .collect()
+    }
+    # variant 0: meta citation_pdf_url wins over the decoy anchor,
+    # root-relative resolves against the origin
+    assert out[0] == "https://journals.example.org/meta/0.pdf"
+    # variant 1: bitstream (+5) beats the deprioritized anhang link
+    assert out[1] == "https://journals.example.org/item/1/bitstream/doc1.pdf"
+    # variant 2: volltext (+3) beats appendix (-4)
+    assert out[2] == "https://journals.example.org/item/2/dl/volltext2.pdf"
+    # variant 3: absolute URL with query string kept as-is
+    assert out[3] == "https://cdn.example.org/f/3.pdf?download=1"
+    # variant 4: no PDF -> null
+    assert out[4] is None
+
+
+# --- OAI-PMH decode (S19) --------------------------------------------------
+
+
+def test_oai_decode_skips_deleted_and_finds_doi():
+    from elt_data4transformation_spark.operators.oai import decode_oai
+
+    xml = """<OAI-PMH xmlns="http://www.openarchives.org/OAI/2.0/"><ListRecords>
+      <record><header status="deleted"><identifier>oai:x:1</identifier></header></record>
+      <record><header><identifier>oai:x:2</identifier></header><metadata>
+        <oai_dc:dc xmlns:oai_dc="http://www.openarchives.org/OAI/2.0/oai_dc/"
+                   xmlns:dc="http://purl.org/dc/elements/1.1/">
+          <dc:title>T</dc:title>
+          <dc:identifier>ssoar-123</dc:identifier>
+          <dc:identifier>https://h.example/2</dc:identifier>
+          <dc:identifier>doi:10.5/x</dc:identifier>
+          <dc:language>GER</dc:language>
+        </oai_dc:dc></metadata></record>
+      </ListRecords><resumptionToken>tk</resumptionToken></OAI-PMH>"""
+    rows = list(decode_oai(xml))
+    assert len(rows) == 1  # deleted record skipped
+    r = rows[0]
+    assert r["external_id"] == "oai:x:2"
+    assert r["canonical_url"] == "https://h.example/2"  # first http id
+    assert r["doi"] == "doi:10.5/x"
+    assert r["language"] == "de"  # GER -> de, case-folded
+    assert r["resumption_token"] == "tk"
+    assert list(decode_oai("not xml <")) == []
