@@ -23,5 +23,6 @@ from . import cluster  # noqa: F401,E402
 from . import marts  # noqa: F401,E402
 from . import semantic  # noqa: F401,E402
 from . import fulltext  # noqa: F401,E402
+from . import io_formats  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "QuerySpec", "register"]

@@ -1,0 +1,62 @@
+"""File-format scan/sink demonstrations (SURVEY §2.1 S1/S2/S3/S25:
+elt/loader_clickhouse.py:284-337 load_from_file csv/json/parquet,
+study_scraper/export.py:45-85 csv export).
+
+The reference's loader reads CSV/JSON/parquet files into tables via
+pandas; here the same formats go through Spark's native readers with
+explicit schemas (schema inference is a correctness hazard and a
+second full scan at 100 TB — always pass the schema).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import table
+from .registry import register
+
+_NATION_SCHEMA = "n_nationkey long, n_name string, n_regionkey long"
+
+
+@register(
+    "csv_json_roundtrip",
+    oracle="""
+        SELECT n_nationkey, n_name, n_regionkey,
+               n_name AS n_name_json
+        FROM nation
+        ORDER BY n_nationkey
+    """,
+    tags=("source", "sink", "format"),
+    doc="S1/S2/S25 format roundtrip (loader_clickhouse.py:284-337, "
+    "export.py:45-85): write the nation dim as headered CSV and "
+    "line-delimited JSON, read both back with EXPLICIT schemas "
+    "(spark.read.csv / spark.read.json — never schema inference, "
+    "which costs a second scan and type drift at scale), then "
+    "broadcast-join the two reads to prove value fidelity. The "
+    "roundtrip itself is the assertion: any quoting/encoding/type "
+    "loss breaks the oracle hash.",
+)
+def csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_io_{os.getpid()}"
+    )
+    csv_path, json_path = base + "_csv", base + "_json"
+    n.coalesce(1).write.mode("overwrite").option("header", True).csv(csv_path)
+    n.coalesce(1).write.mode("overwrite").json(json_path)
+    c = spark.read.schema(_NATION_SCHEMA).option("header", True).csv(csv_path)
+    j = spark.read.schema(_NATION_SCHEMA).json(json_path)
+    return (
+        c.join(
+            F.broadcast(j.select("n_nationkey", F.col("n_name").alias("n_name_json"))),
+            "n_nationkey",
+        )
+        .select("n_nationkey", "n_name", "n_regionkey", "n_name_json")
+        .orderBy("n_nationkey")
+    )

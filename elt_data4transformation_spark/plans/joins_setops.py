@@ -249,3 +249,87 @@ def latest_metadata_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# --- skew-mitigated join (SCALE.md joins strategy, demonstrated) ----------
+
+_SALTS = 8
+
+
+@register(
+    "skew_join_salted",
+    oracle="""
+        WITH fact AS (
+            SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0
+                        ELSE CAST(l_orderkey % 100 AS BIGINT) END AS skew_key,
+                   l_quantity
+            FROM lineitem
+        ), dim AS (
+            SELECT DISTINCT CASE WHEN o_orderkey % 10 < 7 THEN 0
+                        ELSE CAST(o_orderkey % 100 AS BIGINT) END AS skew_key
+            FROM orders
+        ), dim2 AS (
+            SELECT skew_key, 'grp_' || (skew_key % 7) AS dim_group FROM dim
+        )
+        SELECT d.dim_group,
+               COUNT(*) AS n,
+               ROUND(SUM(f.l_quantity), 4) AS sum_qty
+        FROM fact f JOIN dim2 d USING (skew_key)
+        GROUP BY d.dim_group
+        ORDER BY d.dim_group
+    """,
+    tags=("join", "skew"),
+    doc="Salted skew join: ~70% of fact rows share one hot key (the "
+    "classic power-law key distribution at 100 TB). The fact side "
+    "gets salt = pmod(xxhash64(row id), 8); the dim side is exploded "
+    "x8 so every (key, salt) partition exists; the join runs on "
+    "(key, salt) — hot-key work spreads over 8 reducers instead of "
+    "one straggler. shuffle_hash hint forces the shuffle join path "
+    "(broadcast would hide the technique; at scale the dim is too "
+    "big to broadcast — that's when salting applies; AQE skew-split "
+    "is the automatic fallback, this is the deterministic form). "
+    "Results are provably identical to the unsalted join (the "
+    "oracle IS the unsalted join).",
+)
+def skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    skew = F.when(F.col("l_orderkey") % 10 < 7, F.lit(0)).otherwise(
+        (F.col("l_orderkey") % 100).cast("long")
+    )
+    fact = li.select(
+        skew.alias("skew_key"),
+        "l_quantity",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(_SALTS))
+        .cast("int")
+        .alias("salt"),
+    )
+    dskew = F.when(F.col("o_orderkey") % 10 < 7, F.lit(0)).otherwise(
+        (F.col("o_orderkey") % 100).cast("long")
+    )
+    dim = (
+        o.select(dskew.alias("skew_key"))
+        .distinct()
+        .select(
+            "skew_key",
+            F.concat(F.lit("grp_"), (F.col("skew_key") % 7).cast("string")).alias(
+                "dim_group"
+            ),
+        )
+    )
+    dim_salted = dim.select(
+        "skew_key",
+        "dim_group",
+        F.explode(F.sequence(F.lit(0), F.lit(_SALTS - 1))).alias("salt"),
+    )
+    joined = fact.hint("shuffle_hash").join(
+        dim_salted, ["skew_key", "salt"]
+    )
+    return (
+        joined.groupBy("dim_group")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+        .orderBy("dim_group")
+    )

@@ -375,3 +375,82 @@ def party_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("party", "cycle_phase")
     )
+
+
+# --- test_poll_data_quality macro (§2.12, macros:132-161) -----------------
+
+_DQ_TODAY = "2024-12-31"  # pinned "today" — determinism deviation, declared
+_DQ_MIN_N = 100
+_DQ_MAX_AGE = 360
+
+
+@register(
+    "poll_quality_issues",
+    oracle=f"""
+        WITH polls AS (
+            SELECT event_id AS id,
+                   CAST(ts AS DATE) AS poll_date,
+                   value AS poll_value,
+                   CAST((user_id * 13) % 3000 AS BIGINT) AS sample_size
+            FROM events
+        )
+        SELECT 'SAMPLE_SIZE_TOO_LOW' AS issue_type, id,
+               CAST(sample_size AS VARCHAR) AS detail,
+               '{_DQ_MIN_N}' AS threshold
+        FROM polls WHERE sample_size < {_DQ_MIN_N}
+        UNION ALL
+        SELECT 'POLL_TOO_OLD', id, CAST(poll_date AS VARCHAR),
+               '{_DQ_MAX_AGE}'
+        FROM polls
+        WHERE DATE_DIFF('day', poll_date, DATE '{_DQ_TODAY}') > {_DQ_MAX_AGE}
+        UNION ALL
+        SELECT 'INVALID_PERCENTAGE', id, CAST(poll_value AS VARCHAR),
+               '0-100'
+        FROM polls WHERE poll_value < 0 OR poll_value > 100
+        ORDER BY issue_type, id
+    """,
+    tags=("marts", "quality"),
+    doc="test_poll_data_quality dbt macro "
+    "(macros/political_data_macros.sql:132-161): three issue streams "
+    "(sample too small, poll older than max_age vs a PINNED 'today' — "
+    "declared determinism deviation from today(); percentage outside "
+    "0-100, the stg sanity gate P8) unionByName'd into one issues "
+    "relation. Each stream is a pushed-down filter over the same scan; "
+    "Catalyst collapses the union into one pass.",
+)
+def poll_quality_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    polls = e.select(
+        F.col("event_id").alias("id"),
+        F.col("ts").cast("date").alias("poll_date"),
+        F.col("value").alias("poll_value"),
+        ((F.col("user_id") * 13) % 3000).cast("long").alias("sample_size"),
+    )
+    low = polls.filter(F.col("sample_size") < _DQ_MIN_N).select(
+        F.lit("SAMPLE_SIZE_TOO_LOW").alias("issue_type"),
+        "id",
+        F.col("sample_size").cast("string").alias("detail"),
+        F.lit(str(_DQ_MIN_N)).alias("threshold"),
+    )
+    old = polls.filter(
+        F.datediff(F.lit(_DQ_TODAY).cast("date"), F.col("poll_date"))
+        > _DQ_MAX_AGE
+    ).select(
+        F.lit("POLL_TOO_OLD").alias("issue_type"),
+        "id",
+        F.col("poll_date").cast("string").alias("detail"),
+        F.lit(str(_DQ_MAX_AGE)).alias("threshold"),
+    )
+    bad_pct = polls.filter(
+        (F.col("poll_value") < 0) | (F.col("poll_value") > 100)
+    ).select(
+        F.lit("INVALID_PERCENTAGE").alias("issue_type"),
+        "id",
+        F.col("poll_value").cast("string").alias("detail"),
+        F.lit("0-100").alias("threshold"),
+    )
+    return (
+        low.unionByName(old)
+        .unionByName(bad_pct)
+        .orderBy("issue_type", "id")
+    )

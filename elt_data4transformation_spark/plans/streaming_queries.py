@@ -143,3 +143,41 @@ def stream_stateful_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "n_events", F.round("sum_value", 4).alias("sum_value")
     ).orderBy("user_id")
+
+
+@register(
+    "stream_sliding",
+    oracle="""
+        WITH contrib AS (
+            SELECT DATE_TRUNC('day', ts) AS window_start, event_type, value
+            FROM events
+            UNION ALL
+            SELECT DATE_TRUNC('day', ts) - INTERVAL 1 DAY, event_type, value
+            FROM events
+        )
+        SELECT window_start,
+               window_start + INTERVAL 2 DAY AS window_end,
+               event_type, COUNT(*) AS n,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM contrib
+        GROUP BY window_start, event_type
+        ORDER BY window_start, event_type
+    """,
+    tags=("streaming",),
+    doc="Sliding-window streaming aggregation (window('2 days' slide "
+    "'1 day')): each event contributes to width/slide overlapping "
+    "windows — the streaming form of the dbt rolling 7/30-day frames "
+    "(W2/W3). Day-aligned epoch makes the slide-shifted date_trunc "
+    "union an exact batch oracle.",
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    out = streaming_events.sliding_counts(spark, sf_dir)
+    return out.select(
+        "window_start",
+        "window_end",
+        "event_type",
+        "n",
+        F.round("sum_value", 4).alias("sum_value"),
+    ).orderBy("window_start", "event_type")

@@ -209,3 +209,30 @@ def stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("sum_value").alias("sum_value"),
         )
     )
+
+
+def sliding_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    width: str = "2 days",
+    slide: str = "1 day",
+) -> DataFrame:
+    """Overlapping (sliding) windowed aggregation — each event lands in
+    width/slide windows (§2.11 Spark mapping; the 'rolling 7/30-day'
+    dbt frames W2/W3 as a streaming operator). Epoch is day-aligned, so
+    a batch union of slide-shifted date_trunc buckets is an exact
+    oracle."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
