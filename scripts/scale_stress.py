@@ -1,0 +1,110 @@
+"""10x scale stress: replicate the sf0.1 tables to /tmp (with key
+offsets and per-replica text perturbation so dedup ops see realistic
+near-duplicates, not pure copies), then time headline queries
+back-to-back at 1x and 10x in the same session and report the scaling
+ratio. Linear (~10x) is the pass bar for scan/agg/window ops;
+candidate-pair ops are expected super-linear and documented as such.
+
+Usage: python scripts/scale_stress.py [replicas]
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import time
+from functools import reduce
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from elt_data4transformation_spark.plans import REGISTRY  # noqa: E402
+from elt_data4transformation_spark.sources.tables import table  # noqa: E402
+
+SF = "/root/testdata/sf0.1"
+OUT = "/tmp/scale_stress"
+
+QUERIES = [
+    "pricing_summary",
+    "weighted_avg",
+    "region_revenue",
+    "moving_avg",
+    "lateral_top1",
+    "top_k_orders",
+    "skew_join_salted",
+    "token_count",
+    "simhash_docs",
+    "concept_search",
+    "answer_pipeline",
+    "dedup_minhash_lsh",
+]
+
+
+def replicate(spark: SparkSession, n: int) -> None:
+    shutil.rmtree(OUT, ignore_errors=True)
+
+    def copy(name: str) -> None:
+        # table() handles the events TIMESTAMP(NANOS) decode; the copy
+        # lands as TIMESTAMP(MICROS), which table() passes through.
+        table(spark, SF, name).write.parquet(f"{OUT}/{name}.parquet")
+
+    def fan(name: str, key: str, text_col: str | None = None) -> None:
+        df = table(spark, SF, name)
+        k = df.agg(F.max(key)).collect()[0][0] + 1
+        parts = []
+        for i in range(n):
+            p = df.withColumn(key, F.col(key) + F.lit(i * k))
+            if text_col:
+                p = p.withColumn(
+                    text_col, F.concat(F.col(text_col), F.lit(f" rep{i}"))
+                )
+            parts.append(p)
+        big = reduce(lambda a, b: a.unionByName(b), parts)
+        big.repartition(32).write.parquet(f"{OUT}/{name}.parquet")
+
+    for t in ["region", "nation", "customer", "supplier", "part", "embeddings"]:
+        copy(t)
+    fan("lineitem", "l_orderkey")
+    fan("orders", "o_orderkey")
+    fan("documents", "doc_id", text_col="text")
+    fan("events", "event_id")
+
+
+def run(name: str, sf_dir: str) -> float:
+    spark = SparkSession.getActiveSession()
+    spark.catalog.clearCache()
+    t0 = time.monotonic()
+    REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    return round(time.monotonic() - t0, 3)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "32g")
+        .config("spark.ui.enabled", "false")
+        .appName("scale-stress")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    replicate(spark, n)
+    # warm the Python worker pool (first Arrow stage pays startup)
+    spark.range(1000).mapInPandas(lambda it: it, "id long").count()
+    out = {}
+    for q in QUERIES:
+        t1 = run(q, SF)
+        tn = run(q, OUT)
+        out[q] = {"t_1x": t1, f"t_{n}x": tn, "ratio": round(tn / t1, 2)}
+        print(json.dumps({q: out[q]}), flush=True)
+    print(json.dumps({"replicas": n, "results": out}))
+
+
+if __name__ == "__main__":
+    main()
