@@ -602,7 +602,7 @@ _ANSWER_TERMS = ("table", "window")
                    ROUND(MAX(pct), 1) AS max_pct,
                    COUNT(*) AS n_findings,
                    MIN(pub_year) AS yr_min, MAX(pub_year) AS yr_max,
-                   SUM(sample_n) AS total_n
+                   CAST(SUM(sample_n) AS BIGINT) AS total_n
             FROM clustered GROUP BY cluster_id, position
         ), label AS (
             SELECT cluster_id, question AS cluster_label FROM (

@@ -91,7 +91,7 @@ def weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderpriority,
                COUNT(*) AS n_orders,
                COUNT(*) FILTER (WHERE o_orderdate >= TIMESTAMP '2025-01-01') AS n_recent,
-               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
                ROUND(AVG(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 6) AS avg_open_price
         FROM orders
         GROUP BY o_orderpriority

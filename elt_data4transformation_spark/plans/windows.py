@@ -57,38 +57,76 @@ def lag_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH daily AS (
             SELECT CAST(l_shipdate AS DATE) AS day,
-                   SUM(l_extendedprice * (1 - l_discount)) AS revenue
+                   CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)
+                        AS DECIMAL(18,4)) AS rev
             FROM lineitem GROUP BY day
+        ), framed AS (
+            SELECT day, rev,
+                   SUM(rev) OVER w7 AS s7, COUNT(*) OVER w7 AS c7,
+                   SUM(rev) OVER w30 AS s30, COUNT(*) OVER w30 AS c30,
+                   SUM(CAST(rev AS DECIMAL(19,4)) * rev) OVER w30 AS ss30
+            FROM daily
+            WINDOW w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+                   w30 AS (ORDER BY day ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
         )
         SELECT STRFTIME(day, '%Y-%m-%d') AS day,
-               ROUND(revenue, 4) AS revenue,
-               ROUND(AVG(revenue) OVER (ORDER BY day
-                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7,
-               ROUND(AVG(revenue) OVER (ORDER BY day
-                     ROWS BETWEEN 29 PRECEDING AND CURRENT ROW), 6) AS ma30,
-               ROUND(STDDEV_POP(revenue) OVER (ORDER BY day
-                     ROWS BETWEEN 29 PRECEDING AND CURRENT ROW), 6) AS vol30
-        FROM daily
+               CAST(rev AS DOUBLE) AS revenue,
+               CAST(s7 AS DOUBLE) / c7 AS ma7,
+               CAST(s30 AS DOUBLE) / c30 AS ma30,
+               SQRT(GREATEST(
+                   CAST(CAST(ss30 AS VARCHAR) AS DOUBLE) / c30
+                   - (CAST(s30 AS DOUBLE) / c30) * (CAST(s30 AS DOUBLE) / c30),
+                   0.0)) AS vol30
+        FROM framed
         ORDER BY day
     """,
     tags=("window",),
     doc="W2/W3 moving average + rolling volatility with ROWS frames — "
-    "dbt fact_polls.sql:80-90, daily_poll_averages.sql:71-88.",
+    "dbt fact_polls.sql:80-90, daily_poll_averages.sql:71-88. Window "
+    "sums run over DECIMAL (exact in both engines); avg/stddev_pop are "
+    "derived in double from those identical sums via identical IEEE ops, "
+    "so results are bitwise engine-independent WITHOUT rounding — "
+    "engine ROUND() implementations disagree on boundary values, and "
+    "windowed float accumulators drift (sliding add/subtract). ss30's "
+    "unscaled int exceeds 2^63, where DuckDB's decimal->double cast "
+    "double-rounds, so it round-trips through VARCHAR (correctly-rounded "
+    "parse in both engines).",
 )
 def moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     daily = li.groupBy(F.to_date("l_shipdate").alias("day")).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        )
+        .cast("decimal(18,4)")
+        .alias("rev")
     )
     w7 = Window.orderBy("day").rowsBetween(-6, 0)
     w30 = Window.orderBy("day").rowsBetween(-29, 0)
+    rev = F.col("rev")
+    framed = daily.select(
+        "day",
+        "rev",
+        F.sum(rev).over(w7).alias("s7"),
+        F.count(F.lit(1)).over(w7).alias("c7"),
+        F.sum(rev).over(w30).alias("s30"),
+        F.count(F.lit(1)).over(w30).alias("c30"),
+        F.sum(rev.cast("decimal(19,4)") * rev).over(w30).alias("ss30"),
+    )
+    s30d, c30 = F.col("s30").cast("double"), F.col("c30")
     return (
-        daily.select(
+        framed.select(
             F.date_format("day", "yyyy-MM-dd").alias("day"),
-            F.round("revenue", 4).alias("revenue"),
-            F.round(F.avg("revenue").over(w7), 6).alias("ma7"),
-            F.round(F.avg("revenue").over(w30), 6).alias("ma30"),
-            F.round(F.stddev_pop("revenue").over(w30), 6).alias("vol30"),
+            rev.cast("double").alias("revenue"),
+            (F.col("s7").cast("double") / F.col("c7")).alias("ma7"),
+            (s30d / c30).alias("ma30"),
+            F.sqrt(
+                F.greatest(
+                    F.col("ss30").cast("string").cast("double") / c30
+                    - (s30d / c30) * (s30d / c30),
+                    F.lit(0.0),
+                )
+            ).alias("vol30"),
         )
         .orderBy("day")
     )
@@ -224,8 +262,8 @@ def rank_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                            THEN 1 ELSE 0 END AS is_new
             FROM seq
         ), sess AS (
-            SELECT *, SUM(is_new) OVER (PARTITION BY user_id
-                      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+            SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
             FROM flagged
         )
         SELECT user_id, session_seq, COUNT(*) AS n_events,
