@@ -22,36 +22,76 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as sql_types
 
-from ..functions import parsing
+from ..functions import claims, parsing
 from ..sources import spread, table
 from .registry import register
 
 # --- T1: regex claim extraction ------------------------------------------
 # Reference: study_scraper/claims.py:57-76 (percent + n= regexes, German
-# number forms), :109-213 (snippet windows, >120% suppression).
+# number forms), :109-213 (all-matches extraction, snippet windows,
+# per-span dedup, >120% suppression). Full machinery lives in
+# functions/claims.py; here we build a deterministic multi-claim German
+# corpus from orders numerics (both twins build the identical text) and
+# run the extractor over it.
 
-_PCT_RE = r"(\d+(?:,\d+)?) Prozent"
-_N_RE = r"n=([0-9.]+)"
+_UNIT_FORMS = ("%", " Prozent", " v.H.", " vom Hundert", " Prozentpunkte")
+
+
+def _de_tenths_sql(expr: str) -> str:
+    """German one-decimal number 'NN,N' from a tenths integer (SQL)."""
+    return f"CAST(({expr}) // 10 AS VARCHAR) || ',' || CAST(({expr}) % 10 AS VARCHAR)"
+
+
+def _de_tenths_col(tenths: F.Column) -> F.Column:
+    return F.concat(
+        F.floor(tenths / 10).cast("long").cast("string"),
+        F.lit(","),
+        (tenths % 10).cast("string"),
+    )
+
+
+def _unit_sql(idx_expr: str) -> str:
+    whens = " ".join(
+        f"WHEN {i} THEN '{u}'" for i, u in enumerate(_UNIT_FORMS)
+    )
+    return f"CASE {idx_expr} {whens} END"
+
+
+def _unit_form_col(idx: F.Column) -> F.Column:
+    return F.element_at(
+        F.array(*[F.lit(u) for u in _UNIT_FORMS]), (idx + 1).cast("int")
+    )
 
 
 def _claim_text_sql() -> str:
-    """German claim sentence from orders numerics (DuckDB twin)."""
+    """Multi-claim German study text from orders numerics (DuckDB twin):
+    two percent claims with rotating unit spellings (incl. no-space '%',
+    v.H., vom Hundert, Prozentpunkte), an n= sample-size cue in German
+    thousands or plain form, and a bare year token (must NOT match)."""
+    n = "(30 + (o_custkey * 7) % 10000)"
+    n_de = (
+        f"CASE WHEN {n} >= 1000 THEN CAST({n} // 1000 AS VARCHAR) || '.' || "
+        f"LPAD(CAST({n} % 1000 AS VARCHAR), 3, '0') "
+        f"ELSE CAST({n} AS VARCHAR) END"
+    )
     return (
         "'Studie ' || o_orderkey || ': Die Zustimmung lag bei ' || "
-        "CAST((o_orderkey % 1500) // 10 AS VARCHAR) || ',' || "
-        "CAST((o_orderkey % 1500) % 10 AS VARCHAR) || "
-        "' Prozent (n=' || "
-        "CASE WHEN 30 + (o_custkey * 7) % 10000 >= 1000 THEN "
-        "  CAST((30 + (o_custkey * 7) % 10000) // 1000 AS VARCHAR) || '.' || "
-        "  LPAD(CAST((30 + (o_custkey * 7) % 10000) % 1000 AS VARCHAR), 3, '0') "
-        "ELSE CAST(30 + (o_custkey * 7) % 10000 AS VARCHAR) END || ')."
-        " Quelle: Institut ' || (o_custkey % 7) || '.'"
+        f"{_de_tenths_sql('o_orderkey % 1301')} || "
+        f"{_unit_sql('o_orderkey % 5')} || "
+        "' der Befragten, während ' || "
+        f"{_de_tenths_sql('(o_orderkey * 7 + 3) % 997')} || "
+        f"{_unit_sql('(o_orderkey // 5) % 5')} || "
+        "' der Wähler dies ablehnen (' || "
+        "CASE WHEN o_custkey % 2 = 0 THEN 'n=' ELSE 'n = ' END || "
+        f"{n_de} || "
+        "'). Seit 2021 bleibt die Mehrheit stabil. Quelle: Institut ' || "
+        "(o_custkey % 7) || '.'"
     )
 
 
 def _claim_text_col() -> F.Column:
-    pct_int = F.col("o_orderkey") % 1500
-    n_raw = F.lit(30) + (F.col("o_custkey") * 7) % 10000
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    n_raw = F.lit(30) + (c * 7) % 10000
     n_de = F.when(
         n_raw >= 1000,
         F.concat(
@@ -62,15 +102,18 @@ def _claim_text_col() -> F.Column:
     ).otherwise(n_raw.cast("string"))
     return F.concat(
         F.lit("Studie "),
-        F.col("o_orderkey").cast("string"),
+        k.cast("string"),
         F.lit(": Die Zustimmung lag bei "),
-        F.floor(pct_int / 10).cast("long").cast("string"),
-        F.lit(","),
-        (pct_int % 10).cast("string"),
-        F.lit(" Prozent (n="),
+        _de_tenths_col(k % 1301),
+        _unit_form_col(k % 5),
+        F.lit(" der Befragten, während "),
+        _de_tenths_col((k * 7 + 3) % 997),
+        _unit_form_col(F.floor(k / 5).cast("long") % 5),
+        F.lit(" der Wähler dies ablehnen ("),
+        F.when(c % 2 == 0, F.lit("n=")).otherwise(F.lit("n = ")),
         n_de,
-        F.lit("). Quelle: Institut "),
-        (F.col("o_custkey") % 7).cast("string"),
+        F.lit("). Seit 2021 bleibt die Mehrheit stabil. Quelle: Institut "),
+        (c % 7).cast("string"),
         F.lit("."),
     )
 
@@ -78,32 +121,23 @@ def _claim_text_col() -> F.Column:
 @register(
     "claims_extract",
     oracle=f"""
-        WITH src AS (
-            SELECT o_orderkey AS study_id, {_claim_text_sql()} AS text
-            FROM orders
-        ), ext AS (
-            SELECT study_id, text,
-                   REGEXP_EXTRACT(text, '{_PCT_RE}', 1) AS pct_raw,
-                   REGEXP_EXTRACT(text, '{_N_RE}', 1) AS n_raw,
-                   STRPOS(text, ' Prozent') AS pct_pos
-            FROM src
-        )
-        SELECT study_id,
-               ROUND({parsing.parse_german_number_sql('pct_raw')}, 1)
-                   AS value_pct,
-               CAST({parsing.parse_german_number_sql('n_raw')} AS BIGINT)
-                   AS sample_n,
-               SUBSTRING(text, GREATEST(1, pct_pos - 40), 90) AS snippet
-        FROM ext
-        WHERE {parsing.parse_german_number_sql('pct_raw')} <= 120
-        ORDER BY study_id
+        SELECT * FROM ({claims.claims_from_text_sql(
+            f"SELECT o_orderkey AS study_id, {_claim_text_sql()} AS text FROM orders"
+        )})
+        ORDER BY study_id, claim_id
     """,
     tags=("text", "pipeline"),
-    doc="T1 regex claim extraction: German percent forms + n= sample "
-    "sizes with +-char snippet windows and >120% suppression "
-    "(study_scraper/claims.py:57-76, 109-213). Claim text is built from "
-    "orders numerics in-query; extraction and German number parsing are "
-    "the ops under test. Pure projection — no shuffle at any scale.",
+    doc="T1 regex claim extraction at full reference surface "
+    "(study_scraper/claims.py:57-76, 109-213): ALL matches per document "
+    "over the complete German unit alternation (%, Prozent, "
+    "Prozentpunkt(e)->pp, v.H., vom Hundert, case-insensitive), German "
+    "number parsing with the 3-digit thousands heuristic, n= sample "
+    "cues, per-span dedup, +-90-char word-boundary snippets, >120% "
+    "suppression (which subsumes the year-token filter), and stable "
+    "sha256 claim ids. Claim text is built from orders numerics "
+    "in-query (both twins identical); machinery in functions/claims.py. "
+    "Pure projection + explode — no shuffle at any scale beyond the "
+    "final ordering.",
 )
 def claims_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # regex-heavy per-row work: spread the single-file scan across cores
@@ -111,28 +145,7 @@ def claims_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = o.select(
         F.col("o_orderkey").alias("study_id"), _claim_text_col().alias("text")
     )
-    ext = src.select(
-        "study_id",
-        "text",
-        F.regexp_extract("text", _PCT_RE, 1).alias("pct_raw"),
-        F.regexp_extract("text", _N_RE, 1).alias("n_raw"),
-        F.instr(F.col("text"), " Prozent").alias("pct_pos"),
-    )
-    value_pct = parsing.parse_german_number_col("pct_raw")
-    return (
-        ext.filter(value_pct <= 120)
-        .select(
-            "study_id",
-            F.round(value_pct, 1).alias("value_pct"),
-            parsing.parse_german_number_col("n_raw")
-            .cast("long")
-            .alias("sample_n"),
-            F.substring(
-                F.col("text"), F.greatest(F.lit(1), F.col("pct_pos") - 40), 90
-            ).alias("snippet"),
-        )
-        .orderBy("study_id")
-    )
+    return claims.claims_from_text_df(src).orderBy("study_id", "claim_id")
 
 
 # --- T3: rule-based topic scoring ----------------------------------------
@@ -374,10 +387,10 @@ _PRED_SQL = "value >= 10.0"
             FROM events
         ), cm AS (
             SELECT event_type,
-                   SUM(gold * pred) AS tp,
-                   SUM((1 - gold) * pred) AS fp,
-                   SUM(gold * (1 - pred)) AS fn,
-                   SUM((1 - gold) * (1 - pred)) AS tn
+                   CAST(SUM(gold * pred) AS BIGINT) AS tp,
+                   CAST(SUM((1 - gold) * pred) AS BIGINT) AS fp,
+                   CAST(SUM(gold * (1 - pred)) AS BIGINT) AS fn,
+                   CAST(SUM((1 - gold) * (1 - pred)) AS BIGINT) AS tn
             FROM labeled GROUP BY event_type
         )
         SELECT event_type, tp, fp, fn, tn,

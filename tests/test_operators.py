@@ -493,3 +493,101 @@ def test_oai_decode_skips_deleted_and_finds_doi():
     assert r["language"] == "de"  # GER -> de, case-folded
     assert r["resumption_token"] == "tk"
     assert list(decode_oai("not xml <")) == []
+
+
+# --- T1 claim extraction (reference test_claims_german_pct.py ported) ------
+
+
+def _extract_claims(spark, text):
+    from elt_data4transformation_spark.functions.claims import claims_from_text_df
+
+    src = spark.createDataFrame([("s", text)], "study_id string, text string")
+    return [
+        (r.value_num, r.unit, r.snippet)
+        for r in claims_from_text_df(src).collect()
+    ]
+
+
+def _vals(spark, text, unit=None):
+    return [
+        v for v, u, _ in _extract_claims(spark, text) if unit is None or u == unit
+    ]
+
+
+def test_claims_prozent_word_is_captured(spark):
+    assert 62.0 in _vals(
+        spark, "62 Prozent der Befragten befürworten das Gesetz.", "%"
+    )
+
+
+def test_claims_prozent_no_space(spark):
+    assert 47.0 in _vals(spark, "Zustimmung lag bei 47Prozent.", "%")
+
+
+def test_claims_v_h_abbreviation(spark):
+    assert 55.0 in _vals(spark, "55 v.H. der Wähler lehnen dies ab.", "%")
+
+
+def test_claims_vom_hundert(spark):
+    assert 30.0 in _vals(spark, "Rund 30 vom Hundert sind unentschieden.", "%")
+
+
+def test_claims_percent_sign_all_matches(spark):
+    vals = _vals(spark, "62% Zustimmung, 36 % Ablehnung.", "%")
+    assert 62.0 in vals and 36.0 in vals
+
+
+def test_claims_prozentpunkte_tagged_pp_not_percent(spark):
+    out = _extract_claims(
+        spark, "Die Union verliert 3 Prozentpunkte gegenüber Vormonat."
+    )
+    assert any(v == 3.0 and u == "pp" for v, u, _ in out)
+    assert not any(v == 3.0 and u == "%" for v, u, _ in out)
+
+
+def test_claims_decimal_comma(spark):
+    assert 62.5 in _vals(spark, "62,5 Prozent Zustimmung.", "%")
+
+
+def test_claims_german_thousands_sample(spark):
+    assert 6063.0 in _vals(spark, "Befragt wurden n=6.063 Personen.", "n")
+
+
+def test_claims_over_120_suppressed(spark):
+    assert 250.0 not in _vals(spark, "Die Zahl stieg um 250 Prozent.", "%")
+
+
+def test_claims_case_insensitive(spark):
+    assert 41.0 in _vals(spark, "41 PROZENT stimmen zu.", "%")
+
+
+def test_claims_snippet_matches_reference_trim(spark):
+    # _trim_snippet parity: word-boundary back-off left, delimiter stop right
+    text = (
+        "Einleitungssatz über die Methodik der Umfrage im Detail. "
+        "Die Zustimmung lag bei 62,5 Prozent der Befragten, was eine "
+        "deutliche Mehrheit darstellt und die Debatte veränderte."
+    )
+    out = _extract_claims(spark, text)
+    [(v, u, snippet)] = [r for r in out if r[1] == "%"]
+    assert v == 62.5
+    import re as _re
+
+    lo = max(0, text.index("62,5") - 90)
+    while lo > 0 and text[lo] != " ":
+        lo -= 1
+    hi = min(len(text), text.index("62,5") + len("62,5 Prozent") + 90)
+    while hi < len(text) and text[hi] not in " .;!?":
+        hi += 1
+    assert snippet == _re.sub(r"\s+", " ", text[lo:hi].strip())
+
+
+def test_claims_multiline_whitespace(spark):
+    # \s* between value and unit: newline / double-space don't break it
+    assert 62.0 in _vals(spark, "Zustimmung:\n62\n Prozent insgesamt.", "%")
+
+
+def test_claims_per_span_dedup_keeps_repeats(spark):
+    # same value at two positions = two claims (span is part of the key)
+    vals = _vals(spark, "62 % hier und 62 % dort.", "%")
+    assert vals.count(62.0) == 2
