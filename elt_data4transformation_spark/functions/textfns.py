@@ -214,3 +214,57 @@ def simhash_sql(words_sql_expr: str) -> str:
             total = f"LIST_SUM({contrib})"
             bits.append(f"CASE WHEN {total} > 0 THEN '1' ELSE '0' END")
     return "CONCAT(" + ", ".join(bits) + ")"
+
+
+# --- shared quality / language-ID formulas (single source of truth for
+# --- quality_score / lang_id AND the corpus_clean_pipeline composite) ----
+
+
+def quality_col(text: str = "text") -> Column:
+    """Length / stopword-ratio / punctuation-ratio blend in [0, 1]."""
+    n_words = F.size(words_col(text)).cast("long")
+    sw_ratio = stopword_hits_col("en", text).cast("double") / n_words
+    punct = (
+        F.size(F.regexp_extract_all(text, F.lit("[^a-z0-9 ]"), 0))
+        .cast("double")
+        / F.length(text)
+    )
+    return F.least(
+        F.greatest(
+            0.3 * F.least(n_words / 200.0, F.lit(1.0))
+            + 0.4 * F.least(sw_ratio * 5, F.lit(1.0))
+            + 0.3 * (1.0 - F.least(punct * 10, F.lit(1.0))),
+            F.lit(0.0),
+        ),
+        F.lit(1.0),
+    )
+
+
+def quality_sql(text: str = "text") -> str:
+    n_words = f"LEN({words_sql(text)})"
+    sw = stopword_hits_sql("en", text)
+    punct = f"LEN(REGEXP_EXTRACT_ALL({text}, '[^a-z0-9 ]'))"
+    return f"""LEAST(GREATEST(
+        0.3 * LEAST({n_words} / 200.0, 1.0)
+      + 0.4 * LEAST(CAST({sw} AS DOUBLE) / {n_words} * 5, 1.0)
+      + 0.3 * (1.0 - LEAST(CAST({punct} AS DOUBLE) / LENGTH({text}) * 10, 1.0)),
+        0.0), 1.0)"""
+
+
+def langid_col(text: str = "text") -> Column:
+    """Predicted language: stopword-hit argmax, LANG_ORDER tie-break."""
+    scores = {lang: stopword_hits_col(lang, text) for lang in LANG_ORDER}
+    best = F.greatest(*scores.values())
+    pred: Column = F.lit("und")
+    for lang in reversed(LANG_ORDER):
+        pred = F.when(scores[lang] == best, lang).otherwise(pred)
+    return F.when(best > 0, pred).otherwise(F.lit("und"))
+
+
+def langid_sql(text: str = "text") -> str:
+    scores = {lang: stopword_hits_sql(lang, text) for lang in LANG_ORDER}
+    best = "GREATEST(" + ", ".join(scores.values()) + ")"
+    whens = " ".join(
+        f"WHEN {scores[lang]} = {best} THEN '{lang}'" for lang in LANG_ORDER
+    )
+    return f"CASE WHEN {best} = 0 THEN 'und' ELSE (CASE {whens} END) END"

@@ -136,16 +136,20 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """LSH candidate pairs with exact-Jaccard re-score >= threshold.
-    Output: doc_a, doc_b, jaccard_raw (unrounded)."""
+    Output: doc_a, doc_b, jaccard_raw (unrounded).
+
+    Cost shape: the full-corpus shingle arrays are never persisted or
+    shuffled — signatures consume them inline in one scan, and the
+    re-score recomputes shingles only for documents that appear in a
+    candidate pair (semi-join on candidate ids). Persisted state is the
+    tiny (id, band) table and the candidate-id pairs; at 100 TB the
+    candidate side is the near-dup fraction of the corpus, so the
+    re-score join broadcasts (AQE has real size stats from the eager
+    materialization) instead of shuffling arrays per pair."""
     sh = docs.select(
         F.col(id_col).alias("_id"),
         T.char_shingles_col(shingle, text_col).alias("_sh"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    # Eager materialization: shingling is the expensive projection and is
-    # reused three times (signatures, re-score x2); materializing now also
-    # gives AQE real size stats so the re-score join can go broadcast when
-    # the corpus side is small instead of shuffling shingle arrays.
-    sh.count()
+    )
     sig = minhash_signature(sh, "_id", "_sh", n_hashes, n_bands)
     bands = (
         sig.select(
@@ -179,16 +183,31 @@ def minhash_lsh_pairs(
         )
         .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sa = sh.select(
+    cand.count()  # eager: ids feed the semi-join below
+    ids = cand.select(F.col("doc_a").alias(id_col)).union(
+        cand.select(F.col("doc_b").alias(id_col))
+    ).distinct()
+    sh_c = (
+        docs.join(ids, id_col, "left_semi")
+        .select(
+            F.col(id_col).alias("_id"),
+            T.char_shingles_col(shingle, text_col).alias("_sh"),
+        )
+        .select("_id", "_sh", F.size("_sh").alias("_n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sh_c.count()  # eager: real size stats let AQE broadcast the re-score
+    sa = sh_c.select(
         F.col("_id").alias("doc_a"),
         F.col("_sh").alias("_sa"),
-        F.size("_sh").alias("_na"),
+        F.col("_n").alias("_na"),
     )
-    sb = sh.select(
+    sb = sh_c.select(
         F.col("_id").alias("doc_b"),
         F.col("_sh").alias("_sb"),
-        F.size("_sh").alias("_nb"),
+        F.col("_n").alias("_nb"),
     )
     # |A∪B| from precomputed set sizes — array_distinct(concat(a,b))
     # would re-hash every element per candidate pair for a number the

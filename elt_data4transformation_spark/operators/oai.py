@@ -52,9 +52,14 @@ def _dc_texts(dc: ET.Element, tag: str) -> list[str]:
 def decode_oai(xml: str) -> Iterator[dict]:
     """Parse one ListRecords response; yields one dict per kept record
     (ssoar.py:149-237 semantics; list fields '|'-joined)."""
+    # falsy / non-string payloads (NULL response cell in production)
+    # would raise TypeError inside ET.fromstring and fail the whole
+    # stage — skip them like any other undecodable record
+    if not xml or not isinstance(xml, str):
+        return
     try:
         root = ET.fromstring(xml)
-    except ET.ParseError:
+    except (ET.ParseError, TypeError, ValueError):
         return
     tok_el = root.find(".//oai:resumptionToken", OAI_NS)
     token: Optional[str] = (

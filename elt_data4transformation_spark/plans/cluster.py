@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Row, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import textfns as T
+from ..functions import concepts, textfns as T
 from ..sources import spread, table
 from .registry import register
 
@@ -48,8 +48,8 @@ def _title_col() -> F.Column:
             SELECT a.lang AS lang, a.source AS source,
                    a.doc_id AS doc_a, b.doc_id AS doc_b,
                    CAST(LEN(LIST_INTERSECT(a.trgm, b.trgm)) AS DOUBLE)
-                   / (LEN(a.trgm) + LEN(b.trgm)
-                      - LEN(LIST_INTERSECT(a.trgm, b.trgm))) AS sim
+                   / NULLIF(LEN(a.trgm) + LEN(b.trgm)
+                      - LEN(LIST_INTERSECT(a.trgm, b.trgm)), 0) AS sim
             FROM t a JOIN t b
               ON a.lang = b.lang AND a.source = b.source
              AND a.doc_id < b.doc_id
@@ -108,7 +108,11 @@ def trigram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.source").alias("source"),
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            (inter / union).alias("sim"),
+            # nullif guard: two empty trigram sets would make this 0/0
+            # = NaN, and Spark orders NaN ABOVE any number so it would
+            # PASS the >= threshold (DuckDB yields NULL) — latent
+            # parity break on empty/whitespace-only titles
+            (inter / F.nullif(union, F.lit(0.0))).alias("sim"),
         )
         .filter(F.col("sim") >= _TRGM_THRESHOLD)
     )
@@ -119,6 +123,215 @@ def trigram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "source", "doc_a", "doc_b", F.round("sim", 6).alias("sim"))
         .orderBy("doc_a")
     )
+
+
+# --- T5 composite: title dedup-MERGE at the reference operating point -----
+# migrations/0006_title_dedup.sql:51-72 (find_title_dup: pg_trgm
+# similarity >= 0.85, NULL-permissive year gate, best by sim DESC /
+# created_at ASC, LIMIT 1) + caller storage/postgres.py:275-323 (merge:
+# source_urls accumulate distinct, doi COALESCE(existing, incoming),
+# canonical metadata wins; no match -> insert as new).
+
+_MERGE_THRESHOLD = 0.85
+
+
+def _merge_titles_sql() -> tuple[str, str]:
+    """(existing-catalog, incoming-batch) CTE bodies. Incoming titles:
+    exact duplicate, suffixed near-dup ('…gesetz' -> '…gesetzs', the
+    0.85-passing inflection case from the migration comment), or a
+    different word window (no dup -> insert)."""
+    year = "CASE WHEN doc_id % 11 = 0 THEN NULL ELSE 2015 + doc_id % 10 END"
+    ex = f"""
+        SELECT 'S' || doc_id AS sid, doc_id AS created_at,
+               {_title_sql()} AS title,
+               {year} AS year,
+               CASE WHEN doc_id % 4 = 0 THEN NULL
+                    ELSE 'doi:10.1/' || doc_id END AS doi,
+               'https://a.example/' || doc_id AS url
+        FROM documents
+    """
+    inc = f"""
+        SELECT 'N' || doc_id AS nid,
+               CASE WHEN doc_id % 9 = 0
+                      THEN ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[7:12], ' ')
+                    WHEN doc_id % 6 = 0 THEN {_title_sql()} || 's'
+                    ELSE {_title_sql()} END AS title,
+               CASE WHEN doc_id % 5 = 0 THEN NULL ELSE {year} END AS year,
+               CASE WHEN doc_id % 8 = 0 THEN 'doi:10.9/' || doc_id
+                    ELSE NULL END AS doi,
+               'https://b.example/' || doc_id AS url
+        FROM documents WHERE doc_id % 3 = 0
+    """
+    return ex, inc
+
+
+@register(
+    "title_dedup_merge",
+    oracle=(lambda ex, inc: f"""
+        WITH ex AS ({ex}), inc AS ({inc}),
+        ext AS (
+            SELECT *, LOWER(STRING_SPLIT(title, ' ')[1]) AS blk,
+                   {T.pg_trgm_sql('title')} AS trgm
+            FROM ex
+        ),
+        intk AS (
+            SELECT *, LOWER(STRING_SPLIT(title, ' ')[1]) AS blk,
+                   {T.pg_trgm_sql('title')} AS trgm
+            FROM inc
+        ),
+        cand AS (
+            SELECT i.nid, e.sid, e.created_at,
+                   CAST(LEN(LIST_INTERSECT(i.trgm, e.trgm)) AS DOUBLE)
+                   / NULLIF(LEN(i.trgm) + LEN(e.trgm)
+                      - LEN(LIST_INTERSECT(i.trgm, e.trgm)), 0) AS sim,
+                   e.title AS etitle, e.year AS eyear,
+                   i.doi AS idoi, e.doi AS edoi,
+                   i.url AS iurl, e.url AS eurl
+            FROM intk i JOIN ext e ON i.blk = e.blk
+            WHERE (i.year IS NULL OR e.year IS NULL OR i.year = e.year)
+        ),
+        best AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY nid
+                       ORDER BY sim DESC, created_at ASC) AS rn
+            FROM cand WHERE sim >= {_MERGE_THRESHOLD}
+        ),
+        m AS (SELECT * FROM best WHERE rn = 1),
+        merged AS (
+            SELECT nid AS incoming_id, 'merged' AS action,
+                   sid AS canonical_id, etitle AS title, eyear AS year,
+                   COALESCE(edoi, idoi) AS doi,
+                   ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT([eurl, iurl])),
+                                   '|') AS source_urls,
+                   ROUND(sim, 6) AS sim
+            FROM m
+        ),
+        inserted AS (
+            SELECT i.nid AS incoming_id, 'inserted' AS action,
+                   i.nid AS canonical_id, i.title, i.year, i.doi,
+                   i.url AS source_urls, CAST(NULL AS DOUBLE) AS sim
+            FROM intk i LEFT JOIN m ON m.nid = i.nid
+            WHERE m.nid IS NULL
+        )
+        SELECT * FROM merged
+        UNION ALL
+        SELECT * FROM inserted
+        ORDER BY incoming_id
+    """)(*_merge_titles_sql()),
+    tags=("dedup", "similarity", "upsert"),
+    doc="T5 composite at the reference operating point: incoming batch "
+    "vs catalog, exact pg_trgm similarity >= 0.85 on lower(title), "
+    "NULL-permissive publication-year gate, best match by sim DESC / "
+    "created_at ASC, then the actual MERGE decision — source_urls "
+    "union'd distinct, doi = COALESCE(existing, incoming), canonical "
+    "metadata first-wins; unmatched rows insert as new "
+    "(migrations/0006_title_dedup.sql:51-72 + storage/postgres.py:"
+    "275-323). Candidates block on the title's first word here; at "
+    "100 TB candidate generation is the MinHash+LSH band join "
+    "(dedup_minhash_lsh) with this exact re-score on candidates only. "
+    "trigram_similarity is the pairwise-score primitive; THIS query is "
+    "the end-to-end dedup-merge a reference user runs.",
+)
+def title_dedup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents"))
+    year = (
+        F.when(F.col("doc_id") % 11 == 0, F.lit(None))
+        .otherwise(2015 + F.col("doc_id") % 10)
+    )
+    ex = d.select(
+        F.concat(F.lit("S"), F.col("doc_id").cast("string")).alias("sid"),
+        F.col("doc_id").alias("created_at"),
+        _title_col().alias("title"),
+        year.alias("year"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(None))
+        .otherwise(F.concat(F.lit("doi:10.1/"), F.col("doc_id").cast("string")))
+        .alias("doi"),
+        F.concat(F.lit("https://a.example/"), F.col("doc_id").cast("string"))
+        .alias("url"),
+    )
+    inc = d.filter(F.col("doc_id") % 3 == 0).select(
+        F.concat(F.lit("N"), F.col("doc_id").cast("string")).alias("nid"),
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.array_join(F.slice(F.split("text", " "), 7, 6), " "),
+        )
+        .when(F.col("doc_id") % 6 == 0, F.concat(_title_col(), F.lit("s")))
+        .otherwise(_title_col())
+        .alias("title"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None)).otherwise(year).alias("year"),
+        F.when(
+            F.col("doc_id") % 8 == 0,
+            F.concat(F.lit("doi:10.9/"), F.col("doc_id").cast("string")),
+        )
+        .otherwise(F.lit(None))
+        .alias("doi"),
+        F.concat(F.lit("https://b.example/"), F.col("doc_id").cast("string"))
+        .alias("url"),
+    )
+    blk = F.lower(F.element_at(F.split("title", " "), 1))
+    ext = ex.withColumn("blk", blk).withColumn("trgm", T.pg_trgm_col(F.col("title")))
+    intk = inc.withColumn("blk", blk).withColumn(
+        "trgm", T.pg_trgm_col(F.col("title"))
+    )
+    i, e = intk.alias("i"), ext.alias("e")
+    inter = F.size(F.array_intersect(F.col("i.trgm"), F.col("e.trgm"))).cast(
+        "double"
+    )
+    union = (
+        F.size(F.col("i.trgm")) + F.size(F.col("e.trgm"))
+    ).cast("double") - inter
+    cand = (
+        i.join(
+            e,
+            (F.col("i.blk") == F.col("e.blk"))
+            & (
+                F.col("i.year").isNull()
+                | F.col("e.year").isNull()
+                | (F.col("i.year") == F.col("e.year"))
+            ),
+        )
+        .select(
+            "nid",
+            "sid",
+            "created_at",
+            (inter / F.nullif(union, F.lit(0.0))).alias("sim"),
+            F.col("e.title").alias("etitle"),
+            F.col("e.year").alias("eyear"),
+            F.col("i.doi").alias("idoi"),
+            F.col("e.doi").alias("edoi"),
+            F.col("i.url").alias("iurl"),
+            F.col("e.url").alias("eurl"),
+        )
+        .filter(F.col("sim") >= _MERGE_THRESHOLD)
+    )
+    w_best = Window.partitionBy("nid").orderBy(F.desc("sim"), F.asc("created_at"))
+    m = cand.withColumn("rn", F.row_number().over(w_best)).filter(F.col("rn") == 1)
+    merged = m.select(
+        F.col("nid").alias("incoming_id"),
+        F.lit("merged").alias("action"),
+        F.col("sid").alias("canonical_id"),
+        F.col("etitle").alias("title"),
+        F.col("eyear").alias("year"),
+        F.coalesce("edoi", "idoi").alias("doi"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.array("eurl", "iurl"))), "|"
+        ).alias("source_urls"),
+        F.round("sim", 6).alias("sim"),
+    )
+    inserted = (
+        intk.join(m.select(F.col("nid").alias("mnid")),
+                  F.col("nid") == F.col("mnid"), "left_anti")
+        .select(
+            F.col("nid").alias("incoming_id"),
+            F.lit("inserted").alias("action"),
+            F.col("nid").alias("canonical_id"),
+            "title",
+            "year",
+            "doi",
+            F.col("url").alias("source_urls"),
+            F.lit(None).cast("double").alias("sim"),
+        )
+    )
+    return merged.unionByName(inserted).orderBy("incoming_id")
 
 
 # --- T4: DOI-group dedup-merge -------------------------------------------
@@ -447,22 +660,289 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- J12: label-fuzzy snapshot diff (digest.py:75-139 full surface) -------
+# _match_prev: candidate prev rows filtered by EXACT (position,
+# population) key, label matched by question_similarity >= 0.72,
+# best-match by max similarity; |Δweighted_pct| >= SHIFT_POINTS ->
+# 'shift', no match -> 'new' (deduped by label, as in new_questions).
+
+_FUZZY_THRESHOLD = 0.72  # clustering.py:37 DEFAULT_THRESHOLD
+_SHIFT_POINTS = 5.0  # digest.py:34
+
+_POSITIONS = ("ja", "nein", "unentschieden")
+
+
+def _fuzzy_rows_sql() -> str:
+    """Two snapshot runs from documents: the 'same question' phrased as
+    word-window [1..6] (prev run) vs [2..7] (cur run) — high-but-<1
+    cosine; per-run membership and pct move are doc_id-deterministic."""
+    pos = "(['ja','nein','unentschieden'])[(doc_id % 3) + 1]"
+    return f"""
+        base AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS wds FROM documents
+        ),
+        rows_prev AS (
+            SELECT doc_id AS pid,
+                   ARRAY_TO_STRING(wds[1:6], ' ') AS label,
+                   {pos} AS position,
+                   ROUND(20 + (doc_id * 13 % 600) / 10.0, 1) AS pct
+            FROM base WHERE doc_id % 5 != 0
+        ),
+        rows_cur AS (
+            SELECT doc_id AS cid,
+                   ARRAY_TO_STRING(wds[2:7], ' ') AS label,
+                   {pos} AS position,
+                   ROUND(20 + (doc_id * 13 % 600) / 10.0
+                         + (doc_id % 21) - 10, 1) AS pct
+            FROM base WHERE doc_id % 7 != 0
+        ),
+        labels AS (
+            SELECT 'p' || pid AS id, label AS text FROM rows_prev
+            UNION ALL
+            SELECT 'c' || cid AS id, label AS text FROM rows_cur
+        )"""
+
+
+@register(
+    "snapshot_fuzzy_diff",
+    oracle=f"""
+        WITH {_fuzzy_rows_sql()},
+        {concepts.doc_terms_sql("SELECT id, text FROM labels")},
+        norms AS (
+            SELECT id, SQRT(SUM(w * w)) AS nrm FROM vec GROUP BY id
+        ),
+        posmap AS (
+            SELECT 'p' || pid AS id, position FROM rows_prev
+            UNION ALL
+            SELECT 'c' || cid AS id, position FROM rows_cur
+        ),
+        vecp AS (
+            -- norm rides along on every term row so the >= threshold
+            -- filter can run INSIDE the pair aggregate, before any join
+            SELECT v.*, r.position, n.nrm
+            FROM vec v JOIN posmap r USING (id) JOIN norms n USING (id)
+        ),
+        sims AS (
+            -- position is part of the term-join key: _match_prev filters
+            -- candidates by the exact secondary key BEFORE similarity,
+            -- and carrying it here keeps co-term pair fan-out down when
+            -- the vocabulary is dense
+            SELECT CAST(SUBSTR(cid_s, 2) AS BIGINT) AS cur_id,
+                   CAST(SUBSTR(pid_s, 2) AS BIGINT) AS prev_id, sim
+            FROM (
+                SELECT c.id AS cid_s, p.id AS pid_s,
+                       SUM(c.w * p.w)
+                       / (ANY_VALUE(c.nrm) * ANY_VALUE(p.nrm)) AS sim
+                FROM vecp c JOIN vecp p
+                  ON c.term = p.term AND c.position = p.position
+                WHERE c.id LIKE 'c%' AND p.id LIKE 'p%'
+                GROUP BY 1, 2
+            ) WHERE sim >= {_FUZZY_THRESHOLD}
+        ),
+        cand AS (
+            SELECT s.cur_id, s.prev_id, s.sim, rc.label, rc.position,
+                   rp.pct AS from_pct, rc.pct AS to_pct,
+                   ROW_NUMBER() OVER (PARTITION BY s.cur_id
+                       ORDER BY s.sim DESC, s.prev_id) AS rn
+            FROM sims s
+            JOIN rows_cur rc ON rc.cid = s.cur_id
+            JOIN rows_prev rp ON rp.pid = s.prev_id
+            WHERE rc.position = rp.position
+        ),
+        matched AS (SELECT * FROM cand WHERE rn = 1),
+        out_matched AS (
+            SELECT label, position, from_pct, to_pct,
+                   ROUND(to_pct - from_pct, 1) AS delta,
+                   CASE WHEN ABS(to_pct - from_pct) >= {_SHIFT_POINTS}
+                        THEN 'shift' ELSE 'steady' END AS status,
+                   ROUND(sim, 4) AS sim
+            FROM matched
+        ),
+        out_new AS (
+            SELECT label, position, CAST(NULL AS DOUBLE) AS from_pct,
+                   pct AS to_pct, CAST(NULL AS DOUBLE) AS delta,
+                   'new' AS status, CAST(NULL AS DOUBLE) AS sim
+            FROM (
+                SELECT rc.*, ROW_NUMBER() OVER (
+                    PARTITION BY rc.label ORDER BY rc.cid) AS lrn
+                FROM rows_cur rc
+                LEFT JOIN matched m ON m.cur_id = rc.cid
+                WHERE m.cur_id IS NULL
+            ) WHERE lrn = 1
+        )
+        SELECT * FROM out_matched
+        UNION ALL
+        SELECT * FROM out_new
+        ORDER BY label, position, status
+    """,
+    tags=("cluster", "join", "semantic"),
+    doc="J12/T12 label-fuzzy snapshot diff at the full reference surface "
+    "(study_scraper/digest.py:75-139): prev-run candidates filtered by "
+    "EXACT position key, labels matched by question_similarity "
+    "(clustering.py:178, concept token-vector cosine) >= 0.72, "
+    "best-match via window (sim DESC; reference breaks ties by prev "
+    "list order, here by prev_id for distributed determinism), then "
+    "|Δpct| >= 5 -> shift / no match -> new (deduped by label like "
+    "new_questions). Both snapshot runs are derived from documents with "
+    "shifted word windows so labels are similar-but-unequal. Scale "
+    "shape: inverted-index term join with the PREV side broadcast (a "
+    "snapshot is one digest run — always small vs the corpus), norms "
+    "riding on term rows so the >= 0.72 filter runs inside the pair "
+    "aggregate, + one window per cur row — no cross join. The synthetic "
+    "corpus's ~30-word vocabulary makes co-term pairs near-dense (the "
+    "adversarial case for any inverted index); real question text is "
+    "sparse, and the standard df-cap/prefix-filter mitigations apply "
+    "when it isn't.",
+)
+def snapshot_fuzzy_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    wds = F.split("text", " ")
+    pos = F.element_at(
+        F.array(*[F.lit(p) for p in _POSITIONS]),
+        ((F.col("doc_id") % 3) + 1).cast("int"),
+    )
+    pct_prev = F.round(20 + (F.col("doc_id") * 13 % 600) / 10.0, 1)
+    base = d.select("doc_id", wds.alias("wds"), pos.alias("position"))
+    rows_prev = base.filter(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id").alias("pid"),
+        F.array_join(F.slice("wds", 1, 6), " ").alias("label"),
+        "position",
+        pct_prev.alias("pct"),
+    )
+    rows_cur = base.filter(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("cid"),
+        F.array_join(F.slice("wds", 2, 6), " ").alias("label"),
+        "position",
+        F.round(
+            20 + (F.col("doc_id") * 13 % 600) / 10.0
+            + (F.col("doc_id") % 21) - 10,
+            1,
+        ).alias("pct"),
+    )
+    labels = rows_prev.select(
+        F.concat(F.lit("p"), F.col("pid").cast("string")).alias("id"),
+        F.col("label").alias("text"),
+    ).unionByName(
+        rows_cur.select(
+            F.concat(F.lit("c"), F.col("cid").cast("string")).alias("id"),
+            F.col("label").alias("text"),
+        )
+    )
+    vec = concepts.doc_terms(spark, labels, id_col="id", text_col="text")
+    norms = vec.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    posmap = rows_prev.select(
+        F.concat(F.lit("p"), F.col("pid").cast("string")).alias("id"), "position"
+    ).unionByName(
+        rows_cur.select(
+            F.concat(F.lit("c"), F.col("cid").cast("string")).alias("id"),
+            "position",
+        )
+    )
+    # position joins INTO the term key (reference filters the secondary
+    # key before similarity) — bounds co-term fan-out on dense vocab;
+    # the norm rides along on every term row so the >= threshold filter
+    # runs inside the pair aggregate, before any downstream join
+    vecp = vec.join(posmap, "id").join(norms, "id")
+    cvec = vecp.filter(F.col("id").startswith("c")).alias("c")
+    pvec = vecp.filter(F.col("id").startswith("p")).alias("p")
+    sims = (
+        # broadcast the PREV side: a snapshot is one digest run's rows —
+        # always small relative to the current corpus — and the (term,
+        # position) key has tiny cardinality on dense vocab, so a
+        # shuffle join would cap parallelism at ~n_terms*n_positions
+        cvec.join(
+            F.broadcast(pvec),
+            (F.col("c.term") == F.col("p.term"))
+            & (F.col("c.position") == F.col("p.position")),
+        )
+        .groupBy(F.col("c.id").alias("cid_s"), F.col("p.id").alias("pid_s"))
+        .agg(
+            (
+                F.sum(F.col("c.w") * F.col("p.w"))
+                / (F.first(F.col("c.nrm")) * F.first(F.col("p.nrm")))
+            ).alias("sim")
+        )
+        .filter(F.col("sim") >= _FUZZY_THRESHOLD)
+        .select(
+            F.expr("CAST(SUBSTR(cid_s, 2) AS BIGINT)").alias("cur_id"),
+            F.expr("CAST(SUBSTR(pid_s, 2) AS BIGINT)").alias("prev_id"),
+            "sim",
+        )
+    )
+    w_best = Window.partitionBy("cur_id").orderBy(
+        F.col("sim").desc(), F.col("prev_id")
+    )
+    cand = (
+        sims.join(rows_cur.alias("rc"), F.col("cur_id") == F.col("rc.cid"))
+        .join(rows_prev.alias("rp"), F.col("prev_id") == F.col("rp.pid"))
+        .filter(F.col("rc.position") == F.col("rp.position"))
+        .select(
+            "cur_id",
+            "prev_id",
+            "sim",
+            F.col("rc.label").alias("label"),
+            F.col("rc.position").alias("position"),
+            F.col("rp.pct").alias("from_pct"),
+            F.col("rc.pct").alias("to_pct"),
+        )
+        .withColumn("rn", F.row_number().over(w_best))
+    )
+    matched = cand.filter(F.col("rn") == 1).drop("rn")
+    delta = F.round(F.col("to_pct") - F.col("from_pct"), 1)
+    out_matched = matched.select(
+        "label",
+        "position",
+        "from_pct",
+        "to_pct",
+        delta.alias("delta"),
+        F.when(
+            F.abs(F.col("to_pct") - F.col("from_pct")) >= _SHIFT_POINTS,
+            "shift",
+        )
+        .otherwise("steady")
+        .alias("status"),
+        F.round("sim", 4).alias("sim"),
+    )
+    w_lbl = Window.partitionBy("label").orderBy("cid")
+    out_new = (
+        rows_cur.join(
+            matched.select(F.col("cur_id").alias("cid")), "cid", "left_anti"
+        )
+        .withColumn("lrn", F.row_number().over(w_lbl))
+        .filter(F.col("lrn") == 1)
+        .select(
+            "label",
+            "position",
+            F.lit(None).cast("double").alias("from_pct"),
+            F.col("pct").alias("to_pct"),
+            F.lit(None).cast("double").alias("delta"),
+            F.lit("new").alias("status"),
+            F.lit(None).cast("double").alias("sim"),
+        )
+    )
+    return out_matched.unionByName(out_new).orderBy("label", "position", "status")
+
+
 # --- T11 (+T7/T8): lexical + semantic search union -----------------------
 
 _QUERY_TERMS = ("table", "window")
 
 
-def _cosine_sql() -> str:
-    """Token-count-vector cosine against the fixed query vector."""
+def _cosine_sql(terms: tuple[str, ...] = None) -> str:
+    """Token-count-vector cosine against the fixed query vector built
+    from ``terms`` (explicit so search_union's and answer_pipeline's
+    constants can't silently drift apart)."""
+    if terms is None:
+        terms = _QUERY_TERMS
     numer = " + ".join(
-        f"LEN(LIST_FILTER(w, x -> x = '{t}'))" for t in _QUERY_TERMS
+        f"LEN(LIST_FILTER(w, x -> x = '{t}'))" for t in terms
     )
     return f"""
         CAST({numer} AS DOUBLE) /
         (SQRT(LIST_SUM(LIST_TRANSFORM(LIST_DISTINCT(w),
               t -> CAST(LEN(LIST_FILTER(w, x -> x = t)) AS DOUBLE)
                    * LEN(LIST_FILTER(w, x -> x = t)))))
-         * SQRT({len(_QUERY_TERMS)}))
+         * SQRT({len(terms)}))
     """
 
 
@@ -561,7 +1041,7 @@ _ANSWER_TERMS = ("table", "window")
             WHERE {" OR ".join(f"CONTAINS(text, '{t}')" for t in _ANSWER_TERMS)}
         ), semantic AS (
             SELECT doc_id, 2 AS pass FROM base
-            WHERE {_cosine_sql()} >= 0.35
+            WHERE {_cosine_sql(_ANSWER_TERMS)} >= 0.35
         ), hits AS (
             SELECT doc_id, MIN(pass) AS pass
             FROM (SELECT * FROM lexical UNION ALL SELECT * FROM semantic)

@@ -43,6 +43,307 @@ def _values_sql(rows: list[tuple], cols: str) -> str:
     return f"(VALUES {vals}) AS t({cols})"
 
 
+_TODAY = "2024-01-31"  # fixed anchor: the events fixture ends 2024-01-30
+
+
+# Poll values carry exactly 2 decimals, so ROUND(x, 1) lands on .X5
+# half-boundaries constantly — and engine ROUND() implementations
+# disagree there. This explicit floor-based half-away formula is the
+# IDENTICAL IEEE expression in both engines, so results match bitwise.
+def _round1_sql(expr: str) -> str:
+    return (
+        f"(CASE WHEN ({expr}) >= 0 THEN FLOOR(({expr}) * 10 + 0.5) "
+        f"ELSE -FLOOR(-({expr}) * 10 + 0.5) END) / 10"
+    )
+
+
+def _round1_col(c: F.Column) -> F.Column:
+    return (
+        F.when(c >= 0, F.floor(c * 10 + 0.5)).otherwise(-F.floor(-c * 10 + 0.5))
+        / 10
+    )
+
+
+@register(
+    "latest_poll_standings",
+    oracle=f"""
+        WITH raw AS (
+            SELECT event_type AS party,
+                   'inst' || CAST(user_id % 5 AS INTEGER) AS institute,
+                   CAST(ts AS DATE) AS poll_date, ts, event_id,
+                   value AS poll_value,
+                   100 + CAST((user_id * 7) % 2000 AS INTEGER) AS sample_size
+            FROM events
+            WHERE value >= 0 AND value <= 100
+        ),
+        flagged AS (
+            SELECT *, LENGTH(party) % 2 = 0 AS is_major_party,
+                   LENGTH(party) >= 5 AS is_government_capable
+            FROM raw
+        ),
+        ordered AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY party
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM flagged
+        ),
+        latest AS (
+            SELECT party, poll_value AS latest_poll_value,
+                   poll_date AS latest_poll_date,
+                   institute AS latest_poll_institute,
+                   sample_size AS latest_poll_sample_size
+            FROM ordered WHERE rn = 1
+        ),
+        previous AS (
+            SELECT party, poll_value AS previous_poll_value,
+                   poll_date AS previous_poll_date
+            FROM ordered WHERE rn = 2
+        ),
+        aggs AS (
+            SELECT party, is_major_party, is_government_capable,
+                   ROUND(AVG(poll_value) FILTER (WHERE poll_date >=
+                       DATE '{_TODAY}' - 7), 1) AS avg_7day,
+                   ROUND(AVG(poll_value) FILTER (WHERE poll_date >=
+                       DATE '{_TODAY}' - 30), 1) AS avg_30day,
+                   ROUND(AVG(poll_value) FILTER (WHERE poll_date >=
+                       DATE '{_TODAY}' - 90), 1) AS avg_90day,
+                   COUNT(*) FILTER (WHERE poll_date >=
+                       DATE '{_TODAY}' - 7) AS polls_7day,
+                   COUNT(*) FILTER (WHERE poll_date >=
+                       DATE '{_TODAY}' - 30) AS polls_30day,
+                   ROUND(STDDEV_POP(poll_value) FILTER (WHERE poll_date >=
+                       DATE '{_TODAY}' - 30), 1) AS volatility_30day,
+                   {_round1_sql(f'''MAX(poll_value) FILTER (WHERE poll_date >=
+                       DATE '{_TODAY}' - 90)''')} AS high_90day,
+                   {_round1_sql(f'''MIN(poll_value) FILTER (WHERE poll_date >=
+                       DATE '{_TODAY}' - 90)''')} AS low_90day
+            FROM flagged GROUP BY 1, 2, 3
+        ),
+        joined AS (
+            SELECT a.*, l.latest_poll_value, l.latest_poll_date,
+                   l.latest_poll_institute, l.latest_poll_sample_size,
+                   p.previous_poll_value, p.previous_poll_date
+            FROM aggs a
+            JOIN latest l USING (party)
+            LEFT JOIN previous p USING (party)
+        ),
+        ranked AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (ORDER BY latest_poll_value DESC,
+                                      party) AS current_rank,
+                   ROW_NUMBER() OVER (ORDER BY avg_30day DESC,
+                                      party) AS rank_30day_avg,
+                   latest_poll_value / SUM(latest_poll_value)
+                       FILTER (WHERE is_major_party) OVER () * 100 AS ms
+            FROM joined
+        )
+        SELECT party, is_major_party, is_government_capable, current_rank,
+               {_round1_sql('latest_poll_value')} AS latest_poll_value,
+               STRFTIME(latest_poll_date, '%Y-%m-%d') AS latest_poll_date,
+               latest_poll_institute, latest_poll_sample_size,
+               {_round1_sql('previous_poll_value')} AS previous_poll_value,
+               STRFTIME(previous_poll_date, '%Y-%m-%d')
+                   AS previous_poll_date,
+               CASE WHEN previous_poll_value IS NULL THEN 'NEW'
+                    WHEN latest_poll_value > previous_poll_value THEN 'UP'
+                    WHEN latest_poll_value < previous_poll_value THEN 'DOWN'
+                    ELSE 'STABLE' END AS trend_direction,
+               {_round1_sql(
+                   'latest_poll_value - COALESCE(previous_poll_value, 0)'
+               )} AS trend_change_pp,
+               DATE_DIFF('day', previous_poll_date, latest_poll_date)
+                   AS days_since_previous,
+               avg_7day, avg_30day, avg_90day, polls_7day, polls_30day,
+               volatility_30day, high_90day, low_90day,
+               ROUND(high_90day - low_90day, 1) AS range_90day,
+               rank_30day_avg,
+               current_rank - rank_30day_avg AS rank_change_vs_30day,
+               ROUND(ms, 1) AS market_share_major_parties,
+               CASE WHEN latest_poll_value >= 5.0 THEN 'LIKELY_IN_PARLIAMENT'
+                    WHEN latest_poll_value >= 3.0 THEN 'MARGINAL'
+                    ELSE 'UNLIKELY' END AS parliament_likelihood,
+               CASE WHEN latest_poll_value >= 30.0 THEN 'LEADING'
+                    WHEN latest_poll_value >= 20.0 THEN 'STRONG'
+                    WHEN latest_poll_value >= 10.0 THEN 'MODERATE'
+                    WHEN latest_poll_value >= 5.0 THEN 'WEAK'
+                    ELSE 'MARGINAL' END AS strength_category,
+               CASE WHEN is_government_capable AND latest_poll_value >= 15.0
+                         THEN 'SENIOR_PARTNER'
+                    WHEN is_government_capable AND latest_poll_value >= 5.0
+                         THEN 'JUNIOR_PARTNER'
+                    WHEN latest_poll_value >= 5.0 THEN 'OPPOSITION'
+                    ELSE 'MARGINAL' END AS coalition_potential,
+               CASE WHEN DATE_DIFF('day', latest_poll_date,
+                         DATE '{_TODAY}') <= 7 THEN 'FRESH'
+                    WHEN DATE_DIFF('day', latest_poll_date,
+                         DATE '{_TODAY}') <= 30 THEN 'RECENT'
+                    ELSE 'STALE' END AS data_freshness,
+               CASE WHEN polls_30day >= 10 THEN 'HIGH_FREQUENCY'
+                    WHEN polls_30day >= 5 THEN 'MEDIUM_FREQUENCY'
+                    WHEN polls_30day >= 1 THEN 'LOW_FREQUENCY'
+                    ELSE 'NO_RECENT_POLLS' END AS polling_frequency
+        FROM ranked
+        ORDER BY current_rank
+    """,
+    tags=("mart", "composite"),
+    doc="latest_poll_standings.sql:18-95 end-to-end in one plan: argMax "
+    "latest row per party (row_number over (ts, event_id) DESC — "
+    "deterministic where raw argMax(poll_value, poll_date) tie-breaks "
+    "arbitrarily), nth_value-2 previous row, FILTER-windowed 7/30/90-day "
+    "averages + counts + volatility + high/low, dual rankings, "
+    "market-share among major parties, and every CASE category (trend, "
+    "parliament likelihood, strength, coalition potential, freshness, "
+    "polling frequency). Plan shape: one shuffle on party for the "
+    "window + one for the FILTER aggregate, then 5-row driver-side "
+    "windows — at 100 TB the party partitioning is reused across both.",
+)
+def latest_poll_standings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    today = F.lit(_TODAY).cast("date")
+    raw = table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("party"),
+        F.concat(F.lit("inst"), (F.col("user_id") % 5).cast("int").cast("string"))
+        .alias("institute"),
+        F.to_date("ts").alias("poll_date"),
+        "ts",
+        "event_id",
+        F.col("value").alias("poll_value"),
+        (100 + (F.col("user_id") * 7) % 2000).cast("int").alias("sample_size"),
+    ).filter((F.col("poll_value") >= 0) & (F.col("poll_value") <= 100))
+    flagged = raw.withColumn(
+        "is_major_party", F.length("party") % 2 == 0
+    ).withColumn("is_government_capable", F.length("party") >= 5)
+    w_ord = Window.partitionBy("party").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ordered = flagged.withColumn("rn", F.row_number().over(w_ord))
+    latest = ordered.filter(F.col("rn") == 1).select(
+        "party",
+        F.col("poll_value").alias("latest_poll_value"),
+        F.col("poll_date").alias("latest_poll_date"),
+        F.col("institute").alias("latest_poll_institute"),
+        F.col("sample_size").alias("latest_poll_sample_size"),
+    )
+    previous = ordered.filter(F.col("rn") == 2).select(
+        "party",
+        F.col("poll_value").alias("previous_poll_value"),
+        F.col("poll_date").alias("previous_poll_date"),
+    )
+
+    def recent(days: int) -> F.Column:
+        return F.col("poll_date") >= F.date_sub(today, days)
+
+    def favg(days: int) -> F.Column:
+        return F.round(F.avg(F.when(recent(days), F.col("poll_value"))), 1)
+
+    aggs = flagged.groupBy(
+        "party", "is_major_party", "is_government_capable"
+    ).agg(
+        favg(7).alias("avg_7day"),
+        favg(30).alias("avg_30day"),
+        favg(90).alias("avg_90day"),
+        F.count(F.when(recent(7), 1)).alias("polls_7day"),
+        F.count(F.when(recent(30), 1)).alias("polls_30day"),
+        F.round(
+            F.stddev_pop(F.when(recent(30), F.col("poll_value"))), 1
+        ).alias("volatility_30day"),
+        _round1_col(F.max(F.when(recent(90), F.col("poll_value")))).alias(
+            "high_90day"
+        ),
+        _round1_col(F.min(F.when(recent(90), F.col("poll_value")))).alias(
+            "low_90day"
+        ),
+    )
+    joined = aggs.join(latest, "party").join(previous, "party", "left")
+    everyone = Window.partitionBy()
+    ranked = (
+        joined.withColumn(
+            "current_rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("latest_poll_value"), "party")
+            ),
+        )
+        .withColumn(
+            "rank_30day_avg",
+            F.row_number().over(Window.orderBy(F.desc("avg_30day"), "party")),
+        )
+        .withColumn(
+            "ms",
+            F.col("latest_poll_value")
+            / F.sum(
+                F.when(F.col("is_major_party"), F.col("latest_poll_value"))
+            ).over(everyone)
+            * 100,
+        )
+    )
+    lv, pv = F.col("latest_poll_value"), F.col("previous_poll_value")
+    return (
+        ranked.select(
+            "party",
+            "is_major_party",
+            "is_government_capable",
+            "current_rank",
+            _round1_col(lv).alias("latest_poll_value"),
+            F.date_format("latest_poll_date", "yyyy-MM-dd").alias(
+                "latest_poll_date"
+            ),
+            "latest_poll_institute",
+            "latest_poll_sample_size",
+            _round1_col(pv).alias("previous_poll_value"),
+            F.date_format("previous_poll_date", "yyyy-MM-dd").alias(
+                "previous_poll_date"
+            ),
+            F.when(pv.isNull(), "NEW")
+            .when(lv > pv, "UP")
+            .when(lv < pv, "DOWN")
+            .otherwise("STABLE")
+            .alias("trend_direction"),
+            _round1_col(lv - F.coalesce(pv, F.lit(0))).alias("trend_change_pp"),
+            F.datediff(F.col("latest_poll_date"), F.col("previous_poll_date"))
+            .alias("days_since_previous"),
+            "avg_7day",
+            "avg_30day",
+            "avg_90day",
+            "polls_7day",
+            "polls_30day",
+            "volatility_30day",
+            "high_90day",
+            "low_90day",
+            F.round(F.col("high_90day") - F.col("low_90day"), 1).alias(
+                "range_90day"
+            ),
+            "rank_30day_avg",
+            (F.col("current_rank") - F.col("rank_30day_avg")).alias(
+                "rank_change_vs_30day"
+            ),
+            F.round("ms", 1).alias("market_share_major_parties"),
+            F.when(lv >= 5.0, "LIKELY_IN_PARLIAMENT")
+            .when(lv >= 3.0, "MARGINAL")
+            .otherwise("UNLIKELY")
+            .alias("parliament_likelihood"),
+            F.when(lv >= 30.0, "LEADING")
+            .when(lv >= 20.0, "STRONG")
+            .when(lv >= 10.0, "MODERATE")
+            .when(lv >= 5.0, "WEAK")
+            .otherwise("MARGINAL")
+            .alias("strength_category"),
+            F.when(F.col("is_government_capable") & (lv >= 15.0), "SENIOR_PARTNER")
+            .when(F.col("is_government_capable") & (lv >= 5.0), "JUNIOR_PARTNER")
+            .when(lv >= 5.0, "OPPOSITION")
+            .otherwise("MARGINAL")
+            .alias("coalition_potential"),
+            F.when(F.datediff(today, F.col("latest_poll_date")) <= 7, "FRESH")
+            .when(F.datediff(today, F.col("latest_poll_date")) <= 30, "RECENT")
+            .otherwise("STALE")
+            .alias("data_freshness"),
+            F.when(F.col("polls_30day") >= 10, "HIGH_FREQUENCY")
+            .when(F.col("polls_30day") >= 5, "MEDIUM_FREQUENCY")
+            .when(F.col("polls_30day") >= 1, "LOW_FREQUENCY")
+            .otherwise("NO_RECENT_POLLS")
+            .alias("polling_frequency"),
+        )
+        .orderBy("current_rank")
+    )
+
+
 @register(
     "poll_pipeline",
     oracle=f"""

@@ -280,7 +280,15 @@ def _oai_xml_col() -> F.Column:
         ),
         F.col("lang"),
     )
-    title = F.concat_ws(" ", F.slice(F.split("text", " "), 1, 4))
+    def _xml_escape(c: F.Column) -> F.Column:
+        # free-text lands inside XML elements: escape &/</> so a corpus
+        # with markup-ish characters can't produce unparseable fixtures
+        # (ampersand first — it must not re-escape the entities)
+        c = F.replace(c, F.lit("&"), F.lit("&amp;"))
+        c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+        return F.replace(c, F.lit(">"), F.lit("&gt;"))
+
+    title = _xml_escape(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 4)))
     deleted = F.when(F.col("doc_id") % 11 == 0, F.lit(' status="deleted"')).otherwise(
         F.lit("")
     )
@@ -317,7 +325,7 @@ def _oai_xml_col() -> F.Column:
         F.lit("</dc:subject><dc:publisher>pub"),
         (F.col("doc_id") % 3).cast("string"),
         F.lit("</dc:publisher><dc:description>"),
-        F.substring("text", 1, 60),
+        _xml_escape(F.substring("text", 1, 60)),
         F.lit("</dc:description></oai_dc:dc></metadata></record></ListRecords>"),
         token,
         F.lit("</OAI-PMH>"),

@@ -88,9 +88,30 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH e AS (
             SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
             FROM embeddings
-        ), cent AS (
+        ), cent0 AS (
             SELECT vec_id AS centroid_id, v AS cv FROM e
             WHERE vec_id < {N_CENTROIDS}
+        ), assigned0 AS (
+            SELECT vec_id, v, centroid_id FROM (
+                SELECT e.vec_id, e.v, cent0.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY LIST_COSINE_SIMILARITY(e.v, cent0.cv) DESC,
+                                    cent0.centroid_id) AS crn
+                FROM e CROSS JOIN cent0
+            ) WHERE crn = 1
+        ), cent AS (
+            -- one deterministic Lloyd iteration: elementwise mean of the
+            -- members, rounded so both engines produce identical centroids
+            SELECT centroid_id, LIST(m ORDER BY dim) AS cv FROM (
+                SELECT centroid_id, dim, ROUND(AVG(val), 6) AS m
+                FROM (
+                    SELECT centroid_id, UNNEST(v) AS val,
+                           generate_subscripts(v, 1) AS dim
+                    FROM assigned0
+                )
+                GROUP BY centroid_id, dim
+            )
+            GROUP BY centroid_id
         ), assigned AS (
             SELECT vec_id, label, v, centroid_id FROM (
                 SELECT e.vec_id, e.label, e.v, cent.centroid_id,
@@ -118,29 +139,51 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("similarity",),
     doc="IVF-bucketed ANN (scale path): assign every vector to its "
-    "nearest of the deterministic seed centroids (vec_id < "
-    f"{N_CENTROIDS}), then search only the query's bucket — turns a full "
-    "scan per query into a 1/n_centroids partition probe; the bucket "
-    "assignment is a broadcast join + per-row argmax, and buckets map to "
-    "partitions at cluster scale. Approximate by construction (recall "
-    "vs ann_cosine_topk measured in tests).",
+    "nearest seed centroid (vec_id < "
+    f"{N_CENTROIDS}), refine the centroids with one deterministic Lloyd "
+    "iteration (elementwise member mean, rounded to 6 decimals so both "
+    "engines produce bit-identical centroids), re-assign, then search "
+    "only the query's bucket — turns a full scan per query into a "
+    "1/n_centroids partition probe; bucket assignment is a broadcast "
+    "join + per-row argmax, and buckets map to partitions at cluster "
+    "scale. Approximate by construction (recall vs ann_cosine_topk "
+    "asserted in tests; the Lloyd step tightens buckets vs raw seeds).",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _vectors(spark, sf_dir)
-    cent = (
+
+    def assign(base: DataFrame, cent: DataFrame) -> DataFrame:
+        crn = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), "centroid_id")
+        return (
+            base.crossJoin(F.broadcast(cent))
+            .withColumn("ccos", cosine_col(F.col("v"), F.col("cv")))
+            .withColumn("crn", F.row_number().over(crn))
+            .filter(F.col("crn") == 1)
+            .drop("ccos", "crn", "cv")
+        )
+
+    cent0 = (
         e.filter(F.col("vec_id") < N_CENTROIDS)
         .select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv"))
     )
-    crn = Window.partitionBy("vec_id").orderBy(
-        F.desc("ccos"), "centroid_id"
+    assigned0 = assign(e.select("vec_id", "v"), cent0)
+    # one Lloyd iteration: per-dimension member mean, rounded to 6
+    # decimals so both engines build identical refined centroids;
+    # array_sort over (dim, m) structs rebuilds the vector in a
+    # deterministic order (collect_list alone is order-unstable)
+    cent = (
+        assigned0.select("centroid_id", F.posexplode("v").alias("dim", "val"))
+        .groupBy("centroid_id", "dim")
+        .agg(F.round(F.avg("val"), 6).alias("m"))
+        .groupBy("centroid_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda x: x["m"],
+            ).alias("cv")
+        )
     )
-    assigned = (
-        e.crossJoin(F.broadcast(cent))
-        .withColumn("ccos", cosine_col(F.col("v"), F.col("cv")))
-        .withColumn("crn", F.row_number().over(crn))
-        .filter(F.col("crn") == 1)
-        .select("vec_id", "label", "v", "centroid_id")
-    )
+    assigned = assign(e, cent)
     q = (
         assigned.filter(F.col("vec_id") < N_QUERIES)
         .select(

@@ -5,7 +5,7 @@ pipeline surface; reference analogs cited per query).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import textfns as T
@@ -200,4 +200,223 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.minhash_col(shingles, 0).alias("min_shingle_fp"),
         )
         .orderBy("doc_id")
+    )
+
+
+# --- corpus-cleaning composite (C4/RefinedWeb-style) ----------------------
+
+_CLEAN_QUALITY_MIN = 0.5
+_CLEAN_JACCARD = 0.5
+
+
+@register(
+    "corpus_clean_pipeline",
+    oracle=f"""
+        WITH feats AS (
+            SELECT doc_id, text, source,
+                   LEN(STRING_SPLIT(text, ' ')) AS n_words,
+                   {T.langid_sql('text')} AS lang_pred,
+                   {T.quality_sql('text')} AS q,
+                   MD5(text) AS digest
+            FROM documents
+        ),
+        gated AS (
+            SELECT * FROM feats WHERE q >= {_CLEAN_QUALITY_MIN}
+        ),
+        exact_kept AS (
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY digest
+                           ORDER BY doc_id) AS drn
+                FROM gated
+            ) WHERE drn = 1
+        ),
+        grams AS (
+            SELECT doc_id, lang_pred, {T.word_ngrams_sql(3, 'w')} AS grams
+            FROM (SELECT doc_id, lang_pred, STRING_SPLIT(text, ' ') AS w
+                  FROM exact_kept WHERE n_words >= 3)
+        ),
+        drops AS (
+            SELECT DISTINCT b.doc_id AS drop_id
+            FROM grams a JOIN grams b
+              ON a.lang_pred = b.lang_pred AND a.doc_id < b.doc_id
+            WHERE LEN(LIST_INTERSECT(a.grams, b.grams)) > 0
+              AND CAST(LEN(LIST_INTERSECT(a.grams, b.grams)) AS DOUBLE)
+                  / LEN(LIST_DISTINCT(LIST_CONCAT(a.grams, b.grams)))
+                  >= {_CLEAN_JACCARD}
+        ),
+        kept AS (
+            SELECT e.* FROM exact_kept e
+            LEFT JOIN drops d ON d.drop_id = e.doc_id
+            WHERE d.drop_id IS NULL
+        ),
+        g_stats AS (
+            SELECT lang_pred, source, COUNT(*) AS n_quality_pass
+            FROM gated GROUP BY lang_pred, source
+        ),
+        e_stats AS (
+            SELECT lang_pred, source, COUNT(*) AS n_after_exact
+            FROM exact_kept GROUP BY lang_pred, source
+        ),
+        k_stats AS (
+            SELECT lang_pred, source, COUNT(*) AS n_kept,
+                   CAST(SUM(n_words) AS BIGINT) AS tokens_kept,
+                   ROUND(AVG(q), 4) AS avg_quality_kept
+            FROM kept GROUP BY lang_pred, source
+        )
+        SELECT g.lang_pred, g.source, g.n_quality_pass,
+               COALESCE(e.n_after_exact, 0) AS n_after_exact,
+               COALESCE(k.n_kept, 0) AS n_kept,
+               COALESCE(e.n_after_exact, 0) - COALESCE(k.n_kept, 0)
+                   AS n_neardup_dropped,
+               COALESCE(k.tokens_kept, 0) AS tokens_kept,
+               k.avg_quality_kept
+        FROM g_stats g
+        LEFT JOIN e_stats e USING (lang_pred, source)
+        LEFT JOIN k_stats k USING (lang_pred, source)
+        ORDER BY lang_pred, source
+    """,
+    tags=("text", "dedup", "composite"),
+    doc="C4/RefinedWeb-style corpus-cleaning chain as ONE plan: "
+    "language-ID (stopword argmax) -> quality gate (>= "
+    f"{_CLEAN_QUALITY_MIN} on the length/stopword/punctuation blend) -> "
+    "exact dedup (md5 digest, keep-first) -> near-dup removal (word-"
+    f"3-gram Jaccard >= {_CLEAN_JACCARD} within predicted language via "
+    "the sparse inverted-index join, drop the higher id) -> per-language "
+    "kept-corpus stats. This is the operator sequence a training-data "
+    "pipeline runs before tokenization; every stage is the independently "
+    "oracle-checked primitive (lang_id, quality_score, dedup_exact, "
+    "dedup_ngram_jaccard) composed end-to-end. Scale shape: two hash "
+    "aggregates + one inverted-index join, all blocked/keyed — no "
+    "cross join, no collect.",
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup_ops
+
+    d = spread(table(spark, sf_dir, "documents"))
+    feats = d.select(
+        "doc_id",
+        "text",
+        "source",
+        F.size(T.words_col()).cast("long").alias("n_words"),
+        T.langid_col("text").alias("lang_pred"),
+        T.quality_col("text").alias("q"),
+        F.md5("text").alias("digest"),
+    )
+    gated = feats.filter(F.col("q") >= _CLEAN_QUALITY_MIN)
+    w_digest = Window.partitionBy("digest").orderBy("doc_id")
+    exact_kept = (
+        gated.withColumn("drn", F.row_number().over(w_digest))
+        .filter(F.col("drn") == 1)
+        .drop("drn")
+    )
+    grams = exact_kept.filter(F.col("n_words") >= 3).select(
+        "doc_id",
+        "lang_pred",
+        T.word_ngrams_col(3, T.words_col()).alias("grams"),
+    )
+    pairs = dedup_ops.jaccard_pairs(
+        grams, id_col="doc_id", set_col="grams", block_col="lang_pred"
+    )
+    drops = (
+        pairs.filter(F.col("jac") >= _CLEAN_JACCARD)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    kept = exact_kept.join(drops, "doc_id", "left_anti")
+    keys = ["lang_pred", "source"]
+    g_stats = gated.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_quality_pass")
+    )
+    e_stats = exact_kept.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_after_exact")
+    )
+    k_stats = kept.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_words").alias("tokens_kept"),
+        F.round(F.avg("q"), 4).alias("avg_quality_kept"),
+    )
+    return (
+        g_stats.join(e_stats, keys, "left")
+        .join(k_stats, keys, "left")
+        .select(
+            "lang_pred",
+            "source",
+            "n_quality_pass",
+            F.coalesce("n_after_exact", F.lit(0)).alias("n_after_exact"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (
+                F.coalesce("n_after_exact", F.lit(0))
+                - F.coalesce("n_kept", F.lit(0))
+            ).alias("n_neardup_dropped"),
+            F.coalesce("tokens_kept", F.lit(0)).alias("tokens_kept"),
+            "avg_quality_kept",
+        )
+        .orderBy("lang_pred", "source")
+    )
+
+
+# --- deterministic train/val/test split -----------------------------------
+
+# hex-prefix buckets of md5(doc_id): 256 buckets compared as STRINGS
+# (identical in both engines — no hex->int parsing portability trap).
+# 'cc' = 204/256 = 79.7% train; 'e6' = 230/256 = 89.8% train+val.
+_SPLIT_TRAIN_MAX = "cc"
+_SPLIT_VAL_MAX = "e6"
+
+
+@register(
+    "dataset_split",
+    oracle=f"""
+        WITH assigned AS (
+            SELECT doc_id, source,
+                   LEN(STRING_SPLIT(text, ' ')) AS n_words,
+                   SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+            FROM documents
+        ),
+        labeled AS (
+            SELECT *,
+                   CASE WHEN bucket < '{_SPLIT_TRAIN_MAX}' THEN 'train'
+                        WHEN bucket < '{_SPLIT_VAL_MAX}' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM assigned
+        )
+        SELECT split, source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_words) AS BIGINT) AS total_tokens,
+               MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+        FROM labeled
+        GROUP BY split, source
+        ORDER BY split, source
+    """,
+    tags=("text", "composite"),
+    doc="Deterministic train/val/test split for a training corpus: "
+    "md5(doc_id) hex-prefix buckets compared as strings (engine-"
+    "portable, no hex parsing), ~80/10/10, stable under corpus growth "
+    "(a document's split never changes when rows are added — the "
+    "property a training pipeline needs for leakage-free re-runs). "
+    "Pure projection + one hash aggregate; at 100 TB the split column "
+    "is computed in the scan projection and the write is "
+    "partitionBy(split).",
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents"))
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    labeled = d.select(
+        "doc_id",
+        "source",
+        F.size(T.words_col()).cast("long").alias("n_words"),
+        F.when(bucket < _SPLIT_TRAIN_MAX, "train")
+        .when(bucket < _SPLIT_VAL_MAX, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return (
+        labeled.groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("split", "source")
     )

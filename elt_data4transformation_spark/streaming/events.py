@@ -34,18 +34,26 @@ EVENTS_RAW_SCHEMA = Ty.StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """File-source stream over the events table; nanosecond timestamps
     arrive as longs (see sources/tables.py) and are converted to
-    microsecond timestamps."""
+    microsecond timestamps. ``max_files_per_trigger`` forces multi-
+    micro-batch runs (tests use it to prove batch-count independence)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the file source wants a directory; glob-filter to the events table
-    raw = (
+    reader = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
+        .option("pathGlobFilter", glob)
     )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(sf_dir)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
@@ -116,7 +124,11 @@ def session_windows(
 
 
 def foreach_batch_snapshot_diff(
-    spark: SparkSession, sf_dir: str, split: str = "2024-01-16"
+    spark: SparkSession,
+    sf_dir: str,
+    split: str = "2024-01-16",
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Run-over-run snapshot diff via foreachBatch (§2.11: digest
     shifts/novelties, study_scraper/digest.py:97-139).
@@ -127,44 +139,62 @@ def foreach_batch_snapshot_diff(
     exactly the reference's "compare this run's aggregates against the
     stored watch_snapshots row" loop, with the snapshot table swapped
     for a keyed dict (a Delta/parquet table in production)."""
-    snapshot: dict[str, float] = {}
-    diffs: list[tuple[str, float | None, float, str]] = []
+    # Per-key (sum, count) accumulated ACROSS micro-batches; the avg is
+    # finalized only after awaitTermination. Per-batch averaging would
+    # match the whole-window oracle only when the bounded fixture yields
+    # exactly one micro-batch — with more input files than
+    # maxFilesPerTrigger the per-batch averages diverge and duplicate
+    # event_type rows would be emitted.
+    prev_acc: dict[str, tuple[float, int]] = {}
+    cur_acc: dict[str, tuple[float, int]] = {}
 
-    def snap_agg(df: DataFrame) -> DataFrame:
+    def partial_agg(df: DataFrame) -> DataFrame:
         return df.groupBy("event_type").agg(
-            F.round(F.avg("value"), 4).alias("avg_value")
+            F.sum("value").alias("s"), F.count(F.lit(1)).alias("n")
         )
 
-    def record_run1(batch_df: DataFrame, _batch_id: int) -> None:
-        for r in snap_agg(batch_df).collect():
-            snapshot[r["event_type"]] = r["avg_value"]
+    def accumulate_into(acc: dict[str, tuple[float, int]]):
+        def sink(batch_df: DataFrame, _batch_id: int) -> None:
+            for r in partial_agg(batch_df).collect():
+                s, n = acc.get(r["event_type"], (0.0, 0))
+                acc[r["event_type"]] = (s + r["s"], n + r["n"])
 
-    def record_run2(batch_df: DataFrame, _batch_id: int) -> None:
-        for r in snap_agg(batch_df).collect():
-            prev = snapshot.get(r["event_type"])
-            cur = r["avg_value"]
-            if prev is None:
-                status = "new"
-            elif abs(cur - prev) >= 0.5:
-                status = "shift"
-            else:
-                status = "steady"
-            diffs.append((r["event_type"], prev, cur, status))
+        return sink
 
     split_ts = F.lit(split).cast("timestamp")
-    for flt, sink in (
-        (F.col("ts") < split_ts, record_run1),
-        (F.lit(True), record_run2),
+    for flt, acc in (
+        (F.col("ts") < split_ts, prev_acc),
+        (F.lit(True), cur_acc),
     ):
-        ev = read_events_stream(spark, sf_dir).filter(flt)
+        ev = read_events_stream(spark, sf_dir, glob, max_files_per_trigger).filter(flt)
         ckpt = tempfile.mkdtemp(prefix="ckpt_fb_")
         q = (
-            ev.writeStream.foreachBatch(sink)
+            ev.writeStream.foreachBatch(accumulate_into(acc))
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
+
+    def _round4(x: float) -> float:
+        # half-away-from-zero, matching SQL ROUND (Python round() is
+        # half-even and would drift from the DuckDB/Spark twins)
+        import math
+
+        return math.copysign(math.floor(abs(x) * 10000 + 0.5) / 10000, x)
+
+    diffs: list[tuple[str, float | None, float, str]] = []
+    for et, (s, n) in cur_acc.items():
+        cur = _round4(s / n)
+        ps_pn = prev_acc.get(et)
+        prev = _round4(ps_pn[0] / ps_pn[1]) if ps_pn else None
+        if prev is None:
+            status = "new"
+        elif abs(cur - prev) >= 0.5:
+            status = "shift"
+        else:
+            status = "steady"
+        diffs.append((et, prev, cur, status))
     return spark.createDataFrame(
         diffs, "event_type string, prev_avg double, cur_avg double, status string"
     )
@@ -201,12 +231,15 @@ def stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     latest = _run_to_memory(out, "update")
     # with >1 micro-batch a key may emit several cumulative rows; the
-    # final state per key is the max event count
+    # final state per key is the one with the max event count — max_by
+    # keeps the (n_events, sum_value) pair consistent even if values
+    # were negative (independent max() would pair a non-final max sum
+    # with the final count)
     return (
         latest.groupBy("user_id")
         .agg(
             F.max("n_events").alias("n_events"),
-            F.max("sum_value").alias("sum_value"),
+            F.expr("max_by(sum_value, n_events)").alias("sum_value"),
         )
     )
 

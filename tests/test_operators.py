@@ -591,3 +591,60 @@ def test_claims_per_span_dedup_keeps_repeats(spark):
     # same value at two positions = two claims (span is part of the key)
     vals = _vals(spark, "62 % hier und 62 % dort.", "%")
     assert vals.count(62.0) == 2
+
+
+# --- ANN IVF recall (k-means-refined buckets) ------------------------------
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    from elt_data4transformation_spark.plans import REGISTRY
+    from tests.conftest import SF_SMALL
+
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["ann_cosine_topk"].fn(spark, SF_SMALL).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["ann_ivf_topk"].fn(spark, SF_SMALL).collect()
+    }
+    recall = len(bf & ivf) / len(bf)
+    # one Lloyd iteration over the seeded centroids: 0.88 measured;
+    # gate well below to stay robust to fixture regeneration
+    assert recall >= 0.8, f"IVF recall {recall} dropped below 0.8"
+
+
+# --- foreachBatch snapshot diff: multi-micro-batch correctness -------------
+
+
+def test_foreach_batch_diff_multibatch_matches_singlebatch(spark, tmp_path):
+    # split events into 4 files; maxFilesPerTrigger=1 forces 4 micro-
+    # batches — per-key (sum, count) must accumulate ACROSS batches so
+    # the result is identical to the single-batch run
+    from elt_data4transformation_spark.streaming.events import (
+        EVENTS_RAW_SCHEMA,
+        foreach_batch_snapshot_diff,
+    )
+
+    src = str(tmp_path / "multi")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # keep ts as raw long nanos so the stream-side schema matches
+    (
+        spark.read.schema(EVENTS_RAW_SCHEMA)
+        .parquet("/root/testdata/sf0.001/events.parquet")
+        .repartition(4)
+        .write.parquet(src)
+    )
+    single = {
+        (r.event_type, r.prev_avg, r.cur_avg, r.status)
+        for r in foreach_batch_snapshot_diff(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    multi = {
+        (r.event_type, r.prev_avg, r.cur_avg, r.status)
+        for r in foreach_batch_snapshot_diff(
+            spark, src, glob="*.parquet", max_files_per_trigger=1
+        ).collect()
+    }
+    assert multi == single
