@@ -302,7 +302,14 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.quality_col("text").alias("q"),
         F.md5("text").alias("digest"),
     )
-    gated = feats.filter(F.col("q") >= _CLEAN_QUALITY_MIN)
+    # feats is regex-heavy (langid + quality stopword scans) and feeds
+    # five consumers (exact dedup, grams, three stage aggregates) —
+    # persist the gated subset so the projection runs once
+    from pyspark import StorageLevel
+
+    gated = feats.filter(F.col("q") >= _CLEAN_QUALITY_MIN).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     w_digest = Window.partitionBy("digest").orderBy("doc_id")
     exact_kept = (
         gated.withColumn("drn", F.row_number().over(w_digest))

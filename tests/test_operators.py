@@ -648,3 +648,71 @@ def test_foreach_batch_diff_multibatch_matches_singlebatch(spark, tmp_path):
         ).collect()
     }
     assert multi == single
+
+
+# --- T1 claim extraction (reference test_claims.py TestExtractor ported) ---
+
+
+def test_claims_space_and_decimal_both_captured(spark):
+    vals = sorted(
+        _vals(spark, "62,5 % der Befragten und 67 % der Personen unter 30", "%")
+    )
+    assert vals == [62.5, 67.0]
+
+
+def test_claims_sample_in_parens(spark):
+    assert 1009.0 in _vals(
+        spark, "Repräsentative Umfrage (n=1009, Wahlberechtigte) im Jahr 2024.", "n"
+    )
+
+
+def test_claims_implausible_mixed_with_plausible(spark):
+    vals = sorted(
+        _vals(spark, "Marktwachstum 200% im Jahr 2024, Zustimmung 55%", "%")
+    )
+    assert vals == [55.0]
+
+
+def test_claims_empty_and_no_match(spark):
+    assert _extract_claims(spark, "") == []
+    assert _extract_claims(
+        spark, "Eine qualitative Diskursanalyse ohne Zahlen."
+    ) == []
+
+
+def test_claims_id_stable(spark):
+    from elt_data4transformation_spark.functions.claims import claims_from_text_df
+
+    def ids(text):
+        src = spark.createDataFrame([("s", text)], "study_id string, text string")
+        return [r.claim_id for r in claims_from_text_df(src).collect()]
+
+    assert ids("62% support.") == ids("62% support.")
+
+
+def test_claims_value_parsing_reference_table(spark):
+    from elt_data4transformation_spark.functions.claims import (
+        claim_value_col,
+        claim_value_sql,
+    )
+    import duckdb
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("62", 62.0),
+        ("62.5", 62.5),
+        ("62,5", 62.5),
+        ("6,063", 6063.0),  # german thousands
+        ("6.063", 6063.0),  # european thousands
+        ("not a number", None),
+        ("1.234.567", None),  # multi-dot: reference float() fails -> None
+    ]
+    src = spark.createDataFrame([(t,) for t, _ in cases], "tok string")
+    got = [r.v for r in src.select(claim_value_col(F.col("tok")).alias("v")).collect()]
+    assert got == [e for _, e in cases]
+    con = duckdb.connect()
+    for tok, exp in cases:
+        (sql_val,) = con.execute(
+            "SELECT " + claim_value_sql(f"'{tok}'")
+        ).fetchone()
+        assert sql_val == exp, (tok, sql_val, exp)
