@@ -84,3 +84,48 @@ def decode_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(fn, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx long, offset long, frame_digest string"
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_size: int = 64,
+    stride: int = 256,
+    every_nth: int = 2,
+) -> DataFrame:
+    """Frame-sampling plumbing for video-ish payloads: treat the binary
+    payload as fixed-stride frames, keep every ``every_nth`` frame, emit
+    (doc_id, frame_idx, offset, md5 digest) per sampled frame.
+
+    The real frame decode (ffmpeg seek + decode) is stubbed exactly like
+    `_decode_real`; the batch iteration, explode shape (one input row ->
+    many frame rows) and output schema are the production contract. Runs
+    as Arrow-batched mapInPandas — at 100 TB each task samples its own
+    partition's payloads; no shuffle until the caller aggregates."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = max((len(b) - frame_size) // stride + 1, 0)
+                for idx in range(0, n_frames, every_nth):
+                    off = idx * stride
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": idx,
+                            "offset": off,
+                            "frame_digest": hashlib.md5(
+                                b[off : off + frame_size]
+                            ).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "offset", "frame_digest"],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(fn, schema=FRAME_SCHEMA)

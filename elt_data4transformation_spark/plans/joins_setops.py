@@ -333,3 +333,174 @@ def skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim_group")
     )
+
+
+# --- as-of (temporal) join -------------------------------------------------
+# Beyond the reference's operator set (it has no temporal joins), but a
+# first-class op for event pipelines: enrich each event with the rate
+# in effect at event time. DuckDB's native ASOF JOIN is the oracle; the
+# Spark rendition is the union + last-non-null-over-window pattern,
+# which scales as ONE shuffle on (key) + an ordered window — no
+# per-event probe, no range cross-join.
+
+
+def _rates_sql() -> str:
+    """Deterministic slowly-changing rate table: one change every 3rd
+    January day per event_type."""
+    return """
+        SELECT et.event_type,
+               CAST('2024-01-01' AS TIMESTAMP)
+                   + INTERVAL (d.d) DAY AS effective_ts,
+               (LENGTH(et.event_type) * 10 + d.d) / 100.0 AS rate
+        FROM (SELECT DISTINCT event_type FROM events) et
+        CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 29, 3)) AS d) d
+    """
+
+
+@register(
+    "asof_join_rates",
+    oracle=f"""
+        WITH rates AS ({_rates_sql()}),
+        enriched AS (
+            SELECT e.event_type, CAST(e.ts AS DATE) AS day,
+                   r.rate, e.value
+            FROM events e
+            ASOF LEFT JOIN rates r
+              ON e.event_type = r.event_type AND e.ts >= r.effective_ts
+        )
+        SELECT event_type, STRFTIME(day, '%Y-%m-%d') AS day, rate,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value * rate), 4) AS rated_value
+        FROM enriched
+        GROUP BY event_type, day, rate
+        ORDER BY event_type, day
+    """,
+    tags=("join", "temporal"),
+    doc="As-of join: each event picks the most recent rate with "
+    "effective_ts <= event ts (per event_type), then a rated daily "
+    "aggregate. Oracle is DuckDB's native ASOF JOIN; the Spark plan is "
+    "the scalable union trick — union rate-change rows with event rows, "
+    "one window per key ordered by (ts, rate-first), last(rate, "
+    "ignorenulls) carries the in-effect rate forward. One shuffle on "
+    "event_type total; at 100 TB this beats a range-condition join "
+    "(which Spark would execute as BNLJ) by construction.",
+)
+def asof_join_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    etypes = e.select("event_type").distinct()
+    days = spark.range(0, 30, 3).select(F.col("id").alias("d"))
+    rates = etypes.crossJoin(days).select(
+        "event_type",
+        (
+            F.lit("2024-01-01").cast("timestamp")
+            + F.make_dt_interval(F.col("d"))
+        ).alias("effective_ts"),
+        ((F.length("event_type") * 10 + F.col("d")) / 100.0).alias("rate"),
+    )
+    tagged_rates = rates.select(
+        "event_type",
+        F.col("effective_ts").alias("ts"),
+        "rate",
+        F.lit(1).alias("is_rate"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    tagged_events = e.select(
+        "event_type",
+        "ts",
+        F.lit(None).cast("double").alias("rate"),
+        F.lit(0).alias("is_rate"),
+        "value",
+    )
+    combined = tagged_rates.unionByName(tagged_events)
+    # rate rows sort BEFORE event rows at the same timestamp, so an
+    # event exactly at an effective_ts picks the new rate (<= semantics)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("ts"), F.col("is_rate").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    enriched = (
+        combined.withColumn(
+            "eff_rate", F.last("rate", ignorenulls=True).over(w)
+        )
+        .filter(F.col("is_rate") == 0)
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.col("eff_rate").alias("rate"),
+            "value",
+        )
+    )
+    return (
+        enriched.groupBy(
+            "event_type", F.date_format("day", "yyyy-MM-dd").alias("day"), "rate"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value") * F.col("rate")), 4).alias(
+                "rated_value"
+            ),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "revenue_rollup",
+    oracle="""
+        WITH base AS (
+            SELECT r.r_name, n.n_name,
+                   o.o_totalprice AS price
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+        )
+        SELECT COALESCE(r_name, 'ALL') AS region,
+               COALESCE(n_name, 'ALL') AS nation,
+               CAST(GROUPING(r_name) AS INTEGER) * 2
+                 + CAST(GROUPING(n_name) AS INTEGER) AS agg_level,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(price), 4) AS revenue
+        FROM base
+        GROUP BY ROLLUP (r_name, n_name)
+        ORDER BY agg_level, region, nation
+    """,
+    tags=("aggregate", "rollup"),
+    doc="Hierarchical ROLLUP aggregate (region -> nation -> grand "
+    "total) with GROUPING() level indicators — beyond the reference's "
+    "operator set (it has no grouping sets), standard warehouse "
+    "surface. Spark expands rollup into a single expand+hash-aggregate: "
+    "one shuffle, partial aggregation applies per grouping set; the "
+    "broadcast dim chain reuses the region_revenue join shape.",
+)
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    base = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("r_name", "n_name", F.col("o_totalprice").alias("price"))
+    )
+    agg_level = (
+        F.grouping("r_name").cast("int") * 2 + F.grouping("n_name").cast("int")
+    )
+    return (
+        base.rollup("r_name", "n_name")
+        .agg(
+            agg_level.alias("agg_level"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("price"), 4).alias("revenue"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "agg_level",
+            "n_orders",
+            "revenue",
+        )
+        .orderBy("agg_level", "region", "nation")
+    )

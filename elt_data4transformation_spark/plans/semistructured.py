@@ -265,6 +265,55 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_features(binary).orderBy("doc_id")
 
 
+_FRAME_SIZE, _FRAME_STRIDE, _FRAME_NTH = 64, 256, 2
+
+
+@register(
+    "multimodal_framesample",
+    oracle=f"""
+        WITH docs AS (
+            SELECT doc_id, text, LENGTH(text) AS n_bytes
+            FROM documents
+            WHERE LENGTH(text) >= {_FRAME_SIZE}
+        ),
+        frames AS (
+            SELECT doc_id, text,
+                   UNNEST(GENERATE_SERIES(0,
+                       (n_bytes - {_FRAME_SIZE}) // {_FRAME_STRIDE},
+                       {_FRAME_NTH})) AS frame_idx
+            FROM docs
+        )
+        SELECT doc_id, frame_idx,
+               frame_idx * {_FRAME_STRIDE} AS offset,
+               MD5(SUBSTRING(text, frame_idx * {_FRAME_STRIDE} + 1,
+                             {_FRAME_SIZE})) AS frame_digest
+        FROM frames
+        ORDER BY doc_id, frame_idx
+    """,
+    tags=("multimodal",),
+    doc="Video-pipeline frame sampling over opaque binary payloads: "
+    f"fixed {_FRAME_STRIDE}-byte stride, every {_FRAME_NTH}nd frame of "
+    f"{_FRAME_SIZE} bytes, one (doc, frame_idx, offset, digest) row per "
+    "sampled frame — the explode shape (one row -> many frames) and "
+    "Arrow batch contract are the production plumbing; the ffmpeg "
+    "seek/decode is stubbed identically to _decode_real "
+    "(operators/multimodal.py:sample_frames). The oracle recomputes the "
+    "sampled digests byte-level. Embarrassingly parallel; no shuffle "
+    "until aggregation.",
+)
+def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents")).filter(
+        F.length("text") >= _FRAME_SIZE
+    )
+    binary = multimodal.with_binary_payload(d, "doc_id", "text")
+    return multimodal.sample_frames(
+        binary,
+        frame_size=_FRAME_SIZE,
+        stride=_FRAME_STRIDE,
+        every_nth=_FRAME_NTH,
+    ).orderBy("doc_id", "frame_idx")
+
+
 # --- S19: OAI-PMH (Dublin Core) harvest decode ---------------------------
 
 _OAI_LANG_TO_6392 = {"en": "eng", "de": "deu", "fr": "fra", "es": "spa", "zh": "zho"}

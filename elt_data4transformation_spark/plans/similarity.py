@@ -211,3 +211,91 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rank", "neighbor_id", F.round("cos", 6).alias("cosine"))
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "embedding_quantize",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        scaled AS (
+            SELECT vec_id, v,
+                   LIST_MAX(LIST_TRANSFORM(v, x -> ABS(x))) / 127.0 AS scale
+            FROM e
+        ),
+        quant AS (
+            SELECT vec_id, v, scale,
+                   LIST_TRANSFORM(v, x -> ROUND(x / scale)) AS q
+            FROM scaled
+        )
+        SELECT vec_id,
+               ROUND(scale, 6) AS scale,
+               CAST(LIST_SUM(LIST_TRANSFORM(q, x ->
+                   CASE WHEN ABS(x) = 127 THEN 1 ELSE 0 END)) AS BIGINT)
+                   AS n_saturated,
+               ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(
+                   LIST_ZIP(v, q),
+                   p -> (p[1] - p[2] * scale) * (p[1] - p[2] * scale)))
+                   / LEN(v)), 6) AS rmse
+        FROM quant
+        ORDER BY vec_id
+    """,
+    tags=("similarity", "multimodal"),
+    doc="Symmetric int8 embedding quantization (per-vector absmax "
+    "scale, the faiss/SQ8 memory-reduction path for ANN at scale): "
+    "quantized codes, saturation count, and reconstruction RMSE per "
+    "vector — pure array-expression projection, no UDFs, no shuffle. "
+    "At 100 TB this is the op that turns a 256 GB float32 index into "
+    "64 GB of int8 codes; the rescore path keeps full-precision "
+    "vectors only for the top candidates (see ann_ivf_topk).",
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    scale = F.array_max(F.transform("v", lambda x: F.abs(x))) / 127.0
+    # the raw scale keeps a distinct name: aliasing the ROUNDED value to
+    # "scale" in the same select would make Catalyst's projection
+    # collapse bind the lambda's F.col("scale") to the rounded column
+    # and silently change the rmse
+    scaled = e.select("vec_id", "v", scale.alias("scale_raw"))
+
+    def q_of(v):
+        return F.transform(v, lambda x: F.round(x / F.col("scale_raw")))
+
+    quant = scaled.select(
+        "vec_id", "v", "scale_raw", q_of(F.col("v")).alias("q")
+    )
+    err_sq = F.zip_with(
+        F.col("v"),
+        F.col("q"),
+        lambda x, qv: (x - qv * F.col("scale_raw"))
+        * (x - qv * F.col("scale_raw")),
+    )
+    return (
+        quant.select(
+            "vec_id",
+            F.round("scale_raw", 6).alias("scale"),
+            F.aggregate(
+                F.transform(
+                    "q",
+                    lambda x: F.when(F.abs(x) == 127, F.lit(1)).otherwise(
+                        F.lit(0)
+                    ),
+                ),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ).alias("n_saturated"),
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        err_sq, F.lit(0.0), lambda a, x: a + x
+                    )
+                    / F.size("v")
+                ),
+                6,
+            ).alias("rmse"),
+        )
+        .orderBy("vec_id")
+    )
