@@ -54,6 +54,26 @@ def stream_new_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_dedup_watermark",
+    oracle="""
+        SELECT DISTINCT user_id, event_type
+        FROM events
+        ORDER BY user_id, event_type
+    """,
+    tags=("streaming",),
+    doc="dropDuplicatesWithinWatermark on the entity key — the dedup "
+    "variant whose state is EVICTED when the watermark passes, i.e. the "
+    "only one that survives an unbounded stream (plain dropDuplicates "
+    "state grows forever). Bounded fixture fits one watermark horizon, "
+    "so the emitted key set equals batch DISTINCT.",
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming_events.watermarked_dedup(spark, sf_dir).orderBy(
+        "user_id", "event_type"
+    )
+
+
+@register(
     "stream_sessions",
     oracle="""
         WITH seq AS (

@@ -427,3 +427,120 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "source")
     )
+
+
+# --- train/test decontamination check --------------------------------------
+
+_DECON_NGRAM = 8
+
+
+@register(
+    "decontamination_check",
+    oracle=f"""
+        WITH assigned AS (
+            SELECT doc_id, source, text,
+                   CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2)
+                             < '{_SPLIT_TRAIN_MAX}' THEN 'train'
+                        WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2)
+                             < '{_SPLIT_VAL_MAX}' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+            WHERE LEN(STRING_SPLIT(text, ' ')) >= {_DECON_NGRAM}
+        ),
+        grams AS (
+            SELECT doc_id, source, split,
+                   UNNEST({T.word_ngrams_sql(_DECON_NGRAM, 'w')}) AS gram
+            FROM (SELECT doc_id, source, split, STRING_SPLIT(text, ' ') AS w
+                  FROM assigned)
+        ),
+        hits AS (
+            SELECT t.doc_id, t.source,
+                   COUNT(DISTINCT t.gram) AS n_shared_grams
+            FROM (SELECT * FROM grams WHERE split = 'test') t
+            JOIN (SELECT DISTINCT gram FROM grams WHERE split = 'train') tr
+              ON t.gram = tr.gram
+            GROUP BY t.doc_id, t.source
+        ),
+        test_docs AS (
+            SELECT source, COUNT(*) AS n_test
+            FROM assigned WHERE split = 'test' GROUP BY source
+        ),
+        contaminated AS (
+            SELECT source, COUNT(*) AS n_contaminated,
+                   CAST(SUM(n_shared_grams) AS BIGINT) AS total_shared_grams
+            FROM hits GROUP BY source
+        )
+        SELECT d.source, d.n_test,
+               COALESCE(c.n_contaminated, 0) AS n_contaminated,
+               ROUND(100.0 * COALESCE(c.n_contaminated, 0) / d.n_test, 4)
+                   AS contaminated_pct,
+               COALESCE(c.total_shared_grams, 0) AS total_shared_grams
+        FROM test_docs d LEFT JOIN contaminated c USING (source)
+        ORDER BY source
+    """,
+    tags=("text", "dedup", "composite"),
+    doc="Train/test decontamination check: a test document is "
+    f"contaminated if it shares any exact word-{_DECON_NGRAM}-gram with "
+    "any train document (the standard eval-leakage test applied before "
+    "shipping a training corpus; split assignment reuses dataset_split's "
+    "md5 buckets). Plan: explode distinct n-grams per split, sparse "
+    "equi-join on the gram (only co-gram pairs materialize; the train "
+    "side is deduplicated to distinct grams first so the join output is "
+    "bounded by test-gram hits), per-source contamination stats. At "
+    "100 TB the gram join shuffles on the gram; hot boilerplate grams "
+    "get df-capped exactly like the near-dup index.",
+)
+def decontamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents")).filter(
+        F.size(T.words_col()) >= _DECON_NGRAM
+    )
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    assigned = d.select(
+        "doc_id",
+        "source",
+        "text",
+        F.when(bucket < _SPLIT_TRAIN_MAX, "train")
+        .when(bucket < _SPLIT_VAL_MAX, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    grams = assigned.select(
+        "doc_id",
+        "source",
+        "split",
+        F.explode(T.word_ngrams_col(_DECON_NGRAM, T.words_col())).alias("gram"),
+    )
+    train_grams = (
+        grams.filter(F.col("split") == "train").select("gram").distinct()
+    )
+    hits = (
+        grams.filter(F.col("split") == "test")
+        .join(train_grams, "gram")
+        .groupBy("doc_id", "source")
+        .agg(F.count_distinct("gram").alias("n_shared_grams"))
+    )
+    test_docs = (
+        assigned.filter(F.col("split") == "test")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_test"))
+    )
+    contaminated = hits.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_contaminated"),
+        F.sum("n_shared_grams").alias("total_shared_grams"),
+    )
+    return (
+        test_docs.join(contaminated, "source", "left")
+        .select(
+            "source",
+            "n_test",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.round(
+                100.0 * F.coalesce("n_contaminated", F.lit(0)) / F.col("n_test"),
+                4,
+            ).alias("contaminated_pct"),
+            F.coalesce("total_shared_grams", F.lit(0)).alias(
+                "total_shared_grams"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -104,6 +104,24 @@ def stateful_new_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(distinct_keys, "append")
 
 
+def watermarked_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark on the entity key: unlike plain
+    dropDuplicates (whose key state grows forever), dedup state here is
+    EVICTED once the watermark passes — the only dedup form that
+    survives an unbounded 100 TB/day stream. On the bounded fixture
+    (max event ts never exceeds any key's first ts by more than the
+    horizon... i.e. one logical window) the emitted key set equals
+    DISTINCT, which the batch oracle checks."""
+    ev = read_events_stream(spark, sf_dir)
+    distinct_keys = (
+        ev.withWatermark("ts", "30 days")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return _run_to_memory(distinct_keys, "append")
+
+
 def session_windows(
     spark: SparkSession, sf_dir: str, gap: str = "30 minutes"
 ) -> DataFrame:
