@@ -716,3 +716,55 @@ def test_claims_value_parsing_reference_table(spark):
             "SELECT " + claim_value_sql(f"'{tok}'")
         ).fetchone()
         assert sql_val == exp, (tok, sql_val, exp)
+
+
+# --- as-of join semantics (boundary cases) ---------------------------------
+
+
+def test_asof_union_window_pattern_boundaries(spark):
+    # the exact pattern asof_join_rates uses: rates sort before events
+    # at equal ts, last(rate, ignorenulls) carries forward
+    from pyspark.sql import Window
+
+    rates = spark.createDataFrame(
+        [("k", "2024-01-05 00:00:00", 1.0), ("k", "2024-01-10 00:00:00", 2.0)],
+        "key string, ts string, rate double",
+    ).select("key", F.col("ts").cast("timestamp").alias("ts"), "rate",
+             F.lit(1).alias("is_rate"), F.lit(None).cast("long").alias("eid"))
+    events = spark.createDataFrame(
+        [
+            (1, "k", "2024-01-04 23:59:59"),  # before first rate -> NULL
+            (2, "k", "2024-01-05 00:00:00"),  # exactly at -> 1.0 (<=)
+            (3, "k", "2024-01-07 12:00:00"),  # between -> 1.0
+            (4, "k", "2024-01-10 00:00:00"),  # exactly at second -> 2.0
+            (5, "k", "2024-01-31 00:00:00"),  # after last -> 2.0
+        ],
+        "eid long, key string, ts string",
+    ).select("key", F.col("ts").cast("timestamp").alias("ts"),
+             F.lit(None).cast("double").alias("rate"),
+             F.lit(0).alias("is_rate"), "eid")
+    w = (
+        Window.partitionBy("key")
+        .orderBy(F.col("ts"), F.col("is_rate").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = {
+        r["eid"]: r["eff"]
+        for r in rates.unionByName(events)
+        .withColumn("eff", F.last("rate", ignorenulls=True).over(w))
+        .filter(F.col("is_rate") == 0)
+        .collect()
+    }
+    assert out == {1: None, 2: 1.0, 3: 1.0, 4: 2.0, 5: 2.0}
+
+
+def test_embedding_quantize_bounds(spark):
+    # |q| <= 127 always; rmse <= scale/2 (max rounding error per dim)
+    from elt_data4transformation_spark.plans import REGISTRY
+    from tests.conftest import SF_SMALL
+
+    rows = REGISTRY["embedding_quantize"].fn(spark, SF_SMALL).collect()
+    assert rows, "no vectors"
+    for r in rows:
+        assert r["n_saturated"] >= 0
+        assert r["rmse"] <= r["scale"] / 2 + 1e-9, r

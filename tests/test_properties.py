@@ -176,3 +176,65 @@ def test_rate_limiter_never_admits_over_budget(stamps):
             admitted_in_window.append(t)
             recent = [x for x in admitted_in_window if x > t - 10.0]
             assert len(recent) <= 5
+
+
+# --- claim value parsing: differential vs the reference algorithm ----------
+# (study_scraper/claims.py:136-155 _value_to_float, ported verbatim as
+# the ground truth; the DuckDB twin of claim_value_sql is exercised via
+# duckdb directly so all three implementations must agree)
+
+
+def _reference_value_to_float(token: str):
+    """Verbatim port of claims.py:136-155 (the semantics under test)."""
+    try:
+        if "," in token:
+            head, tail = token.rsplit(",", 1)
+            if tail.isdigit() and len(tail) == 3 and head.replace(".", "").isdigit():
+                return float(token.replace(",", "").replace(".", ""))
+            return float(token.replace(",", "."))
+        if "." in token:
+            head, tail = token.rsplit(".", 1)
+            if tail.isdigit() and len(tail) == 3 and head.replace(",", "").isdigit():
+                return float(token.replace(".", ""))
+            return float(token)
+        return float(token)
+    except ValueError:
+        return None
+
+
+@st.composite
+def _claim_tokens(draw):
+    """Tokens shaped like the claim regexes produce: \\d+([.,]\\d+)? and
+    dot/space-grouped thousands variants."""
+    kind = draw(st.integers(0, 4))
+    whole = draw(st.integers(0, 99999))
+    if kind == 0:
+        return str(whole)
+    if kind == 1:
+        frac = draw(st.integers(0, 99999))
+        sep = draw(st.sampled_from([",", "."]))
+        return f"{whole}{sep}{frac}"
+    if kind == 2:  # dot-grouped thousands
+        groups = draw(st.lists(st.integers(0, 999), min_size=1, max_size=3))
+        return str(whole % 999) + "".join(f".{g:03d}" for g in groups)
+    if kind == 3:  # thousands + decimal comma
+        g = draw(st.integers(0, 999))
+        frac = draw(st.integers(0, 99))
+        return f"{whole % 999}.{g:03d},{frac}"
+    return f"{whole % 999},{draw(st.integers(0, 999)):03d}"  # comma thousands
+
+
+@given(_claim_tokens())
+@settings(max_examples=300, deadline=None)
+def test_claim_value_sql_matches_reference(token):
+    import duckdb
+
+    from elt_data4transformation_spark.functions.claims import claim_value_sql
+
+    expected = _reference_value_to_float(token.replace(" ", ""))
+    (got,) = (
+        duckdb.connect()
+        .execute("SELECT " + claim_value_sql(f"'{token}'"))
+        .fetchone()
+    )
+    assert got == expected, (token, got, expected)
