@@ -282,3 +282,126 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_a", "vec_b")
     )
+
+
+# --- connected components over near-dup edges ------------------------------
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+        WITH RECURSIVE sh AS ({_signatures_sql()[0]}),
+        dg AS ({_signatures_sql()[1]}), sig AS ({_signatures_sql()[2]}),
+        bands AS ({" UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_idx, band{b} AS band_key FROM sig"
+            for b in range(N_BANDS))}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+            SELECT c.doc_a, c.doc_b
+            FROM cand c
+            JOIN sh sa ON c.doc_a = sa.doc_id
+            JOIN sh sb ON c.doc_b = sb.doc_id
+            WHERE CAST(LEN(LIST_INTERSECT(sa.shingles, sb.shingles)) AS DOUBLE)
+                  / LEN(LIST_DISTINCT(LIST_CONCAT(sa.shingles, sb.shingles)))
+                  >= 0.5
+        ),
+        und AS (
+            SELECT doc_a AS a, doc_b AS b FROM edges
+            UNION
+            SELECT doc_b, doc_a FROM edges
+        ),
+        reach(a, b) AS (
+            SELECT a, b FROM und
+            UNION
+            SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+        ),
+        labels AS (
+            SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+            FROM reach GROUP BY a
+        )
+        SELECT l.doc_id, l.component,
+               COUNT(*) OVER (PARTITION BY l.component) AS component_size
+        FROM labels l
+        ORDER BY component, doc_id
+    """,
+    tags=("dedup", "graph"),
+    doc="Connected components over the MinHash-LSH near-dup edge set "
+    "(exact Jaccard >= 0.5): the DISTRIBUTED form of the reference's "
+    "greedy single-linkage clustering (clustering.py:224-266) and the "
+    "declared 100 TB variant in SCALE.md — transitive-closure "
+    "components instead of order-dependent first-cluster-wins. Spark "
+    "side is Pregel-style iterative min-label propagation (each round: "
+    "join labels to edges, take min over neighbors, converge when no "
+    "label changes — the unique fixpoint makes the result "
+    "deterministic); the oracle computes the same components with a "
+    "recursive CTE. Rounds are O(component diameter) — near-dup "
+    "clusters are shallow, so 2-4 shuffles total at any corpus size; "
+    "the driver sees only the per-round change COUNT (loop control), "
+    "never data.",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    edges = dedup_ops.minhash_lsh_pairs(
+        spread(table(spark, sf_dir, "documents")),
+        id_col="doc_id",
+        text_col="text",
+        shingle=SHINGLE,
+        n_hashes=N_MINHASH,
+        n_bands=N_BANDS,
+        threshold=0.5,
+    ).select("doc_a", "doc_b")
+    und = (
+        edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(
+            edges.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        und.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("component"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(20):  # diameter bound; near-dup clusters are shallow
+        neighbor_min = (
+            und.join(labels, und["a"] == labels["doc_id"])
+            .groupBy(F.col("b").alias("doc_id"))
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce("nmin", F.col("component"))
+                ).alias("component"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    w = Window.partitionBy("component")
+    return (
+        labels.select(
+            "doc_id",
+            "component",
+            F.count(F.lit(1)).over(w).alias("component_size"),
+        )
+        .orderBy("component", "doc_id")
+    )

@@ -103,3 +103,143 @@ def concept_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("sim"), "doc_id")
         .limit(100)
     )
+
+
+# --- BM25 lexical ranking --------------------------------------------------
+
+_BM25_TERMS = ("table", "window")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+
+
+def _bm25_tf_sql() -> str:
+    return ", ".join(
+        f"LEN(LIST_FILTER(w, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+
+
+def _bm25_df_sql() -> str:
+    return ", ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+
+
+def _bm25_hits_sql() -> str:
+    return " + ".join(
+        f"CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END"
+        for i in range(len(_BM25_TERMS))
+    )
+
+
+def _bm25_tft_sql() -> str:
+    return " + ".join(f"tf_{i}" for i in range(len(_BM25_TERMS)))
+
+
+
+def _bm25_score_sql() -> str:
+    parts = []
+    for i in range(len(_BM25_TERMS)):
+        parts.append(
+            f"LN((s.n_docs - d.df_{i} + 0.5) / (d.df_{i} + 0.5) + 1.0)"
+            f" * (tf_{i} * ({_BM25_K1} + 1.0))"
+            f" / (tf_{i} + {_BM25_K1} * (1.0 - {_BM25_B}"
+            f" + {_BM25_B} * dl / s.avgdl))"
+        )
+    return " + ".join(parts)
+
+
+@register(
+    "bm25_score",
+    oracle=f"""
+        WITH docs AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS w,
+                   LEN(STRING_SPLIT(text, ' ')) AS dl
+            FROM documents
+        ),
+        stats AS (
+            SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM docs
+        ),
+        tf AS (
+            SELECT doc_id, dl, {_bm25_tf_sql()}
+            FROM docs
+        ),
+        df AS (
+            SELECT {_bm25_df_sql()}
+            FROM tf
+        )
+        SELECT doc_id,
+               {_bm25_hits_sql()} AS n_hit_terms,
+               ROUND({_bm25_score_sql()}, 6) AS score
+        FROM tf CROSS JOIN stats s CROSS JOIN df d
+        WHERE {_bm25_tft_sql()} > 0
+        ORDER BY doc_id
+    """,
+    tags=("semantic", "search"),
+    doc="BM25 lexical ranking for the fixed query terms (k1="
+    f"{_BM25_K1}, b={_BM25_B}): per-term tf from the token array, "
+    "corpus df/avgdl from two tiny aggregates broadcast back as "
+    "literals-via-cross-join, Robertson idf ln((N-df+.5)/(df+.5)+1). "
+    "Completes the search family (search_union is the boolean+cosine "
+    "path; this is the ranked-retrieval scorer a reference user gets "
+    "from Postgres ts_rank). Scale shape: one pass for tf (projection), "
+    "one 1-row aggregate for stats, score is a pure expression — no "
+    "shuffle of the corpus; at 100 TB df/avgdl come from the same "
+    "aggregate pushed map-side.",
+)
+def bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents"))
+    w = F.split("text", " ")
+    docs = d.select("doc_id", w.alias("w"), F.size(w).cast("long").alias("dl"))
+
+    def tf_col(term: str):
+        def factory(t):
+            return lambda x: x == F.lit(t)
+
+        return F.size(F.filter("w", factory(term))).cast("long")
+
+    tf = docs.select(
+        "doc_id",
+        "dl",
+        *[tf_col(t).alias(f"tf_{i}") for i, t in enumerate(_BM25_TERMS)],
+    )
+    stats = tf.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    joined = tf.crossJoin(F.broadcast(stats))
+    score = None
+    hits = None
+    for i in range(len(_BM25_TERMS)):
+        tfi, dfi = F.col(f"tf_{i}"), F.col(f"df_{i}")
+        idf = F.log(
+            (F.col("n_docs") - dfi + 0.5) / (dfi + 0.5) + 1.0
+        )
+        part = idf * (tfi * (_BM25_K1 + 1.0)) / (
+            tfi
+            + _BM25_K1
+            * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+        hit = F.when(tfi > 0, 1).otherwise(0)
+        score = part if score is None else score + part
+        hits = hit if hits is None else hits + hit
+    return (
+        joined.select(
+            "doc_id",
+            hits.alias("n_hit_terms"),
+            F.round(score, 6).alias("score"),
+            sum(
+                (F.col(f"tf_{i}") for i in range(1, len(_BM25_TERMS))),
+                F.col("tf_0"),
+            ).alias("_tft"),
+        )
+        .filter(F.col("_tft") > 0)
+        .drop("_tft")
+        .orderBy("doc_id")
+    )

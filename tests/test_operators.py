@@ -768,3 +768,91 @@ def test_embedding_quantize_bounds(spark):
     for r in rows:
         assert r["n_saturated"] >= 0
         assert r["rmse"] <= r["scale"] / 2 + 1e-9, r
+
+
+def test_dedup_components_properties(spark):
+    # Min-label fixpoint invariants: (a) each component is labeled by its
+    # smallest member, (b) both endpoints of every near-dup edge land in
+    # the same component, (c) component_size matches the group count.
+    from elt_data4transformation_spark.operators import dedup_ops
+    from elt_data4transformation_spark.plans import REGISTRY
+    from elt_data4transformation_spark.plans.dedup import (
+        N_BANDS,
+        N_MINHASH,
+        SHINGLE,
+    )
+    from elt_data4transformation_spark.sources import spread, table
+    from tests.conftest import SF_SMALL
+
+    rows = REGISTRY["dedup_components"].fn(spark, SF_SMALL).collect()
+    assert rows, "no components"
+    comp = {r["doc_id"]: r["component"] for r in rows}
+    by_comp: dict = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r)
+    for label, members in by_comp.items():
+        assert min(m["doc_id"] for m in members) == label
+        assert all(m["component_size"] == len(members) for m in members)
+    edges = dedup_ops.minhash_lsh_pairs(
+        spread(table(spark, SF_SMALL, "documents")),
+        id_col="doc_id",
+        text_col="text",
+        shingle=SHINGLE,
+        n_hashes=N_MINHASH,
+        n_bands=N_BANDS,
+        threshold=0.5,
+    ).select("doc_a", "doc_b").collect()
+    assert edges, "no near-dup edges at this SF"
+    for e in edges:
+        assert comp[e["doc_a"]] == comp[e["doc_b"]], e
+
+
+def test_bm25_score_differential(spark):
+    # Recompute BM25 driver-side from the raw corpus and compare exactly
+    # (same rounding) — independent of both the Spark plan and the oracle.
+    import math
+
+    from elt_data4transformation_spark.plans import REGISTRY
+    from elt_data4transformation_spark.plans.semantic import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+    )
+    from elt_data4transformation_spark.sources import spread, table
+    from tests.conftest import SF_SMALL
+
+    docs = (
+        spread(table(spark, SF_SMALL, "documents"))
+        .select("doc_id", "text")
+        .collect()
+    )
+    toks = {r["doc_id"]: r["text"].split(" ") for r in docs}
+    n_docs = len(toks)
+    avgdl = sum(len(w) for w in toks.values()) / n_docs
+    tf = {
+        d: [w.count(t) for t in _BM25_TERMS] for d, w in toks.items()
+    }
+    df = [
+        sum(1 for v in tf.values() if v[i] > 0)
+        for i in range(len(_BM25_TERMS))
+    ]
+    expected = {}
+    for d, v in tf.items():
+        if sum(v) == 0:
+            continue
+        dl = len(toks[d])
+        s = 0.0
+        for i in range(len(_BM25_TERMS)):
+            idf = math.log((n_docs - df[i] + 0.5) / (df[i] + 0.5) + 1.0)
+            s += (
+                idf
+                * (v[i] * (_BM25_K1 + 1.0))
+                / (v[i] + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * dl / avgdl))
+            )
+        expected[d] = (sum(1 for x in v if x > 0), round(s, 6))
+    rows = REGISTRY["bm25_score"].fn(spark, SF_SMALL).collect()
+    got = {r["doc_id"]: (r["n_hit_terms"], r["score"]) for r in rows}
+    assert set(got) == set(expected)
+    for d in expected:
+        assert got[d][0] == expected[d][0]
+        assert abs(got[d][1] - expected[d][1]) <= 1e-6, (d, got[d], expected[d])
