@@ -22,16 +22,14 @@ from pyspark.sql import types as Ty
 
 _COUNTER = itertools.count()
 
-EVENTS_RAW_SCHEMA = Ty.StructType(
-    [
-        Ty.StructField("event_id", Ty.LongType()),
-        Ty.StructField("ts", Ty.LongType()),  # TIMESTAMP(NANOS) read as long
-        Ty.StructField("user_id", Ty.LongType()),
-        Ty.StructField("event_type", Ty.StringType()),
-        Ty.StructField("value", Ty.DoubleType()),
-        Ty.StructField("props", Ty.StringType()),
-    ]
-)
+def _events_schema(spark: SparkSession, sf_dir: str, glob: str) -> Ty.StructType:
+    """Probe the parquet footer (cheap batch read, no data scan) so the
+    stream schema matches whatever physical ts type the file carries —
+    TIMESTAMP(MICROS) reads natively; TIMESTAMP(NANOS) (which vanilla
+    Spark refuses) arrives as a long under the legacy flag and is
+    converted below."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
 
 
 def read_events_stream(
@@ -40,21 +38,29 @@ def read_events_stream(
     glob: str = "events.parquet",
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """File-source stream over the events table; nanosecond timestamps
-    arrive as longs (see sources/tables.py) and are converted to
-    microsecond timestamps. ``max_files_per_trigger`` forces multi-
-    micro-batch runs (tests use it to prove batch-count independence)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """File-source stream over the events table; a nanosecond-typed ts
+    column arrives as long and is converted to a microsecond timestamp
+    (micros-typed files stream as-is). ``max_files_per_trigger`` forces
+    multi-micro-batch runs (tests use it to prove batch-count
+    independence)."""
+    schema = _events_schema(spark, sf_dir, glob)
     # the file source wants a directory; glob-filter to the events table
     reader = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", glob)
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.load(sf_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(schema["ts"].dataType, Ty.LongType):
+        # integer div: double division would round the microsecond up
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(schema["ts"].dataType, Ty.TimestampNTZType):
+        # watermarks require TIMESTAMP (ltz); session tz is UTC so the
+        # instant is unchanged
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:

@@ -622,16 +622,15 @@ def test_foreach_batch_diff_multibatch_matches_singlebatch(spark, tmp_path):
     # batches — per-key (sum, count) must accumulate ACROSS batches so
     # the result is identical to the single-batch run
     from elt_data4transformation_spark.streaming.events import (
-        EVENTS_RAW_SCHEMA,
         foreach_batch_snapshot_diff,
     )
 
     src = str(tmp_path / "multi")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # keep ts as raw long nanos so the stream-side schema matches
+    # keep ts at its on-disk physical type so the stream-side schema
+    # probe sees the same shape as the original file
     (
-        spark.read.schema(EVENTS_RAW_SCHEMA)
-        .parquet("/root/testdata/sf0.001/events.parquet")
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
         .repartition(4)
         .write.parquet(src)
     )
