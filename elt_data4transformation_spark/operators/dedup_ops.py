@@ -39,7 +39,14 @@ def jaccard_pairs(
         F.col(set_col).alias("_set"),
         F.size(set_col).cast("long").alias("_n"),
     )
-    tok = base.select("_blk", "_id", "_n", F.explode("_set").alias("_tok"))
+    # materialize the posting list once: both sides of the self-join
+    # (and every downstream job) would otherwise re-run the n-gram
+    # projection — the single most expensive expression in the plan.
+    # At scale this is the classic inverted-index build: posting rows
+    # are (block, token, id, set_size), far narrower than the documents.
+    tok = base.select(
+        "_blk", "_id", "_n", F.explode("_set").alias("_tok")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = tok.select(
         F.col("_blk"),
         F.col("_id").alias("doc_a"),

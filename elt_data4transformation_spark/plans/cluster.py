@@ -841,10 +841,30 @@ def snapshot_fuzzy_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # position joins INTO the term key (reference filters the secondary
     # key before similarity) — bounds co-term fan-out on dense vocab;
     # the norm rides along on every term row so the >= threshold filter
-    # runs inside the pair aggregate, before any downstream join
-    vecp = vec.join(posmap, "id").join(norms, "id")
-    cvec = vecp.filter(F.col("id").startswith("c")).alias("c")
-    pvec = vecp.filter(F.col("id").startswith("p")).alias("p")
+    # runs inside the pair aggregate, before any downstream join.
+    # Persisted: both pair-join sides (and the broadcast) re-derive this
+    # same tokenize -> concept-map -> two-join chain; materializing it
+    # once replaces three full recomputations of the upstream DAG (the
+    # dominant cost — the vector table is tiny next to the corpus).
+    # numeric ids BEFORE the pair aggregate: grouping 5M+ pair rows by
+    # two longs is far cheaper than by two strings, and the division by
+    # (c.nrm * p.nrm) stays a single post-sum op per group — bitwise
+    # the same arithmetic as the oracle's SUM / ANY_VALUE form
+    vecp = (
+        vec.join(posmap, "id")
+        .join(norms, "id")
+        .select(
+            F.substring("id", 1, 1).alias("side"),
+            F.expr("CAST(SUBSTR(id, 2) AS BIGINT)").alias("nid"),
+            "term",
+            "position",
+            "w",
+            "nrm",
+        )
+        .persist()
+    )
+    cvec = vecp.filter(F.col("side") == "c").alias("c")
+    pvec = vecp.filter(F.col("side") == "p").alias("p")
     sims = (
         # broadcast the PREV side: a snapshot is one digest run's rows —
         # always small relative to the current corpus — and the (term,
@@ -855,7 +875,7 @@ def snapshot_fuzzy_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c.term") == F.col("p.term"))
             & (F.col("c.position") == F.col("p.position")),
         )
-        .groupBy(F.col("c.id").alias("cid_s"), F.col("p.id").alias("pid_s"))
+        .groupBy(F.col("c.nid").alias("cur_id"), F.col("p.nid").alias("prev_id"))
         .agg(
             (
                 F.sum(F.col("c.w") * F.col("p.w"))
@@ -863,11 +883,6 @@ def snapshot_fuzzy_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sim")
         )
         .filter(F.col("sim") >= _FUZZY_THRESHOLD)
-        .select(
-            F.expr("CAST(SUBSTR(cid_s, 2) AS BIGINT)").alias("cur_id"),
-            F.expr("CAST(SUBSTR(pid_s, 2) AS BIGINT)").alias("prev_id"),
-            "sim",
-        )
     )
     w_best = Window.partitionBy("cur_id").orderBy(
         F.col("sim").desc(), F.col("prev_id")
@@ -887,7 +902,9 @@ def snapshot_fuzzy_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rn", F.row_number().over(w_best))
     )
-    matched = cand.filter(F.col("rn") == 1).drop("rn")
+    # matched feeds both the shift/steady output and the anti-join that
+    # derives 'new' rows — persist so the pair aggregate runs once
+    matched = cand.filter(F.col("rn") == 1).drop("rn").persist()
     delta = F.round(F.col("to_pct") - F.col("from_pct"), 1)
     out_matched = matched.select(
         "label",

@@ -206,9 +206,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(table(spark, sf_dir, "documents"))
-    w = T.words_col()
-    g = d.filter(F.size(w) >= 3).select(
-        "doc_id", "lang", T.word_ngrams_col(3, w).alias("grams")
+    # project the split ONCE into a named column before shingling:
+    # passing the raw split() expression into word_ngrams_col would
+    # inline it into every element_at — O(words^2) re-splits per doc
+    words = d.select("doc_id", "lang", T.words_col().alias("w")).filter(
+        F.size("w") >= 3
+    )
+    g = words.select(
+        "doc_id", "lang", T.word_ngrams_col(3, F.col("w")).alias("grams")
     )
     pairs = dedup_ops.jaccard_pairs(g, "doc_id", "grams", block_col="lang").select(
         F.col("block").alias("lang"), "doc_a", "doc_b", "jac"
@@ -371,29 +376,31 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     for _ in range(20):  # diameter bound; near-dup clusters are shallow
-        neighbor_min = (
-            und.join(labels, und["a"] == labels["doc_id"])
-            .groupBy(F.col("b").alias("doc_id"))
-            .agg(F.min("component").alias("nmin"))
+        # one round = join + union + single min-aggregate (2 shuffles,
+        # not join/groupBy/join): neighbor labels and each node's own
+        # label merge in the same aggregate, and the own-label branch
+        # doubles as the previous value for the convergence count — so
+        # the change check reads the SAME materialization, no extra join
+        neighbor = und.join(labels, und["a"] == labels["doc_id"]).select(
+            F.col("b").alias("doc_id"),
+            "component",
+            F.lit(None).cast("long").alias("own"),
         )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("component"), F.coalesce("nmin", F.col("component"))
-                ).alias("component"),
+        own = labels.select(
+            "doc_id", "component", F.col("component").alias("own")
+        )
+        stepped = (
+            neighbor.unionByName(own)
+            .groupBy("doc_id")
+            .agg(
+                F.min("component").alias("component"),
+                F.max("own").alias("prev"),
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        changed = stepped.filter(F.col("component") != F.col("prev")).count()
         labels.unpersist()
-        labels = new_labels
+        labels = stepped.drop("prev")
         if changed == 0:
             break
     w = Window.partitionBy("component")

@@ -316,10 +316,16 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("drn") == 1)
         .drop("drn")
     )
-    grams = exact_kept.filter(F.col("n_words") >= 3).select(
-        "doc_id",
-        "lang_pred",
-        T.word_ngrams_col(3, T.words_col()).alias("grams"),
+    # split once into a named column — inlining the split() expression
+    # into word_ngrams_col's element_at calls costs O(words^2) per doc
+    grams = (
+        exact_kept.filter(F.col("n_words") >= 3)
+        .select("doc_id", "lang_pred", T.words_col().alias("w"))
+        .select(
+            "doc_id",
+            "lang_pred",
+            T.word_ngrams_col(3, F.col("w")).alias("grams"),
+        )
     )
     pairs = dedup_ops.jaccard_pairs(
         grams, id_col="doc_id", set_col="grams", block_col="lang_pred"
@@ -504,11 +510,14 @@ def decontamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+    # split once into a named column (same O(words^2) inlining trap)
     grams = assigned.select(
+        "doc_id", "source", "split", T.words_col().alias("w")
+    ).select(
         "doc_id",
         "source",
         "split",
-        F.explode(T.word_ngrams_col(_DECON_NGRAM, T.words_col())).alias("gram"),
+        F.explode(T.word_ngrams_col(_DECON_NGRAM, F.col("w"))).alias("gram"),
     )
     train_grams = (
         grams.filter(F.col("split") == "train").select("gram").distinct()
