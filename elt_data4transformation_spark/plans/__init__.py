@@ -20,6 +20,7 @@ from . import streaming_queries  # noqa: F401,E402
 from . import semistructured  # noqa: F401,E402
 from . import pipeline  # noqa: F401,E402
 from . import cluster  # noqa: F401,E402
+from . import corpus  # noqa: F401,E402
 from . import marts  # noqa: F401,E402
 from . import semantic  # noqa: F401,E402
 from . import fulltext  # noqa: F401,E402

@@ -1,0 +1,510 @@
+"""Training-corpus preparation operators beyond the reference surface:
+PII redaction, Gopher-style repetition gates, URL/domain blocklist
+filtering, fixed-capacity sequence packing, and source-mixture
+resampling. These are the ops a large-scale LLM-data pipeline runs
+between raw ingest and tokenization; each is a pure codegen'd
+projection/aggregate (linear, no UDFs, no collect) with a DuckDB twin.
+
+The synthetic documents table has no contact info or links, so the
+PII/URL queries derive a deterministic enriched text column from
+doc_id arithmetic (the same construction on both engines — the pattern
+snapshot_fuzzy_diff established); the extraction/redaction logic that
+runs on it is the real operator under test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import textfns as T
+from ..sources import spread, table
+from .registry import register
+
+# --- PII redaction ---------------------------------------------------------
+
+# Same regexes on both engines (Java util.regex and RE2 agree on this
+# subset: character classes, bounded repeats, \b word boundaries).
+_RE_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_RE_PHONE = r"\+[0-9]{2} [0-9]{2} [0-9]{7}"
+_RE_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def _pii_fixture_sql() -> str:
+    return """
+        SELECT doc_id, source,
+               text
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' kontakt user' || doc_id || '@example'
+                            || (doc_id % 7) || '.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 4 = 0
+                       THEN ' tel +49 30 ' || (1000000 + doc_id % 899999)
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' host ' || (doc_id % 223 + 1) || '.'
+                            || (doc_id % 256) || '.' || (doc_id * 7 % 256)
+                            || '.' || (doc_id * 13 % 256)
+                       ELSE '' END AS text
+        FROM documents
+    """
+
+
+def _pii_fixture_col() -> F.Column:
+    did = F.col("doc_id")
+    email = F.when(
+        did % 3 == 0,
+        F.concat(
+            F.lit(" kontakt user"),
+            did.cast("string"),
+            F.lit("@example"),
+            (did % 7).cast("string"),
+            F.lit(".com"),
+        ),
+    ).otherwise("")
+    phone = F.when(
+        did % 4 == 0,
+        F.concat(
+            F.lit(" tel +49 30 "), (F.lit(1000000) + did % 899999).cast("string")
+        ),
+    ).otherwise("")
+    ip = F.when(
+        did % 5 == 0,
+        F.concat(
+            F.lit(" host "),
+            (did % 223 + 1).cast("string"),
+            F.lit("."),
+            (did % 256).cast("string"),
+            F.lit("."),
+            (did * 7 % 256).cast("string"),
+            F.lit("."),
+            (did * 13 % 256).cast("string"),
+        ),
+    ).otherwise("")
+    return F.concat(F.col("text"), email, phone, ip)
+
+
+@register(
+    "pii_redact",
+    oracle=f"""
+        WITH enriched AS ({_pii_fixture_sql()}),
+        scanned AS (
+            SELECT doc_id, source, text,
+                   LEN(REGEXP_EXTRACT_ALL(text, '{_RE_EMAIL}')) AS n_email,
+                   LEN(REGEXP_EXTRACT_ALL(text, '{_RE_PHONE}')) AS n_phone,
+                   LEN(REGEXP_EXTRACT_ALL(text, '{_RE_IPV4}')) AS n_ip,
+                   REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+                       text, '{_RE_EMAIL}', '[EMAIL]', 'g'),
+                       '{_RE_PHONE}', '[PHONE]', 'g'),
+                       '{_RE_IPV4}', '[IP]', 'g') AS redacted
+            FROM enriched
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN n_email + n_phone + n_ip > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+               CAST(SUM(n_email) AS BIGINT) AS emails_found,
+               CAST(SUM(n_phone) AS BIGINT) AS phones_found,
+               CAST(SUM(n_ip) AS BIGINT)    AS ips_found,
+               CAST(SUM(LEN(text) - LEN(redacted)) AS BIGINT)
+                   AS chars_removed
+        FROM scanned
+        GROUP BY source
+        ORDER BY source
+    """,
+    tags=("corpus", "text"),
+    doc="PII detection + redaction (email / E.164-style phone / IPv4) "
+    "over the document corpus: regexp_extract_all counts per class, "
+    "nested regexp_replace masking, per-source audit rollup. The "
+    "chars_removed column proves the masking ran (not just the "
+    "counting). Pure codegen string expressions — linear scan, one "
+    "shuffle for the per-source aggregate; the redacted text itself "
+    "would be the written output at scale (aggregated here to keep the "
+    "result hashable).",
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents"))
+    enriched = d.select("doc_id", "source", _pii_fixture_col().alias("text"))
+    n_email = F.size(F.regexp_extract_all("text", F.lit(_RE_EMAIL), F.lit(0)))
+    n_phone = F.size(F.regexp_extract_all("text", F.lit(_RE_PHONE), F.lit(0)))
+    n_ip = F.size(F.regexp_extract_all("text", F.lit(_RE_IPV4), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _RE_EMAIL, "[EMAIL]"),
+            _RE_PHONE,
+            "[PHONE]",
+        ),
+        _RE_IPV4,
+        "[IP]",
+    )
+    scanned = enriched.select(
+        "source",
+        "text",
+        n_email.alias("n_email"),
+        n_phone.alias("n_phone"),
+        n_ip.alias("n_ip"),
+        redacted.alias("redacted"),
+    )
+    has_pii = (F.col("n_email") + F.col("n_phone") + F.col("n_ip")) > 0
+    return (
+        scanned.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(has_pii, 1).otherwise(0)).alias("n_docs_with_pii"),
+            F.sum("n_email").alias("emails_found"),
+            F.sum("n_phone").alias("phones_found"),
+            F.sum("n_ip").alias("ips_found"),
+            F.sum(F.length("text") - F.length("redacted")).alias(
+                "chars_removed"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# --- Gopher-style repetition / quality gates -------------------------------
+
+_REP_TOP_WORD_MAX = 0.10  # most-frequent word > 10% of doc -> repetitive
+_REP_DUP_2GRAM_MAX = 0.60  # duplicate-bigram fraction gate
+
+
+@register(
+    "repetition_score",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS w
+            FROM documents WHERE LEN(text) > 0
+        ), g AS (
+            SELECT doc_id, lang, w, LEN(w) AS n_words,
+                   LIST_TRANSFORM(RANGE(1, GREATEST(LEN(w) - 1, 1) + 1),
+                                  i -> w[i] || ' ' || w[i + 1]) AS g2
+            FROM w
+        ), m AS (
+            SELECT doc_id, lang, n_words,
+                   CAST(LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(w),
+                        t -> LEN(LIST_FILTER(w, x -> x = t)))) AS DOUBLE)
+                       / n_words AS top_word_frac,
+                   1.0 - CAST(LEN(LIST_DISTINCT(g2)) AS DOUBLE) / LEN(g2)
+                       AS dup_2gram_frac,
+                   CAST(LEN(LIST_FILTER(w, x -> LEN(x) >= 1)) AS DOUBLE)
+                       AS _n_nonempty,
+                   LIST_SUM(LIST_TRANSFORM(w, x -> CAST(LEN(x) AS DOUBLE)))
+                       / LEN(w) AS mean_word_len
+            FROM g
+        )
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN top_word_frac <= {_REP_TOP_WORD_MAX}
+                              AND dup_2gram_frac <= {_REP_DUP_2GRAM_MAX}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               ROUND(AVG(top_word_frac), 6)  AS avg_top_word_frac,
+               ROUND(AVG(dup_2gram_frac), 6) AS avg_dup_2gram_frac,
+               ROUND(AVG(mean_word_len), 6)  AS avg_word_len
+        FROM m
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    tags=("corpus", "text", "quality"),
+    doc="Gopher-style repetition gates (most-frequent-word fraction, "
+    "duplicate-bigram fraction, mean word length) with a keep decision "
+    "per document, rolled up per language. Word-level stats run as "
+    "array higher-order functions over the split column — per-row "
+    "compute is O(distinct_words * words), no shuffle until the final "
+    "per-language aggregate. The thresholds mirror the published "
+    "Gopher/MassiveText repetition rules (top-2gram and dup-line "
+    "fractions), adapted to the newline-free fixture corpus.",
+)
+def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents")).filter(F.length("text") > 0)
+    words = d.select("doc_id", "lang", T.words_col().alias("w"))
+    n_words = F.size("w")
+    # bigrams over the named column (not the raw split expr — see the
+    # O(words^2) inlining note in plans/dedup.py)
+    g2 = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_words - 1, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("w"), i), F.element_at(F.col("w"), i + 1)
+        ),
+    )
+    top_word_frac = (
+        F.array_max(
+            F.transform(
+                F.array_distinct("w"),
+                lambda t: F.size(F.filter(F.col("w"), lambda x: x == t)),
+            )
+        ).cast("double")
+        / n_words
+    )
+    dup_2gram_frac = 1.0 - F.size(F.array_distinct(g2)).cast("double") / F.size(
+        g2
+    )
+    mean_word_len = (
+        F.aggregate(
+            F.transform(F.col("w"), lambda x: F.length(x).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / n_words
+    )
+    m = words.select(
+        "lang",
+        top_word_frac.alias("top_word_frac"),
+        dup_2gram_frac.alias("dup_2gram_frac"),
+        mean_word_len.alias("mean_word_len"),
+    )
+    keep = (F.col("top_word_frac") <= _REP_TOP_WORD_MAX) & (
+        F.col("dup_2gram_frac") <= _REP_DUP_2GRAM_MAX
+    )
+    return (
+        m.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
+            F.round(F.avg("top_word_frac"), 6).alias("avg_top_word_frac"),
+            F.round(F.avg("dup_2gram_frac"), 6).alias("avg_dup_2gram_frac"),
+            F.round(F.avg("mean_word_len"), 6).alias("avg_word_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- URL / domain blocklist filter -----------------------------------------
+
+_BLOCKED_DOMAINS = ("site2.com", "site5.org", "site7.net", "site11.net")
+
+
+def _url_fixture_sql() -> str:
+    return """
+        SELECT doc_id, source,
+               'https://' ||
+               CASE WHEN doc_id % 6 = 0 THEN 'www.' ELSE '' END ||
+               'site' || (doc_id % 13) ||
+               CASE WHEN doc_id % 3 = 0 THEN '.com'
+                    WHEN doc_id % 3 = 1 THEN '.org'
+                    ELSE '.net' END ||
+               '/doc/' || doc_id AS url
+        FROM documents
+    """
+
+
+@register(
+    "url_domain_filter",
+    oracle=f"""
+        WITH links AS ({_url_fixture_sql()}),
+        parsed AS (
+            SELECT doc_id, source,
+                   REGEXP_REPLACE(
+                       LOWER(REGEXP_EXTRACT(url, 'https?://([^/]+)', 1)),
+                       '^www\\.', '') AS domain
+            FROM links
+        ),
+        flagged AS (
+            SELECT p.*, CASE WHEN b.domain IS NOT NULL THEN 1 ELSE 0 END
+                   AS blocked
+            FROM parsed p
+            LEFT JOIN (SELECT UNNEST({list(_BLOCKED_DOMAINS)}) AS domain) b
+              ON p.domain = b.domain
+        )
+        SELECT domain,
+               CAST(MAX(blocked) AS INT) AS blocked,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN blocked = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept
+        FROM flagged
+        GROUP BY domain
+        ORDER BY domain
+    """,
+    tags=("corpus", "join"),
+    doc="URL -> normalized domain (scheme strip, lowercase, www. strip "
+    "via the same regex on both engines) -> broadcast blocklist join -> "
+    "per-domain keep/block audit. At 100 TB the blocklist is the "
+    "canonical small-dim broadcast (thousands of rows vs billions of "
+    "docs); the anti-join form `WHERE blocked = 0` is the production "
+    "filter, the per-domain rollup here keeps the audit hashable.",
+)
+def url_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents"))
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(did % 6 == 0, "www.").otherwise(""),
+        F.lit("site"),
+        (did % 13).cast("string"),
+        F.when(did % 3 == 0, ".com").when(did % 3 == 1, ".org").otherwise(
+            ".net"
+        ),
+        F.lit("/doc/"),
+        did.cast("string"),
+    )
+    parsed = d.select(
+        "doc_id",
+        "source",
+        F.regexp_replace(
+            F.lower(F.regexp_extract(url, r"https?://([^/]+)", 1)),
+            r"^www\.",
+            "",
+        ).alias("domain"),
+    )
+    blocklist = spark.createDataFrame(
+        [(b,) for b in _BLOCKED_DOMAINS], "domain string"
+    ).withColumn("blocked_flag", F.lit(1))
+    flagged = parsed.join(F.broadcast(blocklist), "domain", "left").select(
+        "domain",
+        F.coalesce("blocked_flag", F.lit(0)).alias("blocked"),
+    )
+    return (
+        flagged.groupBy("domain")
+        .agg(
+            F.max("blocked").cast("int").alias("blocked"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("blocked") == 0, 1).otherwise(0)).alias(
+                "n_kept"
+            ),
+        )
+        .orderBy("domain")
+    )
+
+
+# --- Fixed-capacity sequence packing ---------------------------------------
+
+_PACK_CAPACITY = 2048
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source, LEN(STRING_SPLIT(text, ' ')) AS n_tokens
+            FROM documents
+        ), cum AS (
+            SELECT doc_id, source, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cum_before
+            FROM toks
+        ), binned AS (
+            SELECT source, n_tokens,
+                   -- FLOOR, not CAST: DuckDB casts double->bigint by
+                   -- rounding where Spark truncates
+                   CAST(FLOOR(cum_before / {_PACK_CAPACITY}.0) AS BIGINT)
+                       AS bin_id,
+                   doc_id
+            FROM cum
+        )
+        SELECT source, bin_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+               ROUND(CAST(SUM(n_tokens) AS DOUBLE) / {_PACK_CAPACITY}, 6)
+                   AS fill_ratio
+        FROM binned
+        GROUP BY source, bin_id
+        ORDER BY source, bin_id
+    """,
+    tags=("corpus", "window"),
+    doc="Sequence packing for training-batch assembly: concatenate "
+    "documents in doc_id order within each source shard and cut "
+    f"{_PACK_CAPACITY}-token bins at running-total boundaries (the "
+    "contiguous-greedy packing used when locality matters more than "
+    "perfect fill). One window cumsum partitioned by source + one "
+    "aggregate; at scale the partition key is the shard, so no global "
+    "sort or single-partition window exists anywhere in the plan.",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", "source", F.size(T.words_col()).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = toks.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    binned = cum.select(
+        "source",
+        "n_tokens",
+        "doc_id",
+        F.floor(F.col("cum_before") / _PACK_CAPACITY).cast("bigint").alias(
+            "bin_id"
+        ),
+    )
+    return (
+        binned.groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.round(
+                F.sum("n_tokens").cast("double") / _PACK_CAPACITY, 6
+            ).alias("fill_ratio"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
+# --- Source-mixture resampling ---------------------------------------------
+
+# target sampling rate per source group (domain-weighting a pretraining
+# mixture): high-trust sources kept whole, the long tail downsampled
+_MIX_RATES = ((0, 1.0), (1, 0.5), (2, 0.25))  # source_num % 3 -> rate
+
+
+@register(
+    "mixture_resample",
+    oracle="""
+        WITH rated AS (
+            SELECT doc_id, source,
+                   CASE CAST(REGEXP_EXTRACT(source, '([0-9]+)$', 1) AS INT) % 3
+                        WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 ELSE 0.25 END AS rate,
+                   CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '|mix'),
+                        1, 4)) AS INT) AS h
+            FROM documents
+        )
+        SELECT source, rate,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN h < rate * 65536 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_sampled
+        FROM rated
+        GROUP BY source, rate
+        ORDER BY source
+    """,
+    tags=("corpus", "sampling"),
+    doc="Deterministic source-mixture resampling: per-source target "
+    "rate (domain weighting), membership decided by the first 16 bits "
+    "of md5(doc_id || salt) — the same salted-hash split technique as "
+    "dataset_split, so the sample is stable across runs, engines, and "
+    "partitionings (no rand()). Pure projection + one aggregate; the "
+    "production form emits the kept rows, the rollup here audits "
+    "realized vs target rate per source.",
+)
+def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents"))
+    src_num = F.regexp_extract("source", r"([0-9]+)$", 1).cast("int")
+    rate = (
+        F.when(src_num % 3 == 0, 1.0)
+        .when(src_num % 3 == 1, 0.5)
+        .otherwise(0.25)
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|mix"))), 1, 4),
+        16,
+        10,
+    ).cast("int")
+    rated = d.select(
+        "doc_id", "source", rate.alias("rate"), h.alias("h")
+    )
+    return (
+        rated.groupBy("source", "rate")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("h") < F.col("rate") * 65536, 1).otherwise(0)
+            ).alias("n_sampled"),
+        )
+        .orderBy("source")
+    )

@@ -855,3 +855,167 @@ def test_bm25_score_differential(spark):
     for d in expected:
         assert got[d][0] == expected[d][0]
         assert abs(got[d][1] - expected[d][1]) <= 1e-6, (d, got[d], expected[d])
+
+
+# --- corpus-prep operators (plans/corpus.py) -------------------------------
+
+
+def _write_docs(spark, tmp_path, rows):
+    """Write a crafted documents.parquet so corpus plans run on it."""
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_pii_redact_masks_and_counts(spark, tmp_path):
+    # doc 0: email (0%3==0), phone (0%4==0), ip (0%5==0); doc 1: none
+    from elt_data4transformation_spark.plans import REGISTRY
+
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (0, "hello world", "en", "srcA", 11),
+            (1, "plain text only", "en", "srcA", 15),
+        ],
+    )
+    rows = {r["source"]: r for r in REGISTRY["pii_redact"].fn(spark, sf).collect()}
+    r = rows["srcA"]
+    assert r["n_docs"] == 2
+    assert r["n_docs_with_pii"] == 1
+    assert r["emails_found"] == 1
+    assert r["phones_found"] == 1
+    assert r["ips_found"] == 1
+    # every removed span is longer than its mask, so chars must shrink
+    assert r["chars_removed"] > 0
+
+
+def test_pii_redact_idempotent_masking(spark):
+    # redacting already-redacted text removes nothing further
+    from elt_data4transformation_spark.plans.corpus import (
+        _RE_EMAIL,
+        _RE_IPV4,
+        _RE_PHONE,
+    )
+
+    masked = "contact [EMAIL] tel [PHONE] host [IP] done"
+    row = (
+        spark.range(1)
+        .select(
+            F.size(
+                F.regexp_extract_all(F.lit(masked), F.lit(_RE_EMAIL), F.lit(0))
+            ).alias("e"),
+            F.size(
+                F.regexp_extract_all(F.lit(masked), F.lit(_RE_PHONE), F.lit(0))
+            ).alias("p"),
+            F.size(
+                F.regexp_extract_all(F.lit(masked), F.lit(_RE_IPV4), F.lit(0))
+            ).alias("i"),
+        )
+        .first()
+    )
+    assert (row["e"], row["p"], row["i"]) == (0, 0, 0)
+
+
+def test_repetition_score_flags_repetitive_doc(spark, tmp_path):
+    from elt_data4transformation_spark.plans import REGISTRY
+
+    varied = " ".join(f"w{i}" for i in range(40))  # all-distinct words
+    loop = " ".join(["spam"] * 40)  # one word repeated
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (0, varied, "en", "srcA", len(varied)),
+            (1, loop, "en", "srcA", len(loop)),
+        ],
+    )
+    r = REGISTRY["repetition_score"].fn(spark, sf).collect()[0]
+    assert r["n_docs"] == 2
+    assert r["n_kept"] == 1  # the varied doc passes, the loop doc fails
+    # loop doc: top_word_frac 1.0, dup_2gram_frac ~1.0 pull the averages up
+    assert r["avg_top_word_frac"] > 0.5
+
+
+def test_url_domain_filter_normalizes_www(spark, tmp_path):
+    from elt_data4transformation_spark.plans import REGISTRY
+
+    # doc_ids 0 (www., site0.com) and 13 (site0.org): www must strip,
+    # 2 (site2.net) is NOT blocked (blocklist has site2.com only)
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (0, "t", "en", "srcA", 1),
+            (13, "t", "en", "srcA", 1),
+            (2, "t", "en", "srcA", 1),
+        ],
+    )
+    rows = {
+        r["domain"]: r for r in REGISTRY["url_domain_filter"].fn(spark, sf).collect()
+    }
+    assert set(rows) == {"site0.com", "site0.org", "site2.net"}
+    assert all(r["blocked"] == 0 for r in rows.values())
+    assert all(r["n_kept"] == r["n_docs"] for r in rows.values())
+
+
+def test_url_domain_filter_blocks_listed(spark, tmp_path):
+    from elt_data4transformation_spark.plans import REGISTRY
+
+    # doc_id 15: site(15%13)=site2, tld (15%3==0) .com -> blocked
+    sf = _write_docs(spark, tmp_path, [(15, "t", "en", "srcA", 1)])
+    r = REGISTRY["url_domain_filter"].fn(spark, sf).collect()[0]
+    assert r["domain"] == "site2.com"
+    assert r["blocked"] == 1
+    assert r["n_kept"] == 0
+
+
+def test_pack_sequences_bin_boundaries(spark, tmp_path):
+    from elt_data4transformation_spark.plans import REGISTRY
+    from elt_data4transformation_spark.plans.corpus import _PACK_CAPACITY
+
+    # three docs of 1500/1500/1500 tokens: cum_before = 0, 1500, 3000
+    # -> bins 0, 0, 1 (bin changes only when the RUNNING PREFIX crosses
+    # capacity, so a bin may overflow but never starts past capacity)
+    word = "tok "
+    text = (word * 1500).strip()
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(i, text, "en", "srcA", len(text)) for i in range(3)],
+    )
+    rows = sorted(
+        REGISTRY["pack_sequences"].fn(spark, sf).collect(),
+        key=lambda r: r["bin_id"],
+    )
+    assert [r["bin_id"] for r in rows] == [0, 1]
+    assert rows[0]["n_docs"] == 2 and rows[0]["n_tokens"] == 3000
+    assert rows[1]["n_docs"] == 1 and rows[1]["n_tokens"] == 1500
+    assert rows[0]["first_doc"] == 0 and rows[0]["last_doc"] == 1
+    # fill_ratio is rounded to 6 decimals in the plan
+    assert abs(rows[0]["fill_ratio"] - 3000 / _PACK_CAPACITY) < 5e-7
+
+
+def test_mixture_resample_rates_and_determinism(spark, tmp_path):
+    from elt_data4transformation_spark.plans import REGISTRY
+
+    rows = [
+        (i, "t", "en", f"src{s}", 1) for i in range(300) for s in (0, 1, 2)
+    ]
+    rows = [(i * 3 + s, "t", "en", f"src{s}", 1) for i in range(300) for s in (0, 1, 2)]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r["source"]: r for r in REGISTRY["mixture_resample"].fn(spark, sf).collect()}
+    assert out["src0"]["rate"] == 1.0 and out["src0"]["n_sampled"] == 300
+    # hash-threshold sampling: realized rate within a loose band
+    assert 0.35 <= out["src1"]["n_sampled"] / 300 <= 0.65
+    assert 0.12 <= out["src2"]["n_sampled"] / 300 <= 0.40
+    # deterministic: an identical second run returns identical counts
+    again = {
+        r["source"]: r["n_sampled"]
+        for r in REGISTRY["mixture_resample"].fn(spark, sf).collect()
+    }
+    assert again == {s: r["n_sampled"] for s, r in out.items()}
