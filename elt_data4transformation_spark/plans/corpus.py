@@ -508,3 +508,105 @@ def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- Paragraph / boilerplate chunk dedup -----------------------------------
+
+_CHUNK_WORDS = 40
+
+
+@register(
+    "paragraph_dedup",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, source, STRING_SPLIT(text, ' ') AS w
+            FROM documents WHERE LEN(text) > 0
+        ), chunked AS (
+            SELECT doc_id, source,
+                   UNNEST(LIST_TRANSFORM(
+                       RANGE(0, CAST(CEIL(LEN(w) / {_CHUNK_WORDS}.0) AS INT)),
+                       i -> ARRAY_TO_STRING(
+                           w[(i * {_CHUNK_WORDS} + 1):(i * {_CHUNK_WORDS}
+                              + {_CHUNK_WORDS})], ' '))) AS chunk
+            FROM w
+        ), hashed AS (
+            SELECT doc_id, source, MD5(chunk) AS h,
+                   LEN(STRING_SPLIT(chunk, ' ')) AS n_tokens
+            FROM chunked WHERE chunk <> ''
+        ), grp AS (
+            SELECT h, COUNT(DISTINCT doc_id) AS nd, MIN(doc_id) AS keeper
+            FROM hashed GROUP BY h
+        ), marked AS (
+            SELECT x.source, x.n_tokens,
+                   CASE WHEN g.nd > 1 AND x.doc_id <> g.keeper
+                        THEN 1 ELSE 0 END AS removed
+            FROM hashed x JOIN grp g USING (h)
+        )
+        SELECT source,
+               COUNT(*) AS n_chunks,
+               CAST(SUM(removed) AS BIGINT) AS n_removed,
+               CAST(SUM(CASE WHEN removed = 1 THEN n_tokens ELSE 0 END)
+                    AS BIGINT) AS tokens_removed,
+               ROUND(CAST(SUM(removed) AS DOUBLE) / COUNT(*), 6)
+                   AS removed_frac
+        FROM marked
+        GROUP BY source
+        ORDER BY source
+    """,
+    tags=("corpus", "dedup"),
+    doc=f"Paragraph-level boilerplate dedup (RefinedWeb/C4 style): slice "
+    f"each document into consecutive {_CHUNK_WORDS}-word chunks, md5 "
+    "each chunk, and drop every instance of a chunk that appears in "
+    "more than one document except the one in the smallest doc_id "
+    "(keep-first). Catches shared headers/footers/templates that "
+    "document-level near-dup misses. One explode + two hash aggregates "
+    "keyed on the chunk hash — the same single-shuffle shape as "
+    "dedup_exact, linear at any corpus size.",
+)
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents")).filter(F.length("text") > 0)
+    words = d.select("doc_id", "source", T.words_col().alias("w"))
+    n_chunks = F.ceil(F.size("w") / float(_CHUNK_WORDS)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(F.col("w"), i * _CHUNK_WORDS + 1, _CHUNK_WORDS)
+        ),
+    )
+    hashed = (
+        words.select("doc_id", "source", F.explode(chunks).alias("chunk"))
+        .filter(F.col("chunk") != "")
+        .select(
+            "doc_id",
+            "source",
+            F.md5("chunk").alias("h"),
+            F.size(F.split("chunk", " ")).cast("long").alias("n_tokens"),
+        )
+    )
+    grp = hashed.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("nd"),
+        F.min("doc_id").alias("keeper"),
+    )
+    marked = hashed.join(grp, "h").select(
+        "source",
+        "n_tokens",
+        F.when(
+            (F.col("nd") > 1) & (F.col("doc_id") != F.col("keeper")), 1
+        )
+        .otherwise(0)
+        .alias("removed"),
+    )
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("removed").alias("n_removed"),
+            F.sum(
+                F.when(F.col("removed") == 1, F.col("n_tokens")).otherwise(0)
+            ).alias("tokens_removed"),
+            F.round(
+                F.sum("removed").cast("double") / F.count(F.lit(1)), 6
+            ).alias("removed_frac"),
+        )
+        .orderBy("source")
+    )

@@ -1019,3 +1019,27 @@ def test_mixture_resample_rates_and_determinism(spark, tmp_path):
         for r in REGISTRY["mixture_resample"].fn(spark, sf).collect()
     }
     assert again == {s: r["n_sampled"] for s, r in out.items()}
+
+
+def test_paragraph_dedup_drops_shared_chunks(spark, tmp_path):
+    from elt_data4transformation_spark.plans import REGISTRY
+
+    boiler = " ".join(f"b{i}" for i in range(40))  # exactly one chunk
+    uniq_a = " ".join(f"a{i}" for i in range(40))
+    uniq_b = " ".join(f"c{i}" for i in range(40))
+    # docs 1 and 2 share the boilerplate chunk; doc 1 (min id) keeps it
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, boiler + " " + uniq_a, "en", "srcA", 1),
+            (2, boiler + " " + uniq_b, "en", "srcB", 1),
+        ],
+    )
+    rows = {
+        r["source"]: r for r in REGISTRY["paragraph_dedup"].fn(spark, sf).collect()
+    }
+    assert rows["srcA"]["n_removed"] == 0  # keeper doc untouched
+    assert rows["srcB"]["n_removed"] == 1
+    assert rows["srcB"]["tokens_removed"] == 40
+    assert rows["srcB"]["n_chunks"] == 2
