@@ -610,3 +610,107 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- Vocabulary build (tf / df / idf) --------------------------------------
+
+_VOCAB_TOP = 100
+
+
+@register(
+    "vocab_build",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+            FROM documents WHERE LEN(text) > 0
+        ), stats AS (
+            SELECT token,
+                   COUNT(*) AS tf,
+                   COUNT(DISTINCT doc_id) AS df
+            FROM tok WHERE token <> '' GROUP BY token
+        ), n AS (SELECT COUNT(*) AS n_docs FROM documents WHERE LEN(text) > 0)
+        SELECT token, tf, df,
+               ROUND(LN((n.n_docs + 1.0) / (df + 1.0)), 6) AS idf,
+               ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS rank
+        FROM stats, n
+        ORDER BY rank
+        LIMIT {_VOCAB_TOP}
+    """,
+    tags=("corpus", "text", "aggregate"),
+    doc=f"Corpus vocabulary build: token -> term frequency, document "
+    "frequency, smoothed idf = ln((N+1)/(df+1)), top "
+    f"{_VOCAB_TOP} by tf with a deterministic (tf DESC, token) "
+    "tiebreak. The table BM25/TF-IDF retrieval and df-capped "
+    "inverted-index dedup both start from. One explode + one hash "
+    "aggregate keyed on the token (map-side partial agg collapses "
+    "per-partition repeats), then a fixed-k TakeOrdered — no global "
+    "sort of the full vocabulary.",
+)
+def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents")).filter(F.length("text") > 0)
+    n_docs = d.count()  # scalar dimension (one job, not per-row)
+    tok = d.select(
+        "doc_id", F.explode(T.words_col()).alias("token")
+    ).filter(F.col("token") != "")
+    stats = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.count_distinct("doc_id").alias("df"),
+    )
+    w = Window.orderBy(F.desc("tf"), F.asc("token"))
+    return (
+        stats.select(
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("idf"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _VOCAB_TOP)
+        .orderBy("rank")
+    )
+
+
+# --- Deterministic stratified sampling -------------------------------------
+
+_STRAT_K = 25
+
+
+@register(
+    "stratified_sample",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT lang, doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY MD5(CAST(doc_id AS VARCHAR) || '|strat'),
+                                doc_id) AS rk
+            FROM documents
+        )
+        SELECT lang, doc_id, rk
+        FROM ranked WHERE rk <= {_STRAT_K}
+        ORDER BY lang, rk
+    """,
+    tags=("corpus", "sampling", "window"),
+    doc=f"Stratified sampling with an EXACT per-stratum quota: rank "
+    "documents inside each language by md5(doc_id || salt) (a "
+    f"deterministic shuffle order) and keep the first {_STRAT_K}. "
+    "Unlike rate-based sampling (mixture_resample / audit_sample) the "
+    "quota is met exactly per stratum — the eval-set construction "
+    "primitive. Scale note: the per-stratum window shuffles on the "
+    "stratum key; with few huge strata, pre-filter map-side by keeping "
+    "each partition's local top-k (k is small) before the window — "
+    "result-identical, bounds the shuffle to k rows per partition per "
+    "stratum.",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents"))
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|strat")))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.select("lang", "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _STRAT_K)
+        .orderBy("lang", "rk")
+    )

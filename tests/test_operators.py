@@ -1043,3 +1043,46 @@ def test_paragraph_dedup_drops_shared_chunks(spark, tmp_path):
     assert rows["srcB"]["n_removed"] == 1
     assert rows["srcB"]["tokens_removed"] == 40
     assert rows["srcB"]["n_chunks"] == 2
+
+
+def test_vocab_build_rank_and_idf(spark, tmp_path):
+    import math
+
+    from elt_data4transformation_spark.plans import REGISTRY
+
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (0, "a a a b", "en", "s", 7),
+            (1, "a b c", "en", "s", 5),
+        ],
+    )
+    rows = REGISTRY["vocab_build"].fn(spark, sf).collect()
+    by_tok = {r["token"]: r for r in rows}
+    assert [r["token"] for r in rows[:2]] == ["a", "b"]  # tf 4, 2
+    assert by_tok["a"]["df"] == 2 and by_tok["a"]["tf"] == 4
+    # smoothed idf with N=2 docs
+    assert abs(by_tok["c"]["idf"] - round(math.log(3.0 / 2.0), 6)) < 1e-9
+    # tf tie between b (2) and c (1)? no: b=2 c=1; ranks strictly by tf
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_stratified_sample_exact_quota_and_determinism(spark, tmp_path):
+    from elt_data4transformation_spark.plans import REGISTRY
+    from elt_data4transformation_spark.plans.corpus import _STRAT_K
+
+    rows = [
+        (i, "t", "en" if i % 2 == 0 else "de", "s", 1) for i in range(120)
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = REGISTRY["stratified_sample"].fn(spark, sf).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["lang"], []).append(r)
+    assert set(per) == {"en", "de"}
+    for lang, rs in per.items():
+        assert len(rs) == _STRAT_K  # exact quota
+        assert sorted(r["rk"] for r in rs) == list(range(1, _STRAT_K + 1))
+    again = REGISTRY["stratified_sample"].fn(spark, sf).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
