@@ -40,6 +40,14 @@ QUERIES = [
     "concept_search",
     "answer_pipeline",
     "dedup_minhash_lsh",
+    "pii_redact",
+    "repetition_score",
+    "pack_sequences",
+    "mixture_resample",
+    "paragraph_dedup",
+    "vocab_build",
+    "stratified_sample",
+    "url_domain_filter",
 ]
 
 
