@@ -60,3 +60,71 @@ def csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_nationkey", "n_name", "n_regionkey", "n_name_json")
         .orderBy("n_nationkey")
     )
+
+
+# --- bucketed co-located join (zero-shuffle large-large join) -------------
+
+_N_BUCKETS = 16
+
+
+@register(
+    "bucketed_join",
+    oracle="""
+        SELECT c_mktsegment,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 4) AS revenue
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    tags=("join", "storage"),
+    doc="Bucketed co-located join: both sides written with "
+    f"bucketBy({_N_BUCKETS}, custkey) + sortBy, then joined on the "
+    "bucket key — the join runs as a SortMergeJoin with ZERO shuffle "
+    "exchanges (asserted in tests via the executed plan), because both "
+    "scans already deliver hash(custkey)-partitioned sorted buckets. "
+    "THE layout tool for the repeated large-large join at 100 TB "
+    "(fact-fact reconciliation, reference elt re-read patterns): the "
+    "shuffle is paid once at write time and amortized over every later "
+    "join. Bucket tables land in /tmp (external path) so bench reruns "
+    "overwrite them; bucket count would be sized to target-partition "
+    "bytes at scale.",
+)
+def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = os.path.join(
+        tempfile.gettempdir(), "elt4t_buckets", os.path.basename(sf_dir.rstrip("/"))
+    )
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    (
+        o.write.bucketBy(_N_BUCKETS, "o_custkey")
+        .sortBy("o_custkey")
+        .mode("overwrite")
+        .option("path", os.path.join(base, "orders"))
+        .saveAsTable("b_orders")
+    )
+    (
+        c.write.bucketBy(_N_BUCKETS, "c_custkey")
+        .sortBy("c_custkey")
+        .mode("overwrite")
+        .option("path", os.path.join(base, "customer"))
+        .saveAsTable("b_customer")
+    )
+    j = bucketed_join_plan(spark)
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def bucketed_join_plan(spark: SparkSession) -> DataFrame:
+    """The join stage alone (tests assert its executed plan has a
+    SortMergeJoin and no Exchange). hint('merge') pins SMJ so the
+    demo can't silently degrade to a broadcast join on small inputs."""
+    bo = spark.table("b_orders")
+    bc = spark.table("b_customer").hint("merge")
+    return bo.join(bc, F.col("o_custkey") == F.col("c_custkey"))

@@ -1086,3 +1086,72 @@ def test_stratified_sample_exact_quota_and_determinism(spark, tmp_path):
         assert sorted(r["rk"] for r in rs) == list(range(1, _STRAT_K + 1))
     again = REGISTRY["stratified_sample"].fn(spark, sf).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_stream_sessions_multibatch_matches_singlebatch(spark, tmp_path):
+    # split events into 4 files; maxFilesPerTrigger=1 forces 4 micro-
+    # batches. session_window state must merge windows ACROSS batches
+    # (complete output mode, watermark never finalizes state on the
+    # bounded fixture) so the result equals the single-batch run.
+    from pyspark.sql import functions as F
+
+    from elt_data4transformation_spark.streaming.events import (
+        read_events_stream,
+        _run_to_memory,
+    )
+
+    # files must be TIME-ORDERED: the watermark advances with each
+    # micro-batch, so replaying a randomly-split file set drops
+    # earlier-time rows as late data (correct streaming semantics, but
+    # not the single-batch result). Sequential appends give increasing
+    # mtimes, which the file source processes oldest-first.
+    src = str(tmp_path / "multi")
+    ev_all = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    ).withColumn("_t", F.col("ts").cast("timestamp").cast("double"))
+    qs = ev_all.approxQuantile("_t", [0.25, 0.5, 0.75], 0.0)
+    bounds = [float("-inf"), *qs, float("inf")]
+    for i in range(4):
+        part = ev_all.filter(
+            (F.col("_t") > bounds[i]) & (F.col("_t") <= bounds[i + 1])
+        ).drop("_t")
+        part.coalesce(1).write.mode("append").parquet(src)
+
+    def sessions(sf_dir, glob, mfpt):
+        ev = read_events_stream(
+            spark, sf_dir, glob=glob, max_files_per_trigger=mfpt
+        )
+        agg = (
+            ev.withWatermark("ts", "1 hour")
+            .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        out = _run_to_memory(agg, "complete")
+        return {
+            (r["user_id"], str(r["sw"]["start"]), str(r["sw"]["end"]), r["n_events"])
+            for r in out.collect()
+        }
+
+    single = sessions("/root/testdata/sf0.001", "events.parquet", None)
+    multi = sessions(src, "*.parquet", 1)
+    assert multi == single
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    from elt_data4transformation_spark.plans import REGISTRY
+    from elt_data4transformation_spark.plans.io_formats import (
+        bucketed_join_plan,
+    )
+    from tests.conftest import SF_SMALL
+
+    # build the bucket tables (and check the full query's correctness
+    # side runs) ...
+    assert REGISTRY["bucketed_join"].fn(spark, SF_SMALL).count() == 5
+    # ... then audit the join stage: co-located bucketed scans must
+    # sort-merge WITHOUT any exchange
+    j = bucketed_join_plan(spark)
+    j.collect()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
