@@ -714,3 +714,95 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _STRAT_K)
         .orderBy("lang", "rk")
     )
+
+
+# --- Approximate sketches (the 100 TB counting story) ----------------------
+# No SQL oracle: DuckDB's approx algorithms differ by construction, so
+# these register rows-only with accuracy bounds asserted in unit tests
+# against the exact operators instead.
+
+_HLL_RSD = 0.02  # ~2% relative standard deviation
+
+
+@register(
+    "hll_distinct_sketch",
+    oracle=None,
+    tags=("corpus", "sketch", "aggregate"),
+    doc="HyperLogLog distinct counting: per-source approx_count_distinct "
+    f"(rsd={_HLL_RSD}) of document fingerprints next to the exact "
+    "count and the realized relative error. At 100 TB the exact "
+    "count-distinct shuffles every distinct key once; the HLL sketch "
+    "is fixed-size per group, mergeable across partitions (one "
+    "map-side sketch per partition, merged in the reduce), and the "
+    "error is set by rsd, not data size. Tests assert the realized "
+    "error stays within 3*rsd; rows-only driver check by design — no "
+    "SQL engine reproduces another's HLL bit-for-bit.",
+)
+def hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents"))
+    keyed = d.select("source", F.md5("text").alias("digest"))
+    return (
+        keyed.groupBy("source")
+        .agg(
+            F.count_distinct("digest").alias("exact_distinct"),
+            F.approx_count_distinct("digest", _HLL_RSD).alias(
+                "approx_distinct"
+            ),
+        )
+        .select(
+            "source",
+            "exact_distinct",
+            "approx_distinct",
+            F.round(
+                F.abs(
+                    F.col("approx_distinct").cast("double")
+                    - F.col("exact_distinct")
+                )
+                / F.col("exact_distinct"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("source")
+    )
+
+
+_QSKETCH_ACC = 10000  # approx_percentile accuracy knob
+
+
+@register(
+    "quantile_sketch",
+    oracle=None,
+    tags=("corpus", "sketch", "aggregate"),
+    doc="Mergeable quantile sketch: per-language approx_percentile "
+    "(Greenwald-Khanna variant, accuracy "
+    f"{_QSKETCH_ACC}) of document token counts next to the exact "
+    "percentile_approx=exact at this accuracy? No — tests assert "
+    "each sketched quantile lands within rank-error 1/accuracy of the "
+    "exact percentile. The exact form sorts every group member; the "
+    "sketch is bounded-size and mergeable, which is what survives a "
+    "100 TB groupBy. Rows-only driver check by design.",
+)
+def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents"))
+    toks = d.select("lang", F.size(T.words_col()).cast("double").alias("n"))
+    return (
+        toks.groupBy("lang")
+        .agg(
+            F.approx_percentile(
+                "n", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), _QSKETCH_ACC
+            ).alias("q"),
+            F.expr("percentile(n, array(0.5, 0.9, 0.99))").alias("q_exact"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            F.col("q")[0].alias("p50"),
+            F.col("q")[1].alias("p90"),
+            F.col("q")[2].alias("p99"),
+            F.round(F.col("q_exact")[0], 4).alias("p50_exact"),
+            F.round(F.col("q_exact")[1], 4).alias("p90_exact"),
+            F.round(F.col("q_exact")[2], 4).alias("p99_exact"),
+        )
+        .orderBy("lang")
+    )

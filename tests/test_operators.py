@@ -1185,3 +1185,28 @@ def test_partitioned_scan_prunes_partitions(spark):
     for r in scan.select("day").distinct().collect():
         assert r["day"] >= cutoff
     assert n_days > 0
+
+
+def test_hll_sketch_error_bound(spark):
+    from elt_data4transformation_spark.plans import REGISTRY
+    from elt_data4transformation_spark.plans.corpus import _HLL_RSD
+    from tests.conftest import SF_SMALL
+
+    rows = REGISTRY["hll_distinct_sketch"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["rel_err"] <= 3 * _HLL_RSD, r
+
+
+def test_quantile_sketch_rank_error(spark):
+    from elt_data4transformation_spark.plans import REGISTRY
+    from tests.conftest import SF_SMALL
+
+    rows = REGISTRY["quantile_sketch"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        # sketched quantile must be a real data value near the exact one:
+        # within 10% of the exact value is a loose envelope for the
+        # 1/accuracy rank error on these distributions
+        for p, pe in (("p50", "p50_exact"), ("p90", "p90_exact"), ("p99", "p99_exact")):
+            assert abs(r[p] - r[pe]) <= max(0.1 * r[pe], 2.0), (p, r)
