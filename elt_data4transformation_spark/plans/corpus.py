@@ -172,8 +172,12 @@ _REP_DUP_2GRAM_MAX = 0.60  # duplicate-bigram fraction gate
     "repetition_score",
     oracle=f"""
         WITH w AS (
+            -- >= 2 words: a 1-word doc has no bigram, and the engines
+            -- disagree on the out-of-range element (concat_ws skips
+            -- Spark's NULL, DuckDB's || propagates it)
             SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS w
-            FROM documents WHERE LEN(text) > 0
+            FROM documents
+            WHERE LEN(STRING_SPLIT(text, ' ')) >= 2
         ), g AS (
             SELECT doc_id, lang, w, LEN(w) AS n_words,
                    LIST_TRANSFORM(RANGE(1, GREATEST(LEN(w) - 1, 1) + 1),
@@ -186,8 +190,6 @@ _REP_DUP_2GRAM_MAX = 0.60  # duplicate-bigram fraction gate
                        / n_words AS top_word_frac,
                    1.0 - CAST(LEN(LIST_DISTINCT(g2)) AS DOUBLE) / LEN(g2)
                        AS dup_2gram_frac,
-                   CAST(LEN(LIST_FILTER(w, x -> LEN(x) >= 1)) AS DOUBLE)
-                       AS _n_nonempty,
                    LIST_SUM(LIST_TRANSFORM(w, x -> CAST(LEN(x) AS DOUBLE)))
                        / LEN(w) AS mean_word_len
             FROM g
@@ -215,8 +217,10 @@ _REP_DUP_2GRAM_MAX = 0.60  # duplicate-bigram fraction gate
     "fractions), adapted to the newline-free fixture corpus.",
 )
 def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread(table(spark, sf_dir, "documents")).filter(F.length("text") > 0)
-    words = d.select("doc_id", "lang", T.words_col().alias("w"))
+    d = spread(table(spark, sf_dir, "documents"))
+    words = d.select("doc_id", "lang", T.words_col().alias("w")).filter(
+        F.size("w") >= 2
+    )
     n_words = F.size("w")
     # bigrams over the named column (not the raw split expr — see the
     # O(words^2) inlining note in plans/dedup.py)

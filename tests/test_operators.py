@@ -1210,3 +1210,20 @@ def test_quantile_sketch_rank_error(spark):
         # 1/accuracy rank error on these distributions
         for p, pe in (("p50", "p50_exact"), ("p90", "p90_exact"), ("p99", "p99_exact")):
             assert abs(r[p] - r[pe]) <= max(0.1 * r[pe], 2.0), (p, r)
+
+
+def test_repetition_score_skips_single_word_docs(spark, tmp_path):
+    # 1-word docs have no bigram and the engines disagree on the
+    # out-of-range element — they are excluded by contract
+    from elt_data4transformation_spark.plans import REGISTRY
+
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (0, "solo", "en", "s", 4),
+            (1, "two words here now", "en", "s", 18),
+        ],
+    )
+    rows = REGISTRY["repetition_score"].fn(spark, sf).collect()
+    assert len(rows) == 1 and rows[0]["n_docs"] == 1
