@@ -220,8 +220,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         ),
         scaled AS (
+            -- NULLIF: an all-zero vector would quantize as NaN in Spark
+            -- (double 0/0) but NULL in DuckDB; NULL scale on both sides
             SELECT vec_id, v,
-                   LIST_MAX(LIST_TRANSFORM(v, x -> ABS(x))) / 127.0 AS scale
+                   NULLIF(LIST_MAX(LIST_TRANSFORM(v, x -> ABS(x))), 0.0)
+                       / 127.0 AS scale
             FROM e
         ),
         quant AS (
@@ -254,7 +257,14 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spread(table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    scale = F.array_max(F.transform("v", lambda x: F.abs(x))) / 127.0
+    # nullif: an all-zero vector must yield NULL scale/codes/rmse on
+    # both engines (Spark double 0/0 is NaN, DuckDB's is NULL)
+    scale = (
+        F.nullif(
+            F.array_max(F.transform("v", lambda x: F.abs(x))), F.lit(0.0)
+        )
+        / 127.0
+    )
     # the raw scale keeps a distinct name: aliasing the ROUNDED value to
     # "scale" in the same select would make Catalyst's projection
     # collapse bind the lambda's F.col("scale") to the rounded column

@@ -80,12 +80,16 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents
         )
         SELECT doc_id, n_chars_actual, n_words,
+               -- NULLIF guards: a zero-length doc would be NaN in Spark
+               -- (double 0/0) but NULL in DuckDB; NULL on both sides
                ROUND(CAST(n_stopwords AS DOUBLE) / n_words, 6) AS stopword_ratio,
-               ROUND(CAST(n_punct AS DOUBLE) / n_chars_actual, 6) AS punct_ratio,
+               ROUND(CAST(n_punct AS DOUBLE) / NULLIF(n_chars_actual, 0), 6)
+                   AS punct_ratio,
                ROUND(LEAST(GREATEST(
                    0.3 * LEAST(n_words / 200.0, 1.0)
                  + 0.4 * LEAST(CAST(n_stopwords AS DOUBLE) / n_words * 5, 1.0)
-                 + 0.3 * (1.0 - LEAST(CAST(n_punct AS DOUBLE) / n_chars_actual * 10, 1.0)),
+                 + 0.3 * (1.0 - LEAST(CAST(n_punct AS DOUBLE)
+                       / NULLIF(n_chars_actual, 0) * 10, 1.0)),
                    0.0), 1.0), 6) AS quality
         FROM feats
         ORDER BY doc_id
@@ -109,7 +113,12 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_punct"),
     )
     sw_ratio = F.col("n_stopwords").cast("double") / F.col("n_words")
-    punct_ratio = F.col("n_punct").cast("double") / F.col("n_chars_actual")
+    # nullif: Spark double 0/0 is NaN where DuckDB yields NULL — a
+    # zero-length doc must be NULL on both sides (n_words can't be 0:
+    # split('') is [''])
+    punct_ratio = F.col("n_punct").cast("double") / F.nullif(
+        F.col("n_chars_actual"), F.lit(0)
+    )
     quality = F.least(
         F.greatest(
             0.3 * F.least(F.col("n_words") / 200.0, F.lit(1.0))

@@ -1227,3 +1227,50 @@ def test_repetition_score_skips_single_word_docs(spark, tmp_path):
     )
     rows = REGISTRY["repetition_score"].fn(spark, sf).collect()
     assert len(rows) == 1 and rows[0]["n_docs"] == 1
+
+
+def test_division_guard_parity_on_degenerate_rows(spark, tmp_path):
+    # Spark double 0/0 is NaN, DuckDB's is NULL — zero-length docs and
+    # all-zero vectors must hit the NULLIF guards and agree as NULL
+    import duckdb
+
+    import pandas as pd
+
+    from elt_data4transformation_spark.plans import REGISTRY
+
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(0, "", "en", "s", 0), (1, "some real words here", "en", "s", 20)],
+    )
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0]), (1, [1.0, -2.0, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    emb.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet/*.parquet'"
+    )
+    for name in ("quality_score", "embedding_quantize"):
+        spec = REGISTRY[name]
+        a = spec.fn(spark, sf).toPandas()
+        b = con.execute(spec.oracle).df()
+        cols = sorted(a.columns)
+        a = a[cols].reset_index(drop=True)
+        b = b[cols].reset_index(drop=True)
+        for c in cols:
+            for x, y in zip(a[c], b[c]):
+                xn = x is None or (isinstance(x, float) and pd.isna(x))
+                yn = y is None or (isinstance(y, float) and pd.isna(y))
+                assert xn == yn, (name, c, x, y)
+                if not xn and isinstance(x, float):
+                    assert abs(x - y) < 1e-9, (name, c, x, y)
+                elif not xn:
+                    assert x == y, (name, c, x, y)
