@@ -33,7 +33,23 @@ def norm_col(a: Column | str) -> Column:
 
 
 def cosine_col(a: Column | str, b: Column | str) -> Column:
-    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+    """NULL for a zero vector: Spark's raw 0/0 would be NaN — which
+    sorts ABOVE every real similarity in a descending rank — while
+    DuckDB's LIST_COSINE_SIMILARITY returns -1.0 there. NULL (nulls
+    last in desc on both engines) is the only agreeing semantics; use
+    cosine_sql for the oracle side."""
+    return dot_col(a, b) / F.nullif(
+        norm_col(a) * norm_col(b), F.lit(0.0)
+    )
+
+
+def cosine_sql(a: str, b: str) -> str:
+    """DuckDB twin of cosine_col (zero vectors -> NULL, not -1)."""
+    return (
+        f"(CASE WHEN LIST_SUM(LIST_TRANSFORM({a}, x -> x * x)) = 0 "
+        f"OR LIST_SUM(LIST_TRANSFORM({b}, x -> x * x)) = 0 THEN NULL "
+        f"ELSE LIST_COSINE_SIMILARITY({a}, {b}) END)"
+    )
 
 
 # --- Block-partitioned vectorized all-pairs -------------------------------

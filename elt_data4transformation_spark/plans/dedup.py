@@ -251,16 +251,16 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_neardup",
-    oracle="""
+    oracle=f"""
         WITH e AS (
             SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
             FROM embeddings
         )
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                a.label AS label_a, b.label AS label_b,
-               ROUND(LIST_COSINE_SIMILARITY(a.v, b.v), 6) AS cosine
+               ROUND({vectors.cosine_sql('a.v', 'b.v')}, 6) AS cosine
         FROM e a JOIN e b ON a.vec_id < b.vec_id
-        WHERE LIST_COSINE_SIMILARITY(a.v, b.v) >= 0.45
+        WHERE {vectors.cosine_sql('a.v', 'b.v')} >= 0.45
         ORDER BY vec_a, vec_b
     """,
     tags=("dedup", "similarity"),

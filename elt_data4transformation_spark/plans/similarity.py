@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.vectors import cosine_col
+from ..operators.vectors import cosine_col, cosine_sql
 from ..sources import spread, table
 from .registry import register
 
@@ -36,7 +36,7 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}
         ), scored AS (
             SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
-                   LIST_COSINE_SIMILARITY(q.qv, e.v) AS cos
+                   {cosine_sql('q.qv', 'e.v')} AS cos
             FROM q JOIN e ON e.vec_id <> q.query_id
         ), ranked AS (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -95,7 +95,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT vec_id, v, centroid_id FROM (
                 SELECT e.vec_id, e.v, cent0.centroid_id,
                        ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                           ORDER BY LIST_COSINE_SIMILARITY(e.v, cent0.cv) DESC,
+                           ORDER BY {cosine_sql('e.v', 'cent0.cv')} DESC,
                                     cent0.centroid_id) AS crn
                 FROM e CROSS JOIN cent0
             ) WHERE crn = 1
@@ -116,7 +116,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT vec_id, label, v, centroid_id FROM (
                 SELECT e.vec_id, e.label, e.v, cent.centroid_id,
                        ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                           ORDER BY LIST_COSINE_SIMILARITY(e.v, cent.cv) DESC,
+                           ORDER BY {cosine_sql('e.v', 'cent.cv')} DESC,
                                     cent.centroid_id) AS crn
                 FROM e CROSS JOIN cent
             ) WHERE crn = 1
@@ -125,7 +125,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM assigned WHERE vec_id < {N_QUERIES}
         ), scored AS (
             SELECT q.query_id, a.vec_id AS neighbor_id,
-                   LIST_COSINE_SIMILARITY(q.qv, a.v) AS cos
+                   {cosine_sql('q.qv', 'a.v')} AS cos
             FROM q JOIN assigned a
               ON a.centroid_id = q.qc AND a.vec_id <> q.query_id
         ), ranked AS (

@@ -1274,3 +1274,24 @@ def test_division_guard_parity_on_degenerate_rows(spark, tmp_path):
                     assert abs(x - y) < 1e-9, (name, c, x, y)
                 elif not xn:
                     assert x == y, (name, c, x, y)
+
+
+def test_cosine_zero_vector_is_null_both_engines(spark):
+    import duckdb
+
+    from elt_data4transformation_spark.operators.vectors import (
+        cosine_col,
+        cosine_sql,
+    )
+
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 2.0]), ([1.0, 0.0], [1.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    rows = df.select(cosine_col("a", "b").alias("c")).collect()
+    assert rows[0]["c"] is None  # zero vector -> NULL, never NaN
+    assert abs(rows[1]["c"] - 1.0) < 1e-12
+    got = duckdb.connect().execute(
+        f"SELECT {cosine_sql('a', 'b')} FROM (VALUES ([0.0,0.0],[1.0,2.0])) t(a,b)"
+    ).fetchone()[0]
+    assert got is None  # DuckDB raw LIST_COSINE_SIMILARITY gives -1.0
