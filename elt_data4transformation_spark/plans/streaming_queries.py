@@ -201,3 +201,32 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round("sum_value", 4).alias("sum_value"),
     ).orderBy("window_start", "event_type")
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+        WITH rates AS (
+            SELECT t AS event_type, (LENGTH(t) * 10 + 7) / 100.0 AS rate
+            FROM UNNEST(['click','view','purchase','login','error']) AS u(t)
+        )
+        SELECT DATE_TRUNC('day', e.ts) AS window_start, e.event_type,
+               COUNT(*) AS n,
+               ROUND(SUM(e.value * COALESCE(r.rate, 1.0)), 4) AS rated_value
+        FROM events e LEFT JOIN rates r ON e.event_type = r.event_type
+        GROUP BY window_start, e.event_type
+        ORDER BY window_start, e.event_type
+    """,
+    tags=("streaming", "join"),
+    doc="Stream-static join: readStream events enriched against a "
+    "static rate dimension (broadcast per micro-batch — no state "
+    "store), then a watermarked daily tumbling aggregate of rated "
+    "values; epoch-aligned windows equal date_trunc buckets so the "
+    "batch oracle is exact. The Spark-native form of the reference's "
+    "enrich-on-ingest joins (elt loader dimension lookups) for "
+    "unbounded inputs.",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming_events.stream_static_enriched(spark, sf_dir).orderBy(
+        "window_start", "event_type"
+    )

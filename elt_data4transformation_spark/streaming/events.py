@@ -293,3 +293,37 @@ def sliding_counts(
         "n",
         "sum_value",
     )
+
+
+def stream_static_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream joins a static per-type
+    rate dimension (broadcast every micro-batch — the Spark pattern
+    for enriching a stream against a slowly-changing table without
+    stateful join machinery), then a watermarked tumbling aggregate
+    of the rated values."""
+    ev = read_events_stream(spark, sf_dir)
+    rates = (
+        ev.sparkSession.createDataFrame(
+            [(t, (len(t) * 10 + 7) / 100.0) for t in
+             ("click", "view", "purchase", "login", "error")],
+            "event_type string, rate double",
+        )
+    )
+    joined = ev.join(F.broadcast(rates), "event_type", "left")
+    agg = (
+        joined.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value") * F.coalesce("rate", F.lit(1.0))).alias(
+                "rated"
+            ),
+        )
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n",
+        F.round("rated", 4).alias("rated_value"),
+    )
