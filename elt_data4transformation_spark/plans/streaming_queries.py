@@ -230,3 +230,34 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_events.stream_static_enriched(spark, sf_dir).orderBy(
         "window_start", "event_type"
     )
+
+
+@register(
+    "stream_upsert_materialize",
+    oracle="""
+        SELECT event_type,
+               ROUND(SUM(value), 4) AS sum_value,
+               COUNT(*) AS n_events,
+               MAX(ts) AS last_ts
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("streaming", "incremental", "upsert"),
+    doc="Streaming incremental materialization (the dbt-incremental / "
+    "reference high-watermark refresh as a streaming job): per-batch "
+    "partial aggregates MERGE into a versioned parquet state table via "
+    "foreachBatch copy-on-write; the final version equals the batch "
+    "group-by. Multi-micro-batch merge correctness is proven in tests "
+    "with a 4-file split at maxFilesPerTrigger=1.",
+)
+def stream_upsert_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    out = streaming_events.stream_upsert_materialized(spark, sf_dir)
+    return out.select(
+        "event_type",
+        F.round("sum_value", 4).alias("sum_value"),
+        "n_events",
+        "last_ts",
+    ).orderBy("event_type")

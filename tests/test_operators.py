@@ -1295,3 +1295,29 @@ def test_cosine_zero_vector_is_null_both_engines(spark):
         f"SELECT {cosine_sql('a', 'b')} FROM (VALUES ([0.0,0.0],[1.0,2.0])) t(a,b)"
     ).fetchone()[0]
     assert got is None  # DuckDB raw LIST_COSINE_SIMILARITY gives -1.0
+
+
+def test_stream_upsert_materialize_multibatch(spark, tmp_path):
+    # 4 files at maxFilesPerTrigger=1 -> 4 merges into the state table;
+    # final version must equal the single-batch run (same totals)
+    from elt_data4transformation_spark.streaming.events import (
+        stream_upsert_materialized,
+    )
+
+    src = str(tmp_path / "multi")
+    (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .repartition(4)
+        .write.parquet(src)
+    )
+
+    def snap(sf_dir, glob, mfpt):
+        out = stream_upsert_materialized(spark, sf_dir, glob, mfpt)
+        return {
+            (r["event_type"], round(r["sum_value"], 4), r["n_events"], str(r["last_ts"]))
+            for r in out.collect()
+        }
+
+    single = snap("/root/testdata/sf0.001", "events.parquet", None)
+    multi = snap(src, "*.parquet", 1)
+    assert multi == single
