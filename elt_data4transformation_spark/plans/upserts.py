@@ -5,7 +5,7 @@ events table — plus JSON-map explosion and pivot shapes (§2.8).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as Ty
 
@@ -292,4 +292,91 @@ def partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
         .orderBy("event_type")
+    )
+
+
+# --- CDC change-log apply --------------------------------------------------
+
+
+@register(
+    "cdc_apply",
+    oracle=f"""
+        WITH base AS (
+            SELECT user_id, ROUND(SUM(value), 4) AS balance,
+                   CAST('base' AS VARCHAR) AS origin
+            FROM events WHERE ts < TIMESTAMP '{T1}'
+            GROUP BY user_id
+        ),
+        changes AS (
+            -- ordered change log derived from post-T1 events:
+            -- seq = event_id; op cycles insert/update/delete by id
+            SELECT user_id, event_id AS seq,
+                   CASE WHEN event_id % 10 = 0 THEN 'D'
+                        ELSE 'U' END AS op,
+                   ROUND(value, 4) AS new_balance
+            FROM events WHERE ts >= TIMESTAMP '{T1}'
+        ),
+        last_change AS (
+            SELECT user_id, op, new_balance FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY seq DESC) AS rn
+                FROM changes
+            ) WHERE rn = 1
+        )
+        SELECT COALESCE(b.user_id, c.user_id) AS user_id,
+               CASE WHEN c.user_id IS NULL THEN b.balance
+                    ELSE c.new_balance END AS balance,
+               CASE WHEN c.user_id IS NULL THEN 'unchanged'
+                    ELSE 'applied' END AS origin
+        FROM base b FULL OUTER JOIN last_change c USING (user_id)
+        WHERE c.op IS NULL OR c.op <> 'D'
+        ORDER BY user_id
+    """,
+    tags=("upsert", "cdc"),
+    doc="CDC change-log apply (S6/S7 generalized to op-typed changes): "
+    "a base snapshot plus an ordered (seq, op, payload) change log — "
+    "last change per key wins (row_number over seq DESC), 'D' deletes "
+    "the key, 'U' upserts the payload, untouched base rows pass "
+    "through a FULL OUTER join. The debezium-style apply step of a "
+    "lakehouse pipeline: one window over the (small) change log + one "
+    "key-partitioned join against the base — no full-table rewrite "
+    "logic in the plan, so at 100 TB the join prunes to changed "
+    "partitions (partition_overwrite is the write-side twin).",
+)
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    base = (
+        e.filter(F.col("ts") < F.lit(T1).cast("timestamp"))
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 4).alias("balance"))
+    )
+    changes = e.filter(F.col("ts") >= F.lit(T1).cast("timestamp")).select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_id") % 10 == 0, "D").otherwise("U").alias("op"),
+        F.round("value", 4).alias("new_balance"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("seq"))
+    last_change = (
+        changes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "seq")
+    )
+    applied = base.alias("b").join(
+        last_change.alias("c"), "user_id", "full_outer"
+    )
+    return (
+        applied.filter(
+            F.col("c.op").isNull() | (F.col("c.op") != "D")
+        )
+        .select(
+            "user_id",
+            F.when(F.col("c.op").isNull(), F.col("b.balance"))
+            .otherwise(F.col("c.new_balance"))
+            .alias("balance"),
+            F.when(F.col("c.op").isNull(), "unchanged")
+            .otherwise("applied")
+            .alias("origin"),
+        )
+        .orderBy("user_id")
     )

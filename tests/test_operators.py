@@ -1321,3 +1321,40 @@ def test_stream_upsert_materialize_multibatch(spark, tmp_path):
     single = snap("/root/testdata/sf0.001", "events.parquet", None)
     multi = snap(src, "*.parquet", 1)
     assert multi == single
+
+
+def test_cdc_apply_semantics(spark, tmp_path):
+    # craft an events table exercising all three paths: key 1 only in
+    # base (unchanged), key 2 updated twice (last wins), key 3 deleted,
+    # key 4 insert-only via the change log
+    import datetime as dt
+
+    rows = [
+        # base window (< 2024-01-15): keys 1, 2, 3
+        (1, dt.datetime(2024, 1, 1), 1, "view", 10.0, "{}"),
+        (2, dt.datetime(2024, 1, 2), 2, "view", 20.0, "{}"),
+        (3, dt.datetime(2024, 1, 3), 3, "view", 30.0, "{}"),
+        # change log (>= 2024-01-15): event_id%10==0 -> delete
+        (11, dt.datetime(2024, 1, 20), 2, "view", 21.0, "{}"),
+        (12, dt.datetime(2024, 1, 21), 2, "view", 22.0, "{}"),  # last wins
+        (20, dt.datetime(2024, 1, 22), 3, "view", 0.0, "{}"),   # delete
+        (13, dt.datetime(2024, 1, 23), 4, "view", 40.0, "{}"),  # insert
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    from elt_data4transformation_spark.plans import REGISTRY
+
+    out = {
+        r["user_id"]: (r["balance"], r["origin"])
+        for r in REGISTRY["cdc_apply"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out[1] == (10.0, "unchanged")
+    assert out[2] == (22.0, "applied")  # second update wins
+    assert 3 not in out  # deleted
+    assert out[4] == (40.0, "applied")  # change-log insert
