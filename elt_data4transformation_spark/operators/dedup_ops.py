@@ -17,7 +17,7 @@ becomes LSH banding + exact re-score.
 from __future__ import annotations
 
 from pyspark import StorageLevel
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import textfns as T
@@ -227,4 +227,44 @@ def minhash_lsh_pairs(
         .withColumn("jaccard_raw", jac)
         .filter(F.col("jaccard_raw") >= threshold)
         .select("doc_a", "doc_b", "jaccard_raw")
+    )
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    rank_name: str = "rn",
+) -> DataFrame:
+    """Exact per-group top-k without a one-partition-per-group window.
+
+    A plain ``row_number() over (partition by group)`` serializes each
+    group onto one task — with few, huge groups (e.g. 5 languages over
+    a 100 TB pair table) that is the classic skew ceiling. Phase 1
+    takes each INPUT partition's local top-k per group (the global
+    top-k is necessarily a subset of the union of local top-ks), which
+    runs at full parallelism and shrinks the data to <= k * n_partitions
+    rows per group; phase 2 runs the exact window on that residue.
+    Result-identical to the direct window for any deterministic
+    ``order_cols`` (ties must be broken by the ordering itself)."""
+    local = (
+        df.withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            rank_name,
+            F.row_number().over(
+                Window.partitionBy(*group_cols, "_pid").orderBy(*order_cols)
+            ),
+        )
+        .filter(F.col(rank_name) <= k)
+        .drop(rank_name, "_pid")
+    )
+    return (
+        local.withColumn(
+            rank_name,
+            F.row_number().over(
+                Window.partitionBy(*group_cols).orderBy(*order_cols)
+            ),
+        )
+        .filter(F.col(rank_name) <= k)
     )

@@ -218,10 +218,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_ops.jaccard_pairs(g, "doc_id", "grams", block_col="lang").select(
         F.col("block").alias("lang"), "doc_a", "doc_b", "jac"
     )
-    wnd = Window.partitionBy("lang").orderBy(F.desc("jac"), "doc_a", "doc_b")
+    # two-phase top-k: a plain per-lang window serializes each language
+    # onto one task (5 huge groups at 100 TB); local top-5 per input
+    # partition first, exact window on the tiny residue — identical
+    # result (see operators/dedup_ops.topk_per_group)
     return (
-        pairs.withColumn("rn", F.row_number().over(wnd))
-        .filter(F.col("rn") <= 5)
+        dedup_ops.topk_per_group(
+            pairs,
+            ["lang"],
+            [F.desc("jac"), F.asc("doc_a"), F.asc("doc_b")],
+            5,
+        )
         .select("lang", "doc_a", "doc_b", F.round("jac", 6).alias("jaccard"))
         .orderBy("lang", "doc_a", "doc_b")
     )

@@ -1358,3 +1358,33 @@ def test_cdc_apply_semantics(spark, tmp_path):
     assert out[2] == (22.0, "applied")  # second update wins
     assert 3 not in out  # deleted
     assert out[4] == (40.0, "applied")  # change-log insert
+
+
+def test_topk_per_group_matches_direct_window(spark):
+    from pyspark.sql import Window
+
+    from elt_data4transformation_spark.operators.dedup_ops import (
+        topk_per_group,
+    )
+
+    df = (
+        spark.range(0, 5000)
+        .select(
+            (F.col("id") % 7).alias("g"),
+            ((F.col("id") * 37) % 1000).cast("double").alias("score"),
+            F.col("id"),
+        )
+        .repartition(16)
+    )
+    order = [F.desc("score"), F.asc("id")]
+    direct = (
+        df.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("g").orderBy(*order))
+        )
+        .filter(F.col("rn") <= 10)
+    )
+    two_phase = topk_per_group(df, ["g"], order, 10)
+    key = lambda r: (r["g"], r["rn"], r["id"])
+    assert sorted(map(key, two_phase.collect())) == sorted(
+        map(key, direct.collect())
+    )
