@@ -268,3 +268,46 @@ def topk_per_group(
         )
         .filter(F.col(rank_name) <= k)
     )
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[Column],
+    rank_name: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global row_number without the single-task empty-window sort.
+
+    ``row_number() over (order by ...)`` collapses the whole table onto
+    one task. Instead: range-repartition on the ordering (partition i
+    holds strictly earlier rows than partition i+1), rank locally per
+    partition at full parallelism, then add each partition's cumulative
+    row-count offset (a per-partition count table — n_partitions rows —
+    cumulated with a tiny window and joined back). Result-identical for
+    any total ordering (ties must be broken by the ordering itself)."""
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
+    rng = df.repartitionByRange(num_partitions, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = rng.withColumn(
+        "_lrn",
+        F.row_number().over(Window.partitionBy("_pid").orderBy(*order_cols)),
+    )
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    offsets = counts.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_cnt").over(
+                Window.orderBy("_pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("_pid", "_off")
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(rank_name, (F.col("_lrn") + F.col("_off")).cast("int"))
+        .drop("_pid", "_lrn", "_off")
+    )

@@ -229,19 +229,30 @@ def nth_value_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the group-by collapses to |customers| rows (documented skew caveat).",
 )
 def rank_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup_ops import global_rank
+
     o = table(spark, sf_dir, "orders")
     totals = o.groupBy("o_custkey").agg(
         F.sum("o_totalprice").alias("revenue"), F.count(F.lit(1)).alias("n_orders")
     )
-    w_rank = Window.orderBy(F.desc("revenue"), F.asc("o_custkey"))
-    w_all = Window.partitionBy()
+    # distributed global rank (range-repartition + local rank + offset
+    # join) and a broadcast scalar total instead of the empty-window
+    # forms, which would both collapse the table onto a single task —
+    # result-identical, see operators/dedup_ops.global_rank
+    total = totals.agg(F.sum("revenue").alias("_tot"))
+    ranked = global_rank(
+        totals,
+        [F.desc("revenue"), F.asc("o_custkey")],
+        rank_name="revenue_rank",
+    )
     return (
-        totals.select(
+        ranked.crossJoin(F.broadcast(total))
+        .select(
             "o_custkey",
             F.round("revenue", 4).alias("revenue"),
             "n_orders",
-            F.row_number().over(w_rank).alias("revenue_rank"),
-            F.round(F.col("revenue") / F.sum("revenue").over(w_all) * 100, 6).alias(
+            "revenue_rank",
+            F.round(F.col("revenue") / F.col("_tot") * 100, 6).alias(
                 "revenue_share_pct"
             ),
         )

@@ -1388,3 +1388,24 @@ def test_topk_per_group_matches_direct_window(spark):
     assert sorted(map(key, two_phase.collect())) == sorted(
         map(key, direct.collect())
     )
+
+
+def test_global_rank_matches_direct_window(spark):
+    from pyspark.sql import Window
+
+    from elt_data4transformation_spark.operators.dedup_ops import global_rank
+
+    df = (
+        spark.range(0, 3000)
+        .select(((F.col("id") * 131) % 997).cast("double").alias("v"), "id")
+        .repartition(16)
+    )
+    order = [F.desc("v"), F.asc("id")]
+    direct = df.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order))
+    )
+    dist = global_rank(df, order)
+    key = lambda r: (r["rank"], r["id"])
+    assert sorted(map(key, dist.collect())) == sorted(
+        map(key, direct.collect())
+    )
