@@ -660,18 +660,26 @@ def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("tf"),
         F.count_distinct("doc_id").alias("df"),
     )
-    w = Window.orderBy(F.desc("tf"), F.asc("token"))
+    from ..operators.dedup_ops import topk_per_group
+
+    # two-phase top-k: the vocabulary is unbounded at corpus scale, so
+    # local top-N per partition first, exact rank on the tiny residue
+    # (never a single-task sort of the full token table)
     return (
-        stats.select(
-            "token",
-            "tf",
-            "df",
-            F.round(
-                F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6
-            ).alias("idf"),
+        topk_per_group(
+            stats.select(
+                "token",
+                "tf",
+                "df",
+                F.round(
+                    F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6
+                ).alias("idf"),
+            ),
+            [],
+            [F.desc("tf"), F.asc("token")],
+            _VOCAB_TOP,
+            rank_name="rank",
         )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _VOCAB_TOP)
         .orderBy("rank")
     )
 
