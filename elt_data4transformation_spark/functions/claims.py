@@ -187,6 +187,13 @@ def claims_from_text_df(src: DataFrame, source_field: str = "fulltext") -> DataF
     Output: study_id, claim_id, value_num, unit ('%'|'pp'|'n'),
     snippet, source_field — one row per surviving match.
     """
+    from pyspark import StorageLevel
+
+    # both pattern branches (and the window/dedup chain above them)
+    # consume the same (study_id, text) projection; persisting it keeps
+    # the upstream text construction + scan from running 3-4 times —
+    # measured 2.7x on the registered claims_extract at sf0.1
+    src = src.persist(StorageLevel.MEMORY_AND_DISK)
     pct = _matches_with_pos(src, PCT_PATTERN).select(
         "study_id",
         "text",
