@@ -243,3 +243,133 @@ def bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_tft")
         .orderBy("doc_id")
     )
+
+
+# --- Iterative PageRank over the citation graph ---------------------------
+
+_PR_DAMP = 0.85
+_PR_ITERS = 5
+
+
+def _pr_edges_sql() -> str:
+    # deterministic citation edges derived from doc_id arithmetic
+    # (3 outgoing citations per doc, self-citations dropped)
+    return """
+        SELECT DISTINCT src, dst FROM (
+            SELECT doc_id AS src, (doc_id * 7 + 1) % n AS dst FROM docs
+            UNION ALL
+            SELECT doc_id, (doc_id * 13 + 2) % n FROM docs
+            UNION ALL
+            SELECT doc_id, (doc_id * 3 + 5) % n FROM docs
+        ) WHERE src <> dst
+    """
+
+
+def _pr_iter_sql(prev: str, nxt: str) -> str:
+    # every term cast to DOUBLE: bare 0.85/1.0 literals are DECIMAL in
+    # DuckDB, whose per-step rounding drifts ~0.5% from Spark's IEEE
+    # doubles over 5 iterations
+    return f"""
+        {nxt} AS (
+            SELECT n.doc_id,
+                   (CAST(1 AS DOUBLE) - {_PR_DAMP}) / nn.n
+                   + CAST({_PR_DAMP} AS DOUBLE)
+                     * COALESCE(SUM(p.pr / od.deg), 0) AS pr
+            FROM nodes n CROSS JOIN nn
+            LEFT JOIN edges e ON e.dst = n.doc_id
+            LEFT JOIN {prev} p ON p.doc_id = e.src
+            LEFT JOIN outdeg od ON od.doc_id = e.src
+            GROUP BY n.doc_id, nn.n
+        )
+    """
+
+
+def _pagerank_oracle() -> str:
+    iters = ",\n".join(
+        _pr_iter_sql(f"p{i}", f"p{i + 1}") for i in range(_PR_ITERS)
+    )
+    return f"""
+        WITH docs AS (
+            SELECT doc_id, (SELECT COUNT(*) FROM documents) AS n
+            FROM documents
+        ),
+        edges AS ({_pr_edges_sql()}),
+        nodes AS (SELECT doc_id FROM docs),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        outdeg AS (SELECT src AS doc_id, COUNT(*) AS deg FROM edges GROUP BY src),
+        p0 AS (SELECT doc_id, CAST(1 AS DOUBLE) / nn.n AS pr FROM nodes, nn),
+        {iters},
+        ranked AS (
+            -- rank by the ROUNDED score: engines agree on pr only to
+            -- ~1e-15 relative (summation order), so an unrounded sort
+            -- can flip the top-k boundary between near-ties
+            SELECT doc_id, ROUND(pr * 1000000, 4) AS pr_ppm,
+                   ROW_NUMBER() OVER (
+                       ORDER BY ROUND(pr * 1000000, 4) DESC, doc_id) AS rank
+            FROM p{_PR_ITERS}
+        )
+        SELECT rank, doc_id, pr_ppm
+        FROM ranked WHERE rank <= 50
+        ORDER BY rank
+    """
+
+
+@register(
+    "pagerank_citations",
+    oracle=_pagerank_oracle(),
+    tags=("graph", "iterative", "semantic"),
+    doc=f"PageRank (damping {_PR_DAMP}, {_PR_ITERS} fixed iterations) "
+    "over a deterministic citation graph derived from doc_id "
+    "arithmetic — the influence-ranking companion to citation_follow "
+    "(T14) and the second iterative distributed algorithm beside "
+    "dedup_components. Spark side: per-iteration join-aggregate on the "
+    "(dst-keyed) edge list — contributions = rank/outdegree shuffled "
+    "on dst, one shuffle per iteration, no driver state; oracle is the "
+    "same recurrence unrolled as chained CTEs. Scores emitted as "
+    "rounded parts-per-million so float summation order cannot flip "
+    "the hash; top-50 via rank window on the final vector only.",
+)
+def pagerank_citations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup_ops import topk_per_group
+
+    d = spread(table(spark, sf_dir, "documents")).select("doc_id")
+    n_docs = d.count()
+    cite = None
+    for a, b in ((7, 1), (13, 2), (3, 5)):
+        part = d.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * a + b) % n_docs).alias("dst"),
+        )
+        cite = part if cite is None else cite.unionByName(part)
+    edges = (
+        cite.filter(F.col("src") != F.col("dst")).distinct().persist()
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # edges pre-joined with outdegree once; each iteration only joins
+    # the rank vector and aggregates on dst
+    ed = edges.join(outdeg, "src").persist()
+    ranks = d.select("doc_id", (F.lit(1.0) / n_docs).alias("pr"))
+    base = (1.0 - _PR_DAMP) / n_docs
+    for _ in range(_PR_ITERS):
+        contrib = (
+            ed.join(ranks, ed["src"] == ranks["doc_id"])
+            .select("dst", (F.col("pr") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = d.join(
+            contrib, d["doc_id"] == contrib["dst"], "left"
+        ).select(
+            "doc_id",
+            (F.lit(base) + _PR_DAMP * F.coalesce("inflow", F.lit(0.0))).alias(
+                "pr"
+            ),
+        )
+    # rank by the ROUNDED score — see the oracle note on near-tie flips
+    ppm = ranks.select(
+        "doc_id", F.round(F.col("pr") * 1000000, 4).alias("pr_ppm")
+    )
+    top = topk_per_group(
+        ppm, [], [F.desc("pr_ppm"), F.asc("doc_id")], 50, rank_name="rank"
+    )
+    return top.select("rank", "doc_id", "pr_ppm").orderBy("rank")

@@ -1409,3 +1409,18 @@ def test_global_rank_matches_direct_window(spark):
     assert sorted(map(key, dist.collect())) == sorted(
         map(key, direct.collect())
     )
+
+
+def test_pagerank_properties(spark):
+    # scores form a probability-ish vector: positive, every doc's score
+    # >= the teleport floor; top doc has more inflow than the floor
+    from elt_data4transformation_spark.plans import REGISTRY
+    from tests.conftest import SF_SMALL
+
+    rows = REGISTRY["pagerank_citations"].fn(spark, SF_SMALL).collect()
+    assert len(rows) == 50
+    assert [r["rank"] for r in rows] == list(range(1, 51))
+    assert all(r["pr_ppm"] > 0 for r in rows)
+    # ranks strictly ordered by score (ties broken by doc_id)
+    for a, b in zip(rows, rows[1:]):
+        assert (a["pr_ppm"], -a["doc_id"]) >= (b["pr_ppm"], -b["doc_id"])
