@@ -1424,3 +1424,62 @@ def test_pagerank_properties(spark):
     # ranks strictly ordered by score (ties broken by doc_id)
     for a, b in zip(rows, rows[1:]):
         assert (a["pr_ppm"], -a["doc_id"]) >= (b["pr_ppm"], -b["doc_id"])
+
+
+# --- S23 PDF text round-trip (operators/pdftext.py) ------------------------
+
+
+def test_pdf_roundtrip_multipage():
+    from elt_data4transformation_spark.operators import pdftext as P
+
+    text = " ".join(f"w{i}" for i in range(450))  # 450 words -> 3 pages
+    pdf = P.make_pdf(text)
+    assert pdf.startswith(b"%PDF-1.4")
+    assert P.count_pdf_pages(pdf) == 3
+    assert " ".join(P.extract_pdf_text(pdf).split()) == text
+
+
+def test_pdf_roundtrip_escapes_and_unicode():
+    from elt_data4transformation_spark.operators import pdftext as P
+
+    for text in (
+        "Zustimmung (62 %) bei Bürgern \\ backslash",
+        "newline\ttab and (nested (parens))",
+        "日本語 text mixed with ASCII",  # UTF-16BE literal path
+    ):
+        got = " ".join(P.extract_pdf_text(P.make_pdf(text)).split())
+        assert got == " ".join(text.split()), text
+
+
+def test_pdf_extract_rejects_garbage():
+    from elt_data4transformation_spark.operators import pdftext as P
+
+    assert P.extract_pdf_text(b"") == ""
+    assert P.extract_pdf_text(b"not a pdf") == ""
+    assert P.count_pdf_pages(b"GIF89a") == 0
+    # truncated PDF: header but no complete stream
+    assert P.extract_pdf_text(P.make_pdf("hello world")[:40]) == ""
+
+
+def test_pdf_deflate_tail_eol_not_eaten():
+    """Regression: a deflate body whose last byte is 0x0a/0x0d must
+    still inflate (a naive rstrip before zlib.decompress ate it).
+    The text below is a pre-searched seed whose compressed page stream
+    ends in 0x0a; the precondition assert keeps the test honest if the
+    layout or zlib level ever changes."""
+    from elt_data4transformation_spark.operators import pdftext as P
+
+    text = "probe 14999 " + "word " * 30
+    body = P._page_stream(P._paginate(text)[0])
+    assert body[-1:] in (b"\n", b"\r"), "seed no longer hits the EOL tail"
+    assert " ".join(P.extract_pdf_text(P.make_pdf(text)).split()) == " ".join(
+        text.split()
+    )
+
+
+def test_pdf_empty_text_single_empty_page():
+    from elt_data4transformation_spark.operators import pdftext as P
+
+    pdf = P.make_pdf("")
+    assert P.count_pdf_pages(pdf) == 1
+    assert P.extract_pdf_text(pdf) == ""
