@@ -1,0 +1,99 @@
+"""Physical-plan regression tests: the scale properties PLANS.md
+claims (pushdown, pruning, broadcast strategy, zero-exchange top-k,
+no quadratic joins in the dedup family) asserted against the FINAL
+adaptive plan, so a refactor can't silently trade them away.
+
+Each test runs the registered query at SF_SMALL, collects on the same
+Dataset (so AQE finalizes THIS QueryExecution), and inspects the
+executed plan's final section — the same extraction as
+scripts/explain_audit.py, which generates PLANS.md.
+"""
+
+from __future__ import annotations
+
+import re
+
+from elt_data4transformation_spark.plans import REGISTRY
+from tests.conftest import SF_SMALL
+
+
+def _final_plan(df) -> str:
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
+
+
+def _count(plan: str, pat: str) -> int:
+    return sum(1 for line in plan.splitlines() if re.search(pat, line))
+
+
+def _plan(spark, name: str) -> str:
+    return _final_plan(REGISTRY[name].fn(spark, SF_SMALL))
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    plan = _plan(spark, "pricing_summary")
+    # the shipdate predicate must reach the parquet scan ...
+    assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan), plan
+    # ... and the scan must NOT read columns the query never touches
+    m = re.search(r"ReadSchema: struct<([^>]*)", plan)
+    assert m and "l_comment" not in m.group(1), m and m.group(1)
+    assert _count(plan, "Join") == 0
+
+
+def test_region_revenue_all_dims_broadcast(spark):
+    plan = _plan(spark, "region_revenue")
+    # 4-dim enrichment must stay broadcast — a shuffle join here means
+    # the fact table gets re-partitioned once per dimension at 100 TB
+    assert _count(plan, "BroadcastHashJoin") == 4, plan
+    assert _count(plan, "SortMergeJoin") == 0, plan
+    # fact-side scan pruned to join key + measure columns
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)", plan)
+    li = [s for s in schemas if "l_orderkey" in s]
+    assert li and "l_comment" not in li[0] and "l_shipmode" not in li[0]
+
+
+def test_top_k_orders_is_single_pass_no_exchange(spark):
+    plan = _plan(spark, "top_k_orders")
+    assert _count(plan, "TakeOrderedAndProject") >= 1, plan
+    assert _count(plan, "Exchange") == 0, plan
+
+
+def test_dedup_family_never_goes_quadratic(spark):
+    # every candidate-generation join must be an equi-join (hash-able);
+    # a CartesianProduct or nested-loop join here is the all-pairs
+    # explosion the LSH/inverted-index designs exist to avoid
+    for name in ("dedup_minhash_lsh", "dedup_ngram_jaccard",
+                 "title_dedup_merge", "dedup_exact"):
+        plan = _plan(spark, name)
+        assert _count(plan, "CartesianProduct") == 0, (name, plan)
+        assert _count(plan, "BroadcastNestedLoopJoin") == 0, (name, plan)
+        assert _count(plan, "SortMergeJoin") == 0, (name, plan)
+
+
+def test_concept_search_substring_join_is_broadcast(spark):
+    # the ~70-row concept table joins by substring match — necessarily
+    # a nested-loop join, but it must be the BROADCAST nested loop
+    # (concepts to every executor), never a cartesian shuffle
+    plan = _plan(spark, "concept_search")
+    assert _count(plan, "BroadcastNestedLoopJoin") == 1, plan
+    assert _count(plan, "CartesianProduct") == 0, plan
+
+
+def test_ann_cosine_topk_broadcasts_queries_not_corpus(spark):
+    plan = _plan(spark, "ann_cosine_topk")
+    # one broadcast nested-loop (tiny query set against the corpus);
+    # the corpus itself is never shuffled into a cartesian product
+    assert _count(plan, "BroadcastNestedLoopJoin") == 1, plan
+    assert _count(plan, "CartesianProduct") == 0, plan
+    # embeddings scan reads only (vec_id, embedding)
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)", plan)
+    assert any(s.startswith("vec_id:bigint,embedding:array") for s in schemas), schemas
+
+
+def test_events_scan_prunes_to_used_columns(spark):
+    plan = _plan(spark, "events_tumbling")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)", plan)
+    assert schemas, plan
+    # payload-ish columns must not be read by the windowed aggregate
+    assert all("payload" not in s and "user_agent" not in s for s in schemas), schemas
