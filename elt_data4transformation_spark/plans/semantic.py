@@ -373,3 +373,135 @@ def pagerank_citations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ppm, [], [F.desc("pr_ppm"), F.asc("doc_id")], 50, rank_name="rank"
     )
     return top.select("rank", "doc_id", "pr_ppm").orderBy("rank")
+
+
+# --- Hybrid retrieval: BM25 + embedding cosine via RRF --------------------
+
+_RRF_K = 60        # standard reciprocal-rank-fusion constant
+_HY_LIST = 100     # depth of each per-modality candidate list
+_HY_TOP = 50       # fused result size
+_HY_QVEC = 3       # embeddings.vec_id serving as the dense query vector
+
+
+def _hybrid_oracle() -> str:
+    from ..operators.vectors import cosine_sql
+
+    return f"""
+        WITH docs AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS w,
+                   LEN(STRING_SPLIT(text, ' ')) AS dl
+            FROM documents
+        ),
+        stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM docs),
+        tf AS (SELECT doc_id, dl, {_bm25_tf_sql()} FROM docs),
+        df AS (SELECT {_bm25_df_sql()} FROM tf),
+        lex AS (
+            SELECT doc_id, ROUND({_bm25_score_sql()}, 6) AS s
+            FROM tf CROSS JOIN stats s CROSS JOIN df d
+            WHERE {_bm25_tft_sql()} > 0
+        ),
+        lexr AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS lex_rank
+            FROM lex QUALIFY lex_rank <= {_HY_LIST}
+        ),
+        e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = {_HY_QVEC}),
+        vec AS (
+            SELECT e.vec_id AS doc_id,
+                   ROUND({cosine_sql('q.qv', 'e.v')}, 6) AS cos
+            FROM e CROSS JOIN q WHERE e.vec_id <> {_HY_QVEC}
+        ),
+        vecr AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS vec_rank
+            FROM vec QUALIFY vec_rank <= {_HY_LIST}
+        ),
+        fused AS (
+            SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+                   CAST(COALESCE(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+                   CAST(COALESCE(v.vec_rank, 0) AS BIGINT) AS vec_rank,
+                   ROUND(COALESCE(1.0 / ({_RRF_K} + l.lex_rank), 0)
+                       + COALESCE(1.0 / ({_RRF_K} + v.vec_rank), 0), 6
+                   ) AS rrf
+            FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id
+        )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER)
+                   AS rank,
+               doc_id, lex_rank, vec_rank, rrf
+        FROM fused QUALIFY rank <= {_HY_TOP}
+        ORDER BY rank
+    """
+
+
+@register(
+    "hybrid_rrf_search",
+    oracle=_hybrid_oracle(),
+    tags=("semantic", "search", "similarity"),
+    doc="Hybrid two-tower retrieval with reciprocal rank fusion "
+    f"(k={_RRF_K}): the BM25 lexical top-{_HY_LIST} and the "
+    f"embedding-cosine dense top-{_HY_LIST} (query = stored vector "
+    f"{_HY_QVEC}) fuse by sum of 1/(k+rank), missing-modality rank "
+    "coalesced to 0. Completes the search family: boolean+cosine "
+    "(search_union), ranked lexical (bm25_score), dense ANN "
+    "(ann_cosine_topk / ann_ivf_topk), fused (this). Scale shape: "
+    "each modality is a linear scan + skew-free two-phase top-k "
+    "(topk_per_group — no single-task global window); the fusion "
+    "join touches only 2x100 rows regardless of corpus size. Ranks "
+    "order by the ROUNDED score so float summation order cannot flip "
+    "near-ties across engines.",
+)
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup_ops import topk_per_group
+    from ..operators.vectors import cosine_col
+    from .similarity import _vectors
+
+    lex = bm25_score(spark, sf_dir).select("doc_id", "score")
+    lexr = topk_per_group(
+        lex, [], [F.desc("score"), F.asc("doc_id")], _HY_LIST,
+        rank_name="lex_rank",
+    ).select("doc_id", F.col("lex_rank").cast("long").alias("lex_rank"))
+
+    e = _vectors(spark, sf_dir).select("vec_id", "v")
+    q = e.filter(F.col("vec_id") == _HY_QVEC).select(
+        F.col("v").alias("qv")
+    )
+    vec = (
+        e.filter(F.col("vec_id") != _HY_QVEC)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine_col(F.col("qv"), F.col("v")), 6).alias("cos"),
+        )
+    )
+    vecr = topk_per_group(
+        vec, [], [F.desc("cos"), F.asc("doc_id")], _HY_LIST,
+        rank_name="vec_rank",
+    ).select("doc_id", F.col("vec_rank").cast("long").alias("vec_rank"))
+
+    fused = (
+        lexr.join(vecr, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
+            F.coalesce("vec_rank", F.lit(0)).alias("vec_rank"),
+            F.round(
+                F.coalesce(
+                    1.0 / (_RRF_K + F.col("lex_rank")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    1.0 / (_RRF_K + F.col("vec_rank")), F.lit(0.0)
+                ),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    top = topk_per_group(
+        fused, [], [F.desc("rrf"), F.asc("doc_id")], _HY_TOP,
+        rank_name="rank",
+    )
+    return top.select(
+        "rank", "doc_id", "lex_rank", "vec_rank", "rrf"
+    ).orderBy("rank")
