@@ -238,3 +238,47 @@ def test_claim_value_sql_matches_reference(token):
         .fetchone()
     )
     assert got == expected, (token, got, expected)
+
+
+# --- PDF writer/extractor round-trip (operators/pdftext.py) ---------------
+# The pdf_extract oracle only certifies the corpus texts; these pin the
+# round-trip for ARBITRARY text, including PDF-delimiter characters,
+# both string-literal encodings, and any page count.
+
+_pdf_text = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs",),  # no lone surrogates
+        blacklist_characters="\x00",
+    ),
+    max_size=2000,
+)
+
+
+@given(_pdf_text)
+@settings(max_examples=200, deadline=None)
+def test_pdf_roundtrip_arbitrary_text(text):
+    from elt_data4transformation_spark.operators import pdftext as P
+
+    got = P.extract_pdf_text(P.make_pdf(text))
+    assert " ".join(got.split()) == " ".join(text.split())
+
+
+@given(st.integers(min_value=0, max_value=1200))
+@settings(max_examples=30, deadline=None)
+def test_pdf_page_count_matches_layout(n_words):
+    from elt_data4transformation_spark.operators import pdftext as P
+
+    text = " ".join(f"w{i}" for i in range(n_words))
+    pdf = P.make_pdf(text)
+    expect = max(1, -(-n_words // P.WORDS_PER_PAGE))
+    assert P.count_pdf_pages(pdf) == expect
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=100, deadline=None)
+def test_pdf_extractor_never_raises_on_garbage(data):
+    from elt_data4transformation_spark.operators import pdftext as P
+
+    out = P.extract_pdf_text(data)
+    assert isinstance(out, str)
+    assert isinstance(P.count_pdf_pages(data), int)
