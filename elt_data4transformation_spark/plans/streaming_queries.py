@@ -261,3 +261,34 @@ def stream_upsert_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "last_ts",
     ).orderBy("event_type")
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+        SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+               STRFTIME(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+               STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts
+        FROM events v
+        JOIN events p
+          ON p.user_id = v.user_id
+         AND p.ts > v.ts
+         AND p.ts <= v.ts + INTERVAL 2 HOUR
+        WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+        ORDER BY v.user_id, view_id, purchase_id
+    """,
+    tags=("streaming", "join"),
+    doc="Watermarked stream-stream inner join (view -> purchase within "
+    "2 h per user): the §2.11 pattern Spark adds beyond the reference's "
+    "batch reconciliations — correlating two live streams with bounded "
+    "state. Both sides watermark at 1 h, so view-side join state is "
+    "evicted once the purchase watermark passes view_ts + 2 h; on an "
+    "unbounded 100 TB/day stream the state size is the 3-hour event "
+    "volume per side, independent of stream age. Emitted matches on "
+    "the bounded fixture equal the batch time-range self-join, which "
+    "is the oracle.",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming_events.stream_stream_view_purchase(spark, sf_dir).orderBy(
+        "user_id", "view_id", "purchase_id"
+    )

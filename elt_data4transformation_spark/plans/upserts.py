@@ -380,3 +380,122 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- SCD2 dimension history maintenance ------------------------------------
+
+_SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+_SCD2_BASE_FROM = "2020-01-01"
+
+
+@register(
+    "scd2_dim_history",
+    oracle=f"""
+        WITH dim AS (
+            SELECT c_custkey, c_mktsegment AS segment FROM customer
+        ),
+        latest AS (
+            SELECT o_custkey AS c_custkey,
+                   ARG_MAX(o_orderkey, o_orderkey) AS okey,
+                   STRFTIME(ARG_MAX(o_orderdate, o_orderkey),
+                            '%Y-%m-%d') AS eff
+            FROM orders GROUP BY o_custkey
+        ),
+        upd AS (
+            SELECT l.c_custkey,
+                   (['{"','".join(_SEGMENTS)}'])[CAST(l.okey % 5 AS INTEGER) + 1]
+                       AS new_segment,
+                   l.eff
+            FROM latest l
+        ),
+        changed AS (
+            SELECT d.c_custkey, d.segment AS old_segment,
+                   u.new_segment, u.eff
+            FROM dim d JOIN upd u USING (c_custkey)
+            WHERE u.new_segment <> d.segment
+        )
+        SELECT d.c_custkey, d.segment,
+               '{_SCD2_BASE_FROM}' AS valid_from,
+               CAST(NULL AS VARCHAR) AS valid_to,
+               1 AS version, TRUE AS is_current
+        FROM dim d ANTI JOIN changed c USING (c_custkey)
+        UNION ALL
+        SELECT c_custkey, old_segment,
+               '{_SCD2_BASE_FROM}', eff, 1, FALSE
+        FROM changed
+        UNION ALL
+        SELECT c_custkey, new_segment,
+               eff, CAST(NULL AS VARCHAR), 2, TRUE
+        FROM changed
+        ORDER BY c_custkey, version
+    """,
+    tags=("upsert", "scd"),
+    doc="SCD2 (type-2 slowly-changing dimension) history maintenance — "
+    "the warehouse pattern behind the reference's replace-by-version "
+    "upserts (S6, elt/loader_clickhouse.py:253-282) when history must "
+    "be KEPT instead of collapsed: the change set (here the segment "
+    "implied by each customer's latest order) closes the current row "
+    "(valid_to = effective date) and appends a version-2 row with an "
+    "open interval; unchanged keys pass through untouched. One "
+    "argMax aggregate for the change set, one shuffle join dim-vs-"
+    "changes on the dimension key, and the three branches are "
+    "projections of that single join — no second pass over either "
+    "input at any scale. Intervals are ISO date strings (engine-"
+    "portable); half-open [valid_from, valid_to).",
+)
+def scd2_dim_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    latest = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max("o_orderkey").alias("okey"),
+            F.date_format(
+                F.max_by("o_orderdate", "o_orderkey"), "yyyy-MM-dd"
+            ).alias("eff"),
+        )
+    )
+    upd = latest.select(
+        "c_custkey",
+        F.element_at(
+            F.array(*[F.lit(s) for s in _SEGMENTS]),
+            (F.col("okey") % 5).cast("int") + 1,
+        ).alias("new_segment"),
+        "eff",
+    )
+    joined = dim.join(upd, "c_custkey", "left")
+    changed = (
+        (F.col("new_segment").isNotNull())
+        & (F.col("new_segment") != F.col("segment"))
+    )
+    unchanged_rows = joined.filter(~changed).select(
+        "c_custkey",
+        "segment",
+        F.lit(_SCD2_BASE_FROM).alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(1).alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    closed_rows = joined.filter(changed).select(
+        "c_custkey",
+        "segment",
+        F.lit(_SCD2_BASE_FROM).alias("valid_from"),
+        F.col("eff").alias("valid_to"),
+        F.lit(1).alias("version"),
+        F.lit(False).alias("is_current"),
+    )
+    new_rows = joined.filter(changed).select(
+        "c_custkey",
+        F.col("new_segment").alias("segment"),
+        F.col("eff").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(2).alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    return (
+        unchanged_rows.unionByName(closed_rows)
+        .unionByName(new_rows)
+        .orderBy("c_custkey", "version")
+    )

@@ -380,3 +380,55 @@ def stream_upsert_materialized(
     )
     q.awaitTermination()
     return spark.read.parquet(f"{state_root}/v{latest['v']}")
+
+
+def stream_stream_view_purchase(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each user's 'view' events
+    joined to their 'purchase' events landing within the following two
+    hours. Both sides carry a 1-hour watermark, so the join state for a
+    view row is EVICTED once the purchase-side watermark passes
+    view_ts + 2h — the property that lets this run forever on an
+    unbounded stream (an unwatermarked stream-stream join grows state
+    without bound). Inner-join matches emit as soon as both sides
+    arrive; on the bounded fixture the emitted set equals the batch
+    join, which the oracle checks."""
+    def side(event_type: str, id_alias: str, ts_alias: str) -> DataFrame:
+        return (
+            read_events_stream(spark, sf_dir, glob, max_files_per_trigger)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{id_alias}_uid"),
+                F.col("event_id").alias(id_alias),
+                F.col("ts").alias(ts_alias),
+            )
+            .withWatermark(ts_alias, "1 hour")
+        )
+
+    v = side("view", "view_id", "view_ts")
+    p = side("purchase", "purchase_id", "purchase_ts")
+    j = v.join(
+        p,
+        (F.col("view_id_uid") == F.col("purchase_id_uid"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr("INTERVAL 2 HOURS")
+        ),
+    )
+    out = _run_to_memory(j, "append")
+    return out.select(
+        F.col("view_id_uid").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "view_ts"
+        ),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "purchase_ts"
+        ),
+    )

@@ -1483,3 +1483,41 @@ def test_pdf_empty_text_single_empty_page():
     pdf = P.make_pdf("")
     assert P.count_pdf_pages(pdf) == 1
     assert P.extract_pdf_text(pdf) == ""
+
+
+# --- stream-stream join (cross-batch state) --------------------------------
+
+
+def test_stream_stream_join_multibatch_matches_singlebatch(spark, tmp_path):
+    """A view and its matching purchase land in DIFFERENT micro-batches
+    (4 time-ordered files, maxFilesPerTrigger=1): the join must hold
+    view-side state across batches until the purchase arrives, so the
+    multi-batch emitted set equals the single-batch run."""
+    from pyspark.sql import functions as F
+
+    from elt_data4transformation_spark.streaming.events import (
+        stream_stream_view_purchase,
+    )
+
+    src = str(tmp_path / "multi")
+    ev_all = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    ).withColumn("_t", F.col("ts").cast("timestamp").cast("double"))
+    qs = ev_all.approxQuantile("_t", [0.25, 0.5, 0.75], 0.0)
+    bounds = [float("-inf"), *qs, float("inf")]
+    for i in range(4):
+        part = ev_all.filter(
+            (F.col("_t") > bounds[i]) & (F.col("_t") <= bounds[i + 1])
+        ).drop("_t")
+        part.coalesce(1).write.mode("append").parquet(src)
+
+    def run(sf_dir, glob, mfpt):
+        out = stream_stream_view_purchase(
+            spark, sf_dir, glob=glob, max_files_per_trigger=mfpt
+        )
+        return {tuple(r) for r in out.collect()}
+
+    single = run("/root/testdata/sf0.001", "events.parquet", None)
+    multi = run(src, "*.parquet", 1)
+    assert multi == single
+    assert single  # non-vacuous: the fixture must contain matches
