@@ -48,6 +48,12 @@ QUERIES = [
     "vocab_build",
     "stratified_sample",
     "url_domain_filter",
+    "dedup_components",
+    "pagerank_citations",
+    "hybrid_rrf_search",
+    "pdf_extract",
+    "scd2_dim_history",
+    "claims_extract",
 ]
 
 
