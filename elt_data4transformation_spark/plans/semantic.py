@@ -341,29 +341,29 @@ def pagerank_citations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("doc_id") * a + b) % n_docs).alias("dst"),
         )
         cite = part if cite is None else cite.unionByName(part)
-    edges = (
-        cite.filter(F.col("src") != F.col("dst")).distinct().persist()
-    )
+    edges = cite.filter(F.col("src") != F.col("dst")).distinct()
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # edges pre-joined with outdegree once; each iteration only joins
-    # the rank vector and aggregates on dst
-    ed = edges.join(outdeg, "src").persist()
+    # edges pre-joined with outdegree once, then materialized via
+    # localCheckpoint: every iteration re-reads the checkpointed
+    # partitions instead of replanning the edge derivation, and the
+    # 5-iteration lineage stays flat (same rule as dedup_components)
+    ed = edges.join(outdeg, "src").localCheckpoint()
+    # zero rows keep dangling / no-inflow nodes in every iteration's
+    # aggregate, replacing a per-iteration (nodes LEFT JOIN contrib)
+    # shuffle join with a union feeding the same groupBy — one shuffle
+    # per iteration instead of two
+    zeros = d.select("doc_id", F.lit(0.0).alias("c")).localCheckpoint()
     ranks = d.select("doc_id", (F.lit(1.0) / n_docs).alias("pr"))
     base = (1.0 - _PR_DAMP) / n_docs
     for _ in range(_PR_ITERS):
-        contrib = (
-            ed.join(ranks, ed["src"] == ranks["doc_id"])
-            .select("dst", (F.col("pr") / F.col("deg")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("inflow"))
+        contrib = ed.join(ranks, ed["src"] == ranks["doc_id"]).select(
+            F.col("dst").alias("doc_id"),
+            (F.col("pr") / F.col("deg")).alias("c"),
         )
-        ranks = d.join(
-            contrib, d["doc_id"] == contrib["dst"], "left"
-        ).select(
-            "doc_id",
-            (F.lit(base) + _PR_DAMP * F.coalesce("inflow", F.lit(0.0))).alias(
-                "pr"
-            ),
+        ranks = (
+            zeros.unionByName(contrib)
+            .groupBy("doc_id")
+            .agg((F.lit(base) + _PR_DAMP * F.sum("c")).alias("pr"))
         )
     # rank by the ROUNDED score — see the oracle note on near-tie flips
     ppm = ranks.select(
