@@ -133,6 +133,27 @@ def minhash_signature(
     return sig
 
 
+def band_table(sig: DataFrame, id_col: str, n_bands: int) -> DataFrame:
+    """Long-form LSH index rows (id, band_idx, band_key) from a
+    signature table carrying band0..band{n-1} columns. This is the
+    shape the index is stored in at scale: partitioned/bucketed by
+    band_key so probes are shuffle-free equi-joins."""
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.col(f"band{b}").alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bd"),
+    ).select(id_col, "bd.band_idx", "bd.band_key")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str,
@@ -159,21 +180,7 @@ def minhash_lsh_pairs(
     )
     sig = minhash_signature(sh, "_id", "_sh", n_hashes, n_bands)
     bands = (
-        sig.select(
-            "_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band_idx"),
-                            F.col(f"band{b}").alias("band_key"),
-                        )
-                        for b in range(n_bands)
-                    ]
-                )
-            ).alias("bd"),
-        )
-        .select("_id", "bd.band_idx", "bd.band_key")
+        band_table(sig, "_id", n_bands)
         # tiny (id, band) table; caching it keeps the md5 signature
         # computation from running once per side of the self-join
         .persist(StorageLevel.MEMORY_AND_DISK)

@@ -425,3 +425,124 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component", "doc_id")
     )
+
+
+# --- incremental dedup: a new batch probed against the corpus index --------
+
+DELTA_MOD = 5  # doc_id % 5 == 0 -> the incoming 20% batch; rest = corpus
+
+
+@register(
+    "dedup_incremental_index",
+    oracle=f"""
+        WITH sh AS ({_signatures_sql()[0]}),
+        dg AS ({_signatures_sql()[1]}), sig AS ({_signatures_sql()[2]}),
+        bands AS ({" UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_idx, band{b} AS band_key FROM sig"
+            for b in range(N_BANDS))}),
+        idx AS (SELECT * FROM bands WHERE doc_id % {DELTA_MOD} <> 0),
+        probe AS (SELECT * FROM bands WHERE doc_id % {DELTA_MOD} = 0),
+        cand AS (
+            SELECT DISTINCT p.doc_id AS new_doc_id, i.doc_id AS matched_doc_id
+            FROM probe p JOIN idx i
+              ON p.band_idx = i.band_idx AND p.band_key = i.band_key
+        ),
+        scored AS (
+            SELECT c.new_doc_id, c.matched_doc_id,
+                   CAST(LEN(LIST_INTERSECT(sa.shingles, sb.shingles)) AS DOUBLE)
+                   / (LEN(sa.shingles) + LEN(sb.shingles)
+                      - LEN(LIST_INTERSECT(sa.shingles, sb.shingles))) AS jac
+            FROM cand c
+            JOIN sh sa ON c.new_doc_id = sa.doc_id
+            JOIN sh sb ON c.matched_doc_id = sb.doc_id
+        ),
+        best AS (
+            SELECT new_doc_id, matched_doc_id, jac,
+                   ROW_NUMBER() OVER (PARTITION BY new_doc_id
+                       ORDER BY jac DESC, matched_doc_id) AS rn
+            FROM scored WHERE jac >= 0.5
+        )
+        SELECT new_doc_id, matched_doc_id, ROUND(jac, 6) AS jaccard
+        FROM best WHERE rn = 1
+        ORDER BY new_doc_id
+    """,
+    tags=("dedup", "incremental"),
+    doc="Incremental near-dup detection: an incoming batch (doc_id % "
+    f"{DELTA_MOD} == 0, ~20%) probed against the MinHash band index of "
+    "the already-ingested corpus — the shape production dedup actually "
+    "takes at 100 TB, where re-running all-pairs LSH over the full "
+    "corpus per ingest is impossible. Work is proportional to the "
+    "DELTA, never the corpus: the corpus index is a stored (id, band) "
+    "table partitioned by band_key, the probe side is the small batch "
+    "(broadcast into the index join, so the index never shuffles), and "
+    "the exact-Jaccard re-score fetches shingles only for matched "
+    "corpus rows via semi-join. Batch analog of the streaming "
+    "stream_dedup_watermark; reference analog: content-hash change "
+    "skip + known-ID diff (SURVEY §2.11, main.py:80-85) generalized to "
+    "near-dup. The Jaccard re-score is a ratio of exact set sizes, so "
+    "cross-engine float drift cannot flip the 0.5 gate or the "
+    "best-match order.",
+)
+def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents"))
+    is_delta = F.col("doc_id") % DELTA_MOD == 0
+    corpus = d.filter(~is_delta)
+    delta = d.filter(is_delta)
+
+    def bands_of(docs: DataFrame) -> DataFrame:
+        sh = docs.select(
+            F.col("doc_id"), T.char_shingles_col(SHINGLE).alias("_sh")
+        )
+        sig = dedup_ops.minhash_signature(
+            sh, "doc_id", "_sh", N_MINHASH, N_BANDS
+        )
+        return dedup_ops.band_table(sig, "doc_id", N_BANDS)
+
+    # the corpus index would be a stored table at scale; the probe side
+    # is the new batch — small, so it broadcasts and the index side
+    # joins in place without a shuffle
+    idx = bands_of(corpus)
+    probe = bands_of(delta).select(
+        F.col("doc_id").alias("new_doc_id"), "band_idx", "band_key"
+    )
+    cand = (
+        idx.join(F.broadcast(probe), ["band_idx", "band_key"])
+        .select("new_doc_id", F.col("doc_id").alias("matched_doc_id"))
+        .distinct()
+    )
+    # exact re-score: delta shingles are recomputed for the whole (small)
+    # batch; corpus shingles only for rows that matched a band
+    sh_new = delta.select(
+        F.col("doc_id").alias("new_doc_id"),
+        T.char_shingles_col(SHINGLE).alias("_sa"),
+    )
+    sh_hit = (
+        corpus.join(
+            cand.select(F.col("matched_doc_id").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_semi",
+        )
+        .select(
+            F.col("doc_id").alias("matched_doc_id"),
+            T.char_shingles_col(SHINGLE).alias("_sb"),
+        )
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
+    jac = inter / (F.size("_sa") + F.size("_sb") - inter)
+    scored = (
+        cand.join(sh_new, "new_doc_id")
+        .join(sh_hit, "matched_doc_id")
+        .withColumn("jac", jac)
+        .filter(F.col("jac") >= 0.5)
+    )
+    best = Window.partitionBy("new_doc_id").orderBy(
+        F.desc("jac"), F.asc("matched_doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(best))
+        .filter(F.col("rn") == 1)
+        .select(
+            "new_doc_id", "matched_doc_id", F.round("jac", 6).alias("jaccard")
+        )
+        .orderBy("new_doc_id")
+    )

@@ -213,6 +213,109 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEM_TAU = 0.4  # within-bucket cosine above which the larger id is pruned
+
+
+@register(
+    "semantic_dedup",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ), cent AS (
+            SELECT vec_id AS centroid_id, v AS cv FROM e
+            WHERE vec_id < {N_CENTROIDS}
+        ), assigned AS (
+            SELECT vec_id, v, centroid_id FROM (
+                SELECT e.vec_id, e.v, cent.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY {cosine_sql('e.v', 'cent.cv')} DESC,
+                                    cent.centroid_id) AS crn
+                FROM e CROSS JOIN cent
+            ) WHERE crn = 1
+        ), pairs AS (
+            SELECT a.vec_id AS va, b.vec_id AS vb,
+                   {cosine_sql('a.v', 'b.v')} AS cos
+            FROM assigned a JOIN assigned b
+              ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+            WHERE {cosine_sql('a.v', 'b.v')} >= {SEM_TAU}
+        ), pruned AS (
+            SELECT vb AS vec_id, MIN(va) AS pruned_by,
+                   ROUND(ARG_MIN(cos, va), 6) AS sim_to_kept
+            FROM pairs GROUP BY vb
+        )
+        SELECT a.vec_id, a.centroid_id,
+               p.vec_id IS NULL AS keep,
+               p.pruned_by, p.sim_to_kept
+        FROM assigned a LEFT JOIN pruned p ON a.vec_id = p.vec_id
+        ORDER BY a.vec_id
+    """,
+    tags=("similarity", "dedup"),
+    doc="SemDeDup-style semantic deduplication (Abbas et al. 2023, "
+    "public paper): bucket every embedding by nearest centroid, then "
+    "prune within-bucket pairs whose cosine exceeds "
+    f"{SEM_TAU} — a vector is dropped iff a smaller-id vector in the "
+    "same bucket is that similar (deterministic keep-lowest-id policy; "
+    "the paper keeps the vector farthest from the centroid — declared "
+    "deviation for determinism). The pairwise pass is quadratic ONLY "
+    "within a bucket: at 100 TB the centroid count grows with the "
+    "corpus so bucket size stays bounded, buckets map to partitions, "
+    "and no cross-bucket pair is ever materialized — the same "
+    "cluster-then-compare shape as the paper's k-means prefilter. "
+    "Centroid assignment is a broadcast join + per-row argmax "
+    "(no shuffle of the base table); reference analog: T5/T9 "
+    "similarity-gated dedup generalized to dense vectors.",
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _vectors(spark, sf_dir).select("vec_id", "v")
+    cent = (
+        e.filter(F.col("vec_id") < N_CENTROIDS)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv"))
+    )
+    crn = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), "centroid_id")
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("ccos", cosine_col(F.col("v"), F.col("cv")))
+        .withColumn("crn", F.row_number().over(crn))
+        .filter(F.col("crn") == 1)
+        .select("vec_id", "v", "centroid_id")
+    )
+    a = assigned.select(
+        F.col("centroid_id"), F.col("vec_id").alias("va"), F.col("v").alias("_va")
+    )
+    b = assigned.select(
+        F.col("centroid_id").alias("_cb"),
+        F.col("vec_id").alias("vb"),
+        F.col("v").alias("_vb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("centroid_id") == F.col("_cb")) & (F.col("va") < F.col("vb")),
+        )
+        .withColumn("cos", cosine_col(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cos") >= SEM_TAU)
+        .select("va", "vb", "cos")
+    )
+    pruned = pairs.groupBy(F.col("vb").alias("vec_id")).agg(
+        F.min("va").alias("pruned_by"),
+        F.round(F.expr("min_by(cos, va)"), 6).alias("sim_to_kept"),
+    )
+    return (
+        assigned.drop("v")
+        .join(pruned.withColumnRenamed("vec_id", "_pid"),
+              F.col("vec_id") == F.col("_pid"), "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.col("_pid").isNull().alias("keep"),
+            "pruned_by",
+            "sim_to_kept",
+        )
+        .orderBy("vec_id")
+    )
+
+
 @register(
     "embedding_quantize",
     oracle="""

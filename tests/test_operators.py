@@ -1521,3 +1521,130 @@ def test_stream_stream_join_multibatch_matches_singlebatch(spark, tmp_path):
     multi = run(src, "*.parquet", 1)
     assert multi == single
     assert single  # non-vacuous: the fixture must contain matches
+
+
+# --- round-2 scale-pattern operators --------------------------------------
+
+
+def test_range_join_bucketed_equals_theta_join(spark):
+    """The bucket-replication prefilter must lose no pairs vs the naive
+    interval theta join (differential, same engine)."""
+    from elt_data4transformation_spark.plans.joins_setops import (
+        range_join_events,
+    )
+    from elt_data4transformation_spark.sources import table
+    from tests.conftest import SF_SMALL
+
+    got = {
+        (r["view_id"], r["first_purchase_id"], r["n_purchases_2h"])
+        for r in range_join_events(spark, SF_SMALL).collect()
+    }
+    e = table(spark, SF_SMALL, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("vts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    naive = (
+        v.join(
+            p,
+            (F.col("vu") == F.col("pu"))
+            & (F.col("pts") > F.col("vts"))
+            & (F.col("pts") <= F.col("vts") + F.expr("INTERVAL 2 HOURS")),
+        )
+        .groupBy("view_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "min_by(purchase_id, struct(unix_timestamp(pts) - "
+                "unix_timestamp(vts), purchase_id))"
+            ).alias("first_pid"),
+        )
+    )
+    want = {
+        (r["view_id"], r["first_pid"], r["n"]) for r in naive.collect()
+    }
+    assert got == want and got, f"{len(got)} vs {len(want)}"
+
+
+def test_incremental_dedup_pairs_are_delta_vs_corpus(spark):
+    """Incremental probe: every match pairs a delta doc with a corpus
+    doc and its Jaccard recomputes exactly from the raw text."""
+    from elt_data4transformation_spark.plans.dedup import (
+        DELTA_MOD,
+        SHINGLE,
+        dedup_incremental_index,
+    )
+    from elt_data4transformation_spark.sources import table
+    from tests.conftest import SF_SMALL
+
+    rows = dedup_incremental_index(spark, SF_SMALL).collect()
+    assert rows, "fixture should contain at least one incremental dup"
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in table(spark, SF_SMALL, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+
+    def shingles(t: str) -> set:
+        return {
+            t[i : i + SHINGLE]
+            for i in range(max(len(t) - SHINGLE + 1, 1))
+        }
+
+    for r in rows:
+        assert r["new_doc_id"] % DELTA_MOD == 0
+        assert r["matched_doc_id"] % DELTA_MOD != 0
+        a = shingles(texts[r["new_doc_id"]])
+        b = shingles(texts[r["matched_doc_id"]])
+        jac = len(a & b) / len(a | b)
+        assert jac >= 0.5
+        assert abs(jac - r["jaccard"]) < 1e-6, (r, jac)
+
+
+def test_semantic_dedup_prune_policy(spark):
+    """SemDeDup keep/prune: pruned_by is a smaller-id same-bucket
+    vector with cosine >= tau, and kept vectors have NO such
+    neighbor (verified against numpy on the raw embeddings)."""
+    import numpy as np
+
+    from elt_data4transformation_spark.plans.similarity import (
+        SEM_TAU,
+        semantic_dedup,
+    )
+    from elt_data4transformation_spark.sources import table
+    from tests.conftest import SF_SMALL
+
+    out = {r["vec_id"]: r for r in semantic_dedup(spark, SF_SMALL).collect()}
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in table(spark, SF_SMALL, "embeddings").collect()
+    }
+    assert set(out) == set(vecs)
+    bucket = {vid: out[vid]["centroid_id"] for vid in out}
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return float(a @ b / (na * nb)) if na and nb else 0.0
+
+    n_pruned = 0
+    for vid, r in out.items():
+        smaller_same_bucket = [
+            o for o in out if o < vid and bucket[o] == bucket[vid]
+        ]
+        sims = {o: cos(vecs[o], vecs[vid]) for o in smaller_same_bucket}
+        over = sorted(o for o, s in sims.items() if s >= SEM_TAU)
+        if r["keep"]:
+            assert not over, (vid, over)
+            assert r["pruned_by"] is None
+        else:
+            n_pruned += 1
+            assert r["pruned_by"] == over[0], (vid, r["pruned_by"], over)
+            assert abs(sims[over[0]] - r["sim_to_kept"]) < 1e-5
+    assert n_pruned > 0, "fixture should prune at least one vector"
