@@ -172,3 +172,195 @@ def watermark_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- ordered funnel + retention cohorts (event analytics) ------------------
+
+
+@register(
+    "funnel_stages",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, MIN(ts) AS s_ts FROM events
+            WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        v AS (
+            SELECT e.user_id, MIN(e.ts) AS v_ts
+            FROM events e JOIN s ON e.user_id = s.user_id
+            WHERE e.event_type = 'view' AND e.ts > s.s_ts
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS p_ts
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > v.v_ts
+            GROUP BY e.user_id
+        )
+        SELECT stage, n_users, avg_hours_from_prev FROM (
+            SELECT 1 AS ord, 'signup' AS stage, COUNT(*) AS n_users,
+                   CAST(NULL AS DOUBLE) AS avg_hours_from_prev
+            FROM s
+            UNION ALL
+            SELECT 2, 'view_after_signup', COUNT(*),
+                   ROUND(AVG(DATEDIFF('second', s.s_ts, v.v_ts)) / 3600.0, 4)
+            FROM v JOIN s ON v.user_id = s.user_id
+            UNION ALL
+            SELECT 3, 'purchase_after_view', COUNT(*),
+                   ROUND(AVG(DATEDIFF('second', v.v_ts, p.p_ts)) / 3600.0, 4)
+            FROM p JOIN v ON p.user_id = v.user_id
+        ) ORDER BY ord
+    """,
+    tags=("events", "analytics"),
+    doc="Ordered conversion funnel signup -> first view after signup "
+    "-> first purchase after that view, with per-stage user counts and "
+    "mean stage-to-stage latency. Each stage is a per-user MIN "
+    "aggregate gated on the previous stage's timestamp — three "
+    "aggregates all keyed on user_id, so one shuffle partitioning is "
+    "planned once and reused (AQE); no window over the full event "
+    "stream, no per-user collect. The product-analytics staple the "
+    "reference's status/report layer approximates with per-status "
+    "counts (study_scraper/status.py:90-123).",
+)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+
+    def lag_hours(child: DataFrame, a: str, b: str) -> F.Column:
+        return F.round(
+            F.avg(
+                (F.unix_timestamp(b) - F.unix_timestamp(a)) / F.lit(3600.0)
+            ),
+            4,
+        )
+
+    row1 = s.agg(
+        F.lit(1).alias("ord"),
+        F.lit("signup").alias("stage"),
+        F.count(F.lit(1)).alias("n_users"),
+        F.lit(None).cast("double").alias("avg_hours_from_prev"),
+    )
+    row2 = (
+        v.join(s, "user_id")
+        .agg(
+            F.lit(2).alias("ord"),
+            F.lit("view_after_signup").alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+            lag_hours(v, "s_ts", "v_ts").alias("avg_hours_from_prev"),
+        )
+    )
+    row3 = (
+        p.join(v, "user_id")
+        .agg(
+            F.lit(3).alias("ord"),
+            F.lit("purchase_after_view").alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+            lag_hours(p, "v_ts", "p_ts").alias("avg_hours_from_prev"),
+        )
+    )
+    return (
+        row1.unionByName(row2)
+        .unionByName(row3)
+        .orderBy("ord")
+        .drop("ord")
+    )
+
+
+_COHORT_EPOCH = "2024-01-01"  # week-index origin: engine-neutral integer
+# arithmetic instead of date_trunc('week') so neither engine's
+# week-start convention can shift a cohort
+
+
+@register(
+    "retention_cohorts",
+    oracle=f"""
+        WITH firsts AS (
+            SELECT user_id,
+                   CAST(FLOOR(DATEDIFF('day', DATE '{_COHORT_EPOCH}',
+                        CAST(MIN(ts) AS DATE)) / 7.0) AS BIGINT) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        sizes AS (
+            SELECT cohort_week, COUNT(*) AS cohort_size
+            FROM firsts GROUP BY cohort_week
+        ),
+        activity AS (
+            SELECT DISTINCT e.user_id, f.cohort_week,
+                   CAST(FLOOR(DATEDIFF('day', DATE '{_COHORT_EPOCH}',
+                        CAST(e.ts AS DATE)) / 7.0) AS BIGINT)
+                   - f.cohort_week AS week_offset
+            FROM events e JOIN firsts f ON e.user_id = f.user_id
+        )
+        SELECT a.cohort_week AS cohort_week, a.week_offset,
+               COUNT(*) AS n_active,
+               s.cohort_size,
+               ROUND(COUNT(*) * 100.0 / s.cohort_size, 4) AS retention_pct
+        FROM activity a JOIN sizes s ON a.cohort_week = s.cohort_week
+        GROUP BY a.cohort_week, a.week_offset, s.cohort_size
+        ORDER BY a.cohort_week, a.week_offset
+    """,
+    tags=("events", "analytics"),
+    doc="Weekly retention cohorts: users bucketed by first-seen week, "
+    "activity counted per (cohort, week-offset) as distinct active "
+    "users, retention as a share of cohort size. Week indexes are "
+    "day-diff integer arithmetic from a fixed origin (not "
+    "date_trunc('week')) so both engines bucket identically regardless "
+    "of week-start convention. Two aggregates and one join, all keyed "
+    "on user_id then (cohort, offset) — at 100 TB the events scan "
+    "aggregates map-side per user before the cohort shuffle.",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    week = lambda c: F.floor(  # noqa: E731
+        F.datediff(F.to_date(c), F.lit(_COHORT_EPOCH).cast("date")) / 7.0
+    ).cast("long")
+    firsts = (
+        e.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .select("user_id", week("first_ts").alias("cohort_week"))
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    activity = (
+        e.select("user_id", week("ts").alias("event_week"))
+        .join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.col("event_week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active") * 100.0 / F.col("cohort_size"), 4
+            ).alias("retention_pct"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -1648,3 +1648,32 @@ def test_semantic_dedup_prune_policy(spark):
             assert r["pruned_by"] == over[0], (vid, r["pruned_by"], over)
             assert abs(sims[over[0]] - r["sim_to_kept"]) < 1e-5
     assert n_pruned > 0, "fixture should prune at least one vector"
+
+
+def test_funnel_stages_monotone(spark):
+    from elt_data4transformation_spark.plans.events import funnel_stages
+    from tests.conftest import SF_SMALL
+
+    rows = funnel_stages(spark, SF_SMALL).collect()
+    assert [r["stage"] for r in rows] == [
+        "signup", "view_after_signup", "purchase_after_view",
+    ]
+    counts = [r["n_users"] for r in rows]
+    assert counts[0] >= counts[1] >= counts[2] > 0
+    assert rows[0]["avg_hours_from_prev"] is None
+    assert all(r["avg_hours_from_prev"] > 0 for r in rows[1:])
+
+
+def test_retention_cohort_week_zero_is_full(spark):
+    from elt_data4transformation_spark.plans.events import retention_cohorts
+    from tests.conftest import SF_SMALL
+
+    rows = retention_cohorts(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["week_offset"] >= 0
+        assert 0 < r["retention_pct"] <= 100.0
+        # every user is active in their own first week
+        if r["week_offset"] == 0:
+            assert r["n_active"] == r["cohort_size"]
+            assert r["retention_pct"] == 100.0
