@@ -294,8 +294,20 @@ def global_rank(
     any total ordering (ties must be broken by the ordering itself)."""
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
-    rng = df.repartitionByRange(num_partitions, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    # localCheckpoint FREEZES the range partitioning: the local-rank
+    # branch and the offsets branch below both re-read this plan, and
+    # without materialization each branch can re-run the range exchange
+    # with RE-SAMPLED (different!) boundaries — AQE coalesces the
+    # exchange's input differently per query, the sampled split points
+    # move, and the per-row _pid diverges between branches, silently
+    # corrupting every rank (observed: ~97% of ranks wrong on a real
+    # scan input). Exchange reuse is an optimization, never a
+    # correctness guarantee — the checkpoint makes the boundary set a
+    # single materialized fact.
+    rng = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     local = rng.withColumn(
         "_lrn",

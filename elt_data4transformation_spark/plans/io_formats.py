@@ -195,3 +195,230 @@ def pruned_events_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(partitioned_events_path(sf_dir)).filter(
         F.col("day") >= F.lit(_PRUNE_FROM).cast("date")
     )
+
+
+# --- Z-order layout: multi-dimensional data skipping -----------------------
+
+_Z_BITS = 16
+_Z_FILES = 64
+_Z_BOX_LO, _Z_BOX_HI = 45, 55  # box = middle 10% of each dimension
+
+
+def _z_interleave_sql(x: str, y: str, spark_dialect: bool) -> str:
+    """Bit-interleaved Z-value of two _Z_BITS-bit ints, as SQL for
+    either engine (Spark: shiftleft/shiftright functions; DuckDB:
+    <</>> operators)."""
+    terms = []
+    for i in range(_Z_BITS):
+        if spark_dialect:
+            terms.append(f"shiftleft(shiftright({x}, {i}) & 1, {2 * i})")
+            terms.append(f"shiftleft(shiftright({y}, {i}) & 1, {2 * i + 1})")
+        else:
+            terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+            terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _zorder_oracle() -> str:
+    scale_max = (1 << _Z_BITS) - 1
+    z = _z_interleave_sql("x16", "y16", spark_dialect=False)
+    return f"""
+        WITH base AS (
+            SELECT o_orderkey, o_custkey AS ck,
+                   DATEDIFF('day', DATE '1990-01-01', o_orderdate) AS dy
+            FROM orders
+        ),
+        bounds AS (
+            SELECT MIN(ck) AS c_lo, MAX(ck) AS c_hi,
+                   MIN(dy) AS d_lo, MAX(dy) AS d_hi,
+                   COUNT(*) AS n
+            FROM base
+        ),
+        scaled AS (
+            SELECT b.o_orderkey, b.ck, b.dy,
+                   ((b.ck - t.c_lo) * {scale_max}) // (t.c_hi - t.c_lo) AS x16,
+                   ((b.dy - t.d_lo) * {scale_max}) // (t.d_hi - t.d_lo) AS y16
+            FROM base b CROSS JOIN bounds t
+        ),
+        ranked AS (
+            SELECT *, {z} AS z,
+                   ROW_NUMBER() OVER (ORDER BY {z}, o_orderkey) AS zr,
+                   ROW_NUMBER() OVER (ORDER BY ck, o_orderkey) AS lr
+            FROM scaled
+        ),
+        files AS (
+            SELECT 'zorder' AS layout,
+                   ((zr - 1) * {_Z_FILES}) // t.n AS file_id, ck, dy
+            FROM ranked CROSS JOIN bounds t
+            UNION ALL
+            SELECT 'linear',
+                   ((lr - 1) * {_Z_FILES}) // t.n AS file_id, ck, dy
+            FROM ranked CROSS JOIN bounds t
+        ),
+        fstats AS (
+            SELECT layout, file_id,
+                   MIN(ck) AS fc_lo, MAX(ck) AS fc_hi,
+                   MIN(dy) AS fd_lo, MAX(dy) AS fd_hi,
+                   COUNT(*) AS cnt
+            FROM files GROUP BY layout, file_id
+        ),
+        preds AS (
+            SELECT 'custkey_only' AS predicate,
+                   c_lo + ((c_hi - c_lo) * {_Z_BOX_LO}) // 100 AS pc_lo,
+                   c_lo + ((c_hi - c_lo) * {_Z_BOX_HI}) // 100 AS pc_hi,
+                   d_lo AS pd_lo, d_hi AS pd_hi
+            FROM bounds
+            UNION ALL
+            SELECT 'date_only', c_lo, c_hi,
+                   d_lo + ((d_hi - d_lo) * {_Z_BOX_LO}) // 100,
+                   d_lo + ((d_hi - d_lo) * {_Z_BOX_HI}) // 100
+            FROM bounds
+            UNION ALL
+            SELECT 'both',
+                   c_lo + ((c_hi - c_lo) * {_Z_BOX_LO}) // 100,
+                   c_lo + ((c_hi - c_lo) * {_Z_BOX_HI}) // 100,
+                   d_lo + ((d_hi - d_lo) * {_Z_BOX_LO}) // 100,
+                   d_lo + ((d_hi - d_lo) * {_Z_BOX_HI}) // 100
+            FROM bounds
+        ),
+        scans AS (
+            SELECT f.layout, p.predicate,
+                   CAST(COUNT(*) AS BIGINT) AS n_files_scanned,
+                   CAST(SUM(f.cnt) AS BIGINT) AS rows_scanned
+            FROM fstats f CROSS JOIN preds p
+            WHERE f.fc_hi >= p.pc_lo AND f.fc_lo <= p.pc_hi
+              AND f.fd_hi >= p.pd_lo AND f.fd_lo <= p.pd_hi
+            GROUP BY f.layout, p.predicate
+        ),
+        matches AS (
+            SELECT p.predicate, COUNT(*) AS rows_match
+            FROM base b CROSS JOIN preds p
+            WHERE b.ck BETWEEN p.pc_lo AND p.pc_hi
+              AND b.dy BETWEEN p.pd_lo AND p.pd_hi
+            GROUP BY p.predicate
+        )
+        SELECT s.layout, s.predicate, s.n_files_scanned, s.rows_scanned,
+               m.rows_match
+        FROM scans s JOIN matches m ON s.predicate = m.predicate
+        ORDER BY s.layout, s.predicate
+    """
+
+
+@register(
+    "zorder_layout",
+    oracle=_zorder_oracle(),
+    tags=("storage",),
+    doc=f"Z-order (Morton-curve) layout vs linear sort, quantified: "
+    f"orders laid out into {_Z_FILES} equal files either by "
+    "bit-interleaved Z-value of (custkey, orderdate) or by plain "
+    "custkey sort, then three box predicates (custkey-only, date-only, "
+    "both) are pruned against per-file min/max ranges — exactly the "
+    "row-group/file skipping a lakehouse table format does with "
+    "column stats. The output shows the layout trade: linear wins "
+    "narrowly on its own sort key but scans EVERY file for a date "
+    "predicate, while Z-order bounds both dimensions at once. All "
+    "arithmetic is integer (scaled 16-bit ranks, integer division), "
+    "so the twin engines agree bit-for-bit. The Spark ranking uses "
+    "the skew-free two-phase global_rank (no single-task window); at "
+    "100 TB the same Z-value feeds repartitionByRange + "
+    "sortWithinPartitions + write, paying one range shuffle at write "
+    "time to make every later multi-dimension scan prune "
+    "(public analog: Delta/Iceberg OPTIMIZE ZORDER).",
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup_ops import global_rank
+
+    scale_max = (1 << _Z_BITS) - 1
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("ck"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1990-01-01").cast("date")
+        ).cast("long").alias("dy"),
+    )
+    b = base.agg(
+        F.min("ck").alias("c_lo"),
+        F.max("ck").alias("c_hi"),
+        F.min("dy").alias("d_lo"),
+        F.max("dy").alias("d_hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    c_lo, c_hi, d_lo, d_hi, n = b["c_lo"], b["c_hi"], b["d_lo"], b["d_hi"], b["n"]
+    scaled = base.select(
+        "o_orderkey",
+        "ck",
+        "dy",
+        F.expr(f"((ck - {c_lo}) * {scale_max}) div ({c_hi} - {c_lo})").alias(
+            "x16"
+        ),
+        F.expr(f"((dy - {d_lo}) * {scale_max}) div ({d_hi} - {d_lo})").alias(
+            "y16"
+        ),
+    ).withColumn(
+        "z", F.expr(_z_interleave_sql("x16", "y16", spark_dialect=True))
+    )
+    zranked = global_rank(
+        scaled, [F.col("z"), F.col("o_orderkey")], rank_name="zr"
+    ).select("ck", "dy", F.expr(f"(CAST(zr AS BIGINT) - 1) * {_Z_FILES} div {n}").alias("file_id"))
+    lranked = global_rank(
+        scaled, [F.col("ck"), F.col("o_orderkey")], rank_name="lr"
+    ).select("ck", "dy", F.expr(f"(CAST(lr AS BIGINT) - 1) * {_Z_FILES} div {n}").alias("file_id"))
+    files = zranked.withColumn("layout", F.lit("zorder")).unionByName(
+        lranked.withColumn("layout", F.lit("linear"))
+    )
+    fstats = files.groupBy("layout", "file_id").agg(
+        F.min("ck").alias("fc_lo"),
+        F.max("ck").alias("fc_hi"),
+        F.min("dy").alias("fd_lo"),
+        F.max("dy").alias("fd_hi"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+    def box(dim_lo: int, dim_hi: int, pct_lo: int, pct_hi: int) -> tuple:
+        span = dim_hi - dim_lo
+        return (dim_lo + span * pct_lo // 100, dim_lo + span * pct_hi // 100)
+
+    cb = box(c_lo, c_hi, _Z_BOX_LO, _Z_BOX_HI)
+    db = box(d_lo, d_hi, _Z_BOX_LO, _Z_BOX_HI)
+    preds = spark.createDataFrame(
+        [
+            ("custkey_only", cb[0], cb[1], d_lo, d_hi),
+            ("date_only", c_lo, c_hi, db[0], db[1]),
+            ("both", cb[0], cb[1], db[0], db[1]),
+        ],
+        "predicate string, pc_lo long, pc_hi long, pd_lo long, pd_hi long",
+    )
+    scans = (
+        fstats.crossJoin(F.broadcast(preds))
+        .filter(
+            (F.col("fc_hi") >= F.col("pc_lo"))
+            & (F.col("fc_lo") <= F.col("pc_hi"))
+            & (F.col("fd_hi") >= F.col("pd_lo"))
+            & (F.col("fd_lo") <= F.col("pd_hi"))
+        )
+        .groupBy("layout", "predicate")
+        .agg(
+            F.count(F.lit(1)).alias("n_files_scanned"),
+            F.sum("cnt").alias("rows_scanned"),
+        )
+    )
+    matches = (
+        base.crossJoin(F.broadcast(preds))
+        .filter(
+            F.col("ck").between(F.col("pc_lo"), F.col("pc_hi"))
+            & F.col("dy").between(F.col("pd_lo"), F.col("pd_hi"))
+        )
+        .groupBy("predicate")
+        .agg(F.count(F.lit(1)).alias("rows_match"))
+    )
+    return (
+        scans.join(matches, "predicate")
+        .select(
+            "layout",
+            "predicate",
+            "n_files_scanned",
+            "rows_scanned",
+            "rows_match",
+        )
+        .orderBy("layout", "predicate")
+    )

@@ -1677,3 +1677,78 @@ def test_retention_cohort_week_zero_is_full(spark):
         if r["week_offset"] == 0:
             assert r["n_active"] == r["cohort_size"]
             assert r["retention_pct"] == 100.0
+
+
+def test_z_interleave_known_bits(spark):
+    """Morton-curve sanity on hand-computed bit patterns."""
+    from elt_data4transformation_spark.plans.io_formats import (
+        _z_interleave_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535)],
+        "x long, y long",
+    ).withColumn("z", F.expr(_z_interleave_sql("x", "y", True)))
+    got = [r["z"] for r in df.orderBy("x", "y").collect()]
+
+    def morton(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    want = [morton(x, y) for x, y in [(0, 0), (0, 1), (1, 0), (3, 5), (65535, 65535)]]
+    assert got == want
+    assert got[-1] == (1 << 32) - 1
+
+
+def test_zorder_skips_where_linear_cannot(spark):
+    """The layout story the query exists to prove: a linear layout
+    scans EVERY file for a predicate on the non-sort dimension, while
+    Z-order bounds both dimensions."""
+    from elt_data4transformation_spark.plans.io_formats import (
+        _Z_FILES,
+        zorder_layout,
+    )
+    from tests.conftest import SF_SMALL
+
+    rows = {
+        (r["layout"], r["predicate"]): r
+        for r in zorder_layout(spark, SF_SMALL).collect()
+    }
+    assert rows[("linear", "date_only")]["n_files_scanned"] == _Z_FILES
+    assert (
+        rows[("zorder", "date_only")]["n_files_scanned"]
+        < _Z_FILES // 2
+    )
+    # pruning is sound: scanned rows always cover the matches
+    for r in rows.values():
+        assert r["rows_scanned"] >= r["rows_match"]
+
+
+def test_global_rank_stable_on_scan_input(spark):
+    """Regression for the resampled-boundary bug: global_rank over a
+    real parquet scan (where AQE re-planning used to give the offsets
+    branch different range boundaries) must equal the direct window."""
+    from pyspark.sql import Window
+
+    from elt_data4transformation_spark.operators.dedup_ops import global_rank
+    from elt_data4transformation_spark.sources import table
+    from tests.conftest import SF_SMALL
+
+    df = table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", (F.col("o_custkey") * 7919 % 104729).alias("k")
+    )
+    order = [F.col("k"), F.col("o_orderkey")]
+    direct = {
+        r["o_orderkey"]: r["rank"]
+        for r in df.withColumn(
+            "rank", F.row_number().over(Window.orderBy(*order))
+        ).collect()
+    }
+    dist = {
+        r["o_orderkey"]: r["rank"]
+        for r in global_rank(df, order).collect()
+    }
+    assert dist == direct
