@@ -412,3 +412,133 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --- full k-means (multi-iteration Lloyd) over embeddings ------------------
+
+_KM_ITERS = 3
+
+
+def _km_assign_sql(cent: str, out: str, carry_label: bool = False) -> str:
+    lbl = "e.label, " if carry_label else ""
+    return f"""
+        {out} AS (
+            SELECT vec_id, {"label, " if carry_label else ""}v, centroid_id, cos
+            FROM (
+                SELECT e.vec_id, {lbl}e.v, {cent}.centroid_id,
+                       {cosine_sql('e.v', f'{cent}.cv')} AS cos,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY {cosine_sql('e.v', f'{cent}.cv')} DESC,
+                                    {cent}.centroid_id) AS crn
+                FROM e CROSS JOIN {cent}
+            ) WHERE crn = 1
+        )
+    """
+
+
+def _km_update_sql(assigned: str, out: str) -> str:
+    return f"""
+        {out} AS (
+            SELECT centroid_id, LIST(m ORDER BY dim) AS cv FROM (
+                SELECT centroid_id, dim, ROUND(AVG(val), 6) AS m
+                FROM (
+                    SELECT centroid_id, UNNEST(v) AS val,
+                           generate_subscripts(v, 1) AS dim
+                    FROM {assigned}
+                )
+                GROUP BY centroid_id, dim
+            )
+            GROUP BY centroid_id
+        )
+    """
+
+
+def _kmeans_oracle() -> str:
+    ctes = [
+        "e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e "
+        f"WHERE vec_id < {N_CENTROIDS})",
+    ]
+    for i in range(_KM_ITERS):
+        ctes.append(_km_assign_sql(f"c{i}", f"a{i}"))
+        ctes.append(_km_update_sql(f"a{i}", f"c{i + 1}"))
+    ctes.append(_km_assign_sql(f"c{_KM_ITERS}", "final"))
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT centroid_id,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               ROUND(AVG(cos), 6) AS mean_cos,
+               MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
+        FROM final
+        GROUP BY centroid_id
+        ORDER BY centroid_id
+    """
+
+
+@register(
+    "kmeans_clusters",
+    oracle=_kmeans_oracle(),
+    tags=("similarity", "iterative"),
+    doc=f"Full spherical k-means: {_KM_ITERS} Lloyd iterations "
+    f"(assign-to-nearest by cosine, recompute {N_CENTROIDS} centroids "
+    "as the rounded elementwise member mean) seeded from the first "
+    f"{N_CENTROIDS} vectors, reporting per-cluster size and mean "
+    "member-centroid cosine — the third iterative distributed "
+    "algorithm beside dedup_components and pagerank_citations, and "
+    "the trainer for the IVF buckets ann_ivf_topk / semantic_dedup "
+    "probe. Per iteration the base table is touched by ONE broadcast "
+    "join (centroids are k rows) + per-row argmax — no base-table "
+    "shuffle — and the update aggregates k*dim cells; centroid means "
+    "round to 6 decimals so both engines iterate on bit-identical "
+    "centroids (float drift cannot compound across iterations). "
+    "Oracle is the same recurrence unrolled as chained CTEs.",
+)
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _vectors(spark, sf_dir)
+
+    def assign(base: DataFrame, cent: DataFrame) -> DataFrame:
+        crn = Window.partitionBy("vec_id").orderBy(
+            F.desc("cos"), "centroid_id"
+        )
+        return (
+            base.crossJoin(F.broadcast(cent))
+            .withColumn("cos", cosine_col(F.col("v"), F.col("cv")))
+            .withColumn("crn", F.row_number().over(crn))
+            .filter(F.col("crn") == 1)
+            .drop("crn", "cv")
+        )
+
+    def update(assigned: DataFrame) -> DataFrame:
+        return (
+            assigned.select(
+                "centroid_id", F.posexplode("v").alias("dim", "val")
+            )
+            .groupBy("centroid_id", "dim")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda x: x["m"],
+                ).alias("cv")
+            )
+        )
+
+    cent = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    base = e.select("vec_id", "v")
+    for _ in range(_KM_ITERS):
+        cent = update(assign(base, cent))
+    final = assign(base, cent)
+    return (
+        final.groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg("cos"), 6).alias("mean_cos"),
+            F.min("vec_id").alias("min_vec"),
+            F.max("vec_id").alias("max_vec"),
+        )
+        .orderBy("centroid_id")
+    )

@@ -1752,3 +1752,40 @@ def test_global_rank_stable_on_scan_input(spark):
         for r in global_rank(df, order).collect()
     }
     assert dist == direct
+
+
+def test_kmeans_tightens_clusters_vs_seeds(spark):
+    """Three Lloyd iterations must not lose members and must improve
+    (or hold) mean member-centroid cosine vs raw seed assignment."""
+    from elt_data4transformation_spark.plans.similarity import (
+        N_CENTROIDS,
+        _vectors,
+        kmeans_clusters,
+    )
+    from elt_data4transformation_spark.operators.vectors import cosine_col
+    from tests.conftest import SF_SMALL
+
+    rows = kmeans_clusters(spark, SF_SMALL).collect()
+    total = _vectors(spark, SF_SMALL).count()
+    assert sum(r["n_members"] for r in rows) == total
+    assert 0 < len(rows) <= N_CENTROIDS
+
+    e = _vectors(spark, SF_SMALL).select("vec_id", "v")
+    cent0 = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    from pyspark.sql import Window
+
+    crn = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos"), "centroid_id"
+    )
+    seed_mean = (
+        e.crossJoin(F.broadcast(cent0))
+        .withColumn("cos", cosine_col(F.col("v"), F.col("cv")))
+        .withColumn("crn", F.row_number().over(crn))
+        .filter(F.col("crn") == 1)
+        .agg(F.avg("cos"))
+        .first()[0]
+    )
+    trained_mean = sum(r["mean_cos"] * r["n_members"] for r in rows) / total
+    assert trained_mean >= seed_mean - 1e-9, (trained_mean, seed_mean)
