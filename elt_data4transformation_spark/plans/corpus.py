@@ -818,3 +818,188 @@ def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- Token co-occurrence PMI -----------------------------------------------
+
+_PMI_VOCAB = 150  # pairs restricted to the top-V document-frequency tokens
+_PMI_MIN_CO = 5  # minimum co-document count for a reported pair
+_PMI_TOP = 100
+
+
+@register(
+    "pmi_cooccurrence",
+    oracle=f"""
+        WITH tok AS (
+            SELECT DISTINCT doc_id, token FROM (
+                SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+                FROM documents WHERE LEN(text) > 0
+            ) WHERE token <> ''
+        ), dfreq AS (
+            SELECT token, COUNT(*) AS df FROM tok GROUP BY token
+        ), vocab AS (
+            SELECT token, df FROM dfreq
+            ORDER BY df DESC, token LIMIT {_PMI_VOCAB}
+        ), n AS (
+            SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok
+        ), vt AS (
+            SELECT t.doc_id, t.token, v.df
+            FROM tok t JOIN vocab v USING (token)
+        ), pairs AS (
+            SELECT a.token AS token_a, b.token AS token_b,
+                   a.df AS df_a, b.df AS df_b,
+                   COUNT(*) AS co_docs
+            FROM vt a JOIN vt b
+              ON a.doc_id = b.doc_id AND a.token < b.token
+            GROUP BY a.token, b.token, a.df, b.df
+        )
+        SELECT token_a, token_b, co_docs,
+               ROUND(LN(CAST(co_docs AS DOUBLE) * n.n_docs
+                        / (df_a * df_b)), 6) AS pmi,
+               ROW_NUMBER() OVER (
+                   ORDER BY co_docs DESC, token_a, token_b) AS rank
+        FROM pairs CROSS JOIN n
+        WHERE co_docs >= {_PMI_MIN_CO}
+        ORDER BY rank
+        LIMIT {_PMI_TOP}
+    """,
+    tags=("corpus", "text", "join", "aggregate"),
+    doc="Pointwise mutual information over token co-occurrence — the "
+    "corpus-statistics pass behind collocation mining and phrase "
+    f"vocabularies. Pairs are restricted to the top-{_PMI_VOCAB} "
+    "document-frequency tokens (broadcast back into the token stream), "
+    "so the per-document pair fan-out is bounded by the vocabulary cap "
+    "rather than document length; the pair generator is an equi-join "
+    "on doc_id (inverted-index shape, same as dedup_ngram_jaccard) — "
+    "never a cross join. pmi = ln(co_docs * N / (df_a * df_b)), "
+    "two-phase top-k on the result.",
+)
+def pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup_ops import topk_per_group
+
+    d = spread(table(spark, sf_dir, "documents")).filter(F.length("text") > 0)
+    tok = (
+        d.select("doc_id", F.explode(T.words_col()).alias("token"))
+        .filter(F.col("token") != "")
+        .dropDuplicates(["doc_id", "token"])
+        .persist()  # reused by df-stats, both pair-join sides, n_docs
+    )
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    vocab = topk_per_group(
+        dfreq, [], [F.desc("df"), F.asc("token")], _PMI_VOCAB, rank_name="_vr"
+    ).drop("_vr")
+    n_docs = tok.select("doc_id").distinct().count()
+    vt = tok.join(F.broadcast(vocab), "token")
+    a = vt.select(
+        "doc_id",
+        F.col("token").alias("token_a"),
+        F.col("df").alias("df_a"),
+    )
+    b = vt.select(
+        "doc_id",
+        F.col("token").alias("token_b"),
+        F.col("df").alias("df_b"),
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b", "df_a", "df_b")
+        .agg(F.count(F.lit(1)).alias("co_docs"))
+        .filter(F.col("co_docs") >= _PMI_MIN_CO)
+    )
+    scored = pairs.select(
+        "token_a",
+        "token_b",
+        "co_docs",
+        F.round(
+            F.log(
+                F.col("co_docs").cast("double")
+                * F.lit(float(n_docs))
+                / (F.col("df_a") * F.col("df_b"))
+            ),
+            6,
+        ).alias("pmi"),
+    )
+    return topk_per_group(
+        scored,
+        [],
+        [F.desc("co_docs"), F.asc("token_a"), F.asc("token_b")],
+        _PMI_TOP,
+        rank_name="rank",
+    ).orderBy("rank")
+
+
+# --- Per-document TF-IDF top terms -----------------------------------------
+
+_TFIDF_K = 3
+
+
+@register(
+    "tfidf_topterms",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+            FROM documents WHERE LEN(text) > 0
+        ), tf AS (
+            SELECT doc_id, token, COUNT(*) AS tf
+            FROM tok WHERE token <> '' GROUP BY doc_id, token
+        ), dfreq AS (
+            SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+        ), n AS (
+            SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf
+        ), scored AS (
+            SELECT tf.doc_id, tf.token,
+                   ROUND(tf.tf * LN((n.n_docs + 1.0) / (dfreq.df + 1.0)),
+                         6) AS tfidf
+            FROM tf JOIN dfreq USING (token) CROSS JOIN n
+        ), ranked AS (
+            SELECT doc_id, token, tfidf,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY tfidf DESC, token) AS rank
+            FROM scored
+        )
+        SELECT doc_id, rank, token, tfidf
+        FROM ranked WHERE rank <= {_TFIDF_K}
+        ORDER BY doc_id, rank
+    """,
+    tags=("corpus", "text", "window"),
+    doc=f"Per-document top-{_TFIDF_K} TF-IDF terms — the keyword/"
+    "fingerprint projection a retrieval or topic pipeline derives per "
+    "document. tf is one hash aggregate on (doc_id, token); df/idf "
+    "reuses vocab_build's smoothed ln((N+1)/(df+1)); the per-document "
+    "rank window partitions on doc_id — a high-cardinality key, so "
+    "unlike a per-language window it parallelizes at any corpus size. "
+    "The df join is a plain shuffle join on token (the vocabulary can "
+    "be billions of distinct tokens at 100 TB — deliberately NOT "
+    "broadcast; AQE downgrades it to broadcast when small).",
+)
+def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents")).filter(F.length("text") > 0)
+    tf = (
+        d.select("doc_id", F.explode(T.words_col()).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()  # reused by df-stats, n_docs and the scoring join
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = tf.select("doc_id").distinct().count()
+    scored = tf.join(dfreq, "token").select(
+        "doc_id",
+        "token",
+        F.round(
+            F.col("tf")
+            * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TFIDF_K)
+        .select("doc_id", "rank", "token", "tfidf")
+        .orderBy("doc_id", "rank")
+    )

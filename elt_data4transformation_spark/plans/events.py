@@ -364,3 +364,129 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# --- z-score anomaly gate --------------------------------------------------
+
+_Z_THRESHOLD = 3.0
+
+
+@register(
+    "anomaly_zscore",
+    oracle=f"""
+        WITH stats AS (
+            SELECT event_type,
+                   AVG(value) AS mu,
+                   STDDEV_POP(value) AS sigma
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type
+        ), scored AS (
+            SELECT e.event_type,
+                   ROUND(ABS((e.value - s.mu) / NULLIF(s.sigma, 0)),
+                         6) AS az
+            FROM events e JOIN stats s USING (event_type)
+            WHERE e.value IS NOT NULL
+        )
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               COUNT(*) FILTER (WHERE az >= {_Z_THRESHOLD}) AS n_anomalies,
+               ROUND(MAX(az), 4) AS max_z
+        FROM scored
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("events", "aggregate", "quality"),
+    doc="Per-type z-score outlier gate — the numeric analogue of the "
+    "corpus quality filters: value distributions are profiled per "
+    "event_type and |z| >= 3 rows flagged. Two passes, zero windows: "
+    "the per-type (mu, sigma) aggregate is tiny (one row per type) and "
+    "joins back by broadcast, so the scoring pass is a map-only "
+    "projection — at 100 TB this is two linear scans with map-side "
+    "partial aggregation, never a per-type sort. Zero-variance types "
+    "are NULL-guarded (nullif) identically on both engines.",
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_pop("value").alias("sigma"),
+    )
+    az = F.round(
+        F.abs(
+            (F.col("value") - F.col("mu"))
+            / F.nullif(F.col("sigma"), F.lit(0.0))
+        ),
+        6,
+    )
+    scored = e.join(F.broadcast(stats), "event_type").select(
+        "event_type", az.alias("az")
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("az") >= _Z_THRESHOLD, 1)).alias(
+                "n_anomalies"
+            ),
+            F.round(F.max("az"), 4).alias("max_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- Event-type transition matrix ------------------------------------------
+
+
+@register(
+    "event_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_type
+            FROM events
+        )
+        SELECT event_type AS from_type, next_type AS to_type,
+               COUNT(*) AS n,
+               ROUND(COUNT(*) * 1.0
+                     / SUM(COUNT(*)) OVER (PARTITION BY event_type),
+                     6) AS frac
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+        ORDER BY from_type, to_type
+    """,
+    tags=("events", "window", "aggregate"),
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences (the sequence-mining counterpart of funnel_stages): "
+    "lead() within (user_id | ts, event_id) pairs each event with its "
+    "successor, then one hash aggregate on the (from, to) pair and a "
+    "row-frequency normalization. The sequence window partitions on "
+    "user_id — high cardinality, parallel at any scale; the "
+    "normalizing share window runs on the n_types^2-row aggregate, "
+    "which is O(1)-sized regardless of input volume.",
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w_seq).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_tot = Window.partitionBy("from_type")
+    return (
+        counts.select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n") * 1.0 / F.sum("n").over(w_tot), 6).alias(
+                "frac"
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )

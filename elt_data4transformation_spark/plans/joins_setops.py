@@ -624,3 +624,51 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("view_id")
     )
+
+
+@register(
+    "cube_orders",
+    oracle="""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(GROUPING(o_orderstatus) AS INTEGER) * 2
+                 + CAST(GROUPING(o_orderpriority) AS INTEGER) AS agg_level,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 4) AS revenue
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY agg_level, status, priority
+    """,
+    tags=("aggregate", "cube"),
+    doc="CUBE over (status, priority) — all four grouping sets in one "
+    "pass, completing the grouping-sets family next to revenue_rollup. "
+    "Spark plans cube as Expand (4 replicas tagged with grouping ids) "
+    "into ONE hash aggregate: a single shuffle keyed on the expanded "
+    "grouping key, partial aggregation per set on the map side. The "
+    "alternative — four separate groupBys unioned — would scan the "
+    "fact table four times; at 100 TB the single Expand pass wins "
+    "despite the 4x intermediate row fan-out because partial aggs "
+    "collapse it before the exchange.",
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    agg_level = (
+        F.grouping("o_orderstatus").cast("int") * 2
+        + F.grouping("o_orderpriority").cast("int")
+    )
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            agg_level.alias("agg_level"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "agg_level",
+            "n_orders",
+            "revenue",
+        )
+        .orderBy("agg_level", "status", "priority")
+    )

@@ -310,3 +310,61 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_seq")
     )
+
+
+@register(
+    "ntile_deciles",
+    oracle="""
+        WITH ranked AS (
+            SELECT c_mktsegment AS segment, c_acctbal,
+                   NTILE(10) OVER w AS decile,
+                   ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+                   ROUND(CUME_DIST() OVER w, 6) AS cd
+            FROM customer
+            WINDOW w AS (
+                PARTITION BY c_mktsegment
+                ORDER BY c_acctbal, c_custkey)
+        )
+        SELECT segment, decile, COUNT(*) AS n,
+               ROUND(MIN(c_acctbal), 2) AS lo,
+               ROUND(MAX(c_acctbal), 2) AS hi,
+               ROUND(AVG(pr), 6) AS avg_pr,
+               ROUND(MAX(cd), 6) AS max_cd
+        FROM ranked
+        GROUP BY segment, decile
+        ORDER BY segment, decile
+    """,
+    tags=("window", "rank"),
+    doc="Distribution-rank window family: ntile(10) decile assignment "
+    "plus percent_rank / cume_dist within each market segment, rolled "
+    "up to per-(segment, decile) boundaries. The ordering includes "
+    "c_custkey so every rank is tie-free and engine-deterministic. "
+    "Scale note: the partition key has fixed cardinality (5 segments), "
+    "so the direct window serializes each segment onto one task at "
+    "100 TB — the scale path is the global_rank/topk_per_group "
+    "two-phase construction per segment, or quantile-boundary "
+    "assignment (9 percentile cuts per segment, broadcast, then a "
+    "map-only bucket lookup), which this query's decile-boundary "
+    "OUTPUT is exactly shaped for.",
+)
+def ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    ranked = c.select(
+        F.col("c_mktsegment").alias("segment"),
+        "c_acctbal",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+    return (
+        ranked.groupBy("segment", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("lo"),
+            F.round(F.max("c_acctbal"), 2).alias("hi"),
+            F.round(F.avg("pr"), 6).alias("avg_pr"),
+            F.round(F.max("cd"), 6).alias("max_cd"),
+        )
+        .orderBy("segment", "decile")
+    )

@@ -1789,3 +1789,87 @@ def test_kmeans_tightens_clusters_vs_seeds(spark):
     )
     trained_mean = sum(r["mean_cos"] * r["n_members"] for r in rows) / total
     assert trained_mean >= seed_mean - 1e-9, (trained_mean, seed_mean)
+
+
+# --- round-2 analytics family: semantic invariants ------------------------
+
+
+def test_event_transitions_frac_sums_to_one(spark):
+    from elt_data4transformation_spark.plans.events import event_transitions
+
+    pdf = event_transitions(spark, "/root/testdata/sf0.001").toPandas()
+    sums = pdf.groupby("from_type")["frac"].sum()
+    # row-normalized Markov matrix: each from_type's outgoing mass ~ 1
+    assert ((sums - 1.0).abs() < 1e-4).all()
+    assert (pdf["n"] > 0).all()
+
+
+def test_anomaly_zscore_flags_injected_outlier(spark):
+    # build a tight distribution plus one far outlier; the gate must
+    # flag exactly that row
+    rows = [(i, "a", 100.0 + (i % 7) * 0.1) for i in range(200)]
+    rows.append((999, "a", 10_000.0))
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    stats = df.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma")
+    )
+    flagged = (
+        df.join(F.broadcast(stats), "event_type")
+        .withColumn(
+            "az",
+            F.abs((F.col("value") - F.col("mu")) / F.nullif("sigma", F.lit(0.0))),
+        )
+        .filter(F.col("az") >= 3.0)
+        .collect()
+    )
+    assert [r.event_id for r in flagged] == [999]
+
+
+def test_ntile_decile_sizes_balanced(spark):
+    from elt_data4transformation_spark.plans.windows import ntile_deciles
+
+    pdf = ntile_deciles(spark, "/root/testdata/sf0.001").toPandas()
+    for seg, grp in pdf.groupby("segment"):
+        assert sorted(grp["decile"]) == list(range(1, 11))
+        # NTILE balance: bucket sizes differ by at most 1
+        assert grp["n"].max() - grp["n"].min() <= 1
+        # decile value ranges are non-overlapping and ordered
+        ordered = grp.sort_values("decile")
+        assert (ordered["lo"].values <= ordered["hi"].values).all()
+        assert (ordered["hi"].values[:-1] <= ordered["lo"].values[1:]).all()
+
+
+def test_cube_orders_levels_reconcile(spark):
+    from elt_data4transformation_spark.plans.joins_setops import cube_orders
+
+    pdf = cube_orders(spark, "/root/testdata/sf0.001").toPandas()
+    total = pdf[pdf.agg_level == 3]
+    assert len(total) == 1
+    n_total = int(total.n_orders.iloc[0])
+    # every marginal level re-aggregates to the same grand total
+    for lvl in (0, 1, 2):
+        assert int(pdf[pdf.agg_level == lvl].n_orders.sum()) == n_total
+
+
+def test_pmi_symmetric_and_bounded(spark):
+    from elt_data4transformation_spark.plans.corpus import pmi_cooccurrence
+
+    pdf = pmi_cooccurrence(spark, "/root/testdata/sf0.001").toPandas()
+    assert (pdf["token_a"] < pdf["token_b"]).all()  # canonical pair order
+    assert (pdf["co_docs"] >= 5).all()
+    # pmi <= ln(N / max(df_a, df_b)) <= ln(N); co_docs <= min(df_a, df_b)
+    # implies pmi <= -ln(max_df/N) which is bounded by ln(N)
+    import math
+
+    n_docs = 500  # sf0.001 documents table size
+    assert (pdf["pmi"] <= math.log(n_docs) + 1e-9).all()
+
+
+def test_tfidf_topterms_rank_is_descending(spark):
+    from elt_data4transformation_spark.plans.corpus import tfidf_topterms
+
+    pdf = tfidf_topterms(spark, "/root/testdata/sf0.001").toPandas()
+    assert set(pdf["rank"]) <= {1, 2, 3}
+    for _, grp in pdf.groupby("doc_id"):
+        ordered = grp.sort_values("rank")
+        assert (ordered["tfidf"].diff().dropna() <= 1e-12).all()
