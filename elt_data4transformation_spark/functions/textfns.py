@@ -252,13 +252,26 @@ def quality_sql(text: str = "text") -> str:
 
 
 def langid_col(text: str = "text") -> Column:
-    """Predicted language: stopword-hit argmax, LANG_ORDER tie-break."""
-    scores = {lang: stopword_hits_col(lang, text) for lang in LANG_ORDER}
-    best = F.greatest(*scores.values())
-    pred: Column = F.lit("und")
-    for lang in reversed(LANG_ORDER):
-        pred = F.when(scores[lang] == best, lang).otherwise(pred)
-    return F.when(best > 0, pred).otherwise(F.lit("und"))
+    """Predicted language: stopword-hit argmax, LANG_ORDER tie-break.
+
+    Single array_max over (score, -order, lang) structs — lexicographic
+    struct comparison gives the same (max score, earliest LANG_ORDER)
+    pick as a greatest+CASE chain, but each per-language stopword scan
+    is evaluated exactly once instead of once in greatest and again in
+    every CASE arm."""
+    arm = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    stopword_hits_col(lang, text).alias("s"),
+                    F.lit(-i).alias("p"),
+                    F.lit(lang).alias("l"),
+                )
+                for i, lang in enumerate(LANG_ORDER)
+            ]
+        )
+    )
+    return F.when(arm["s"] > 0, arm["l"]).otherwise(F.lit("und"))
 
 
 def langid_sql(text: str = "text") -> str:

@@ -43,6 +43,41 @@ def cosine_col(a: Column | str, b: Column | str) -> Column:
     )
 
 
+def assign_nearest(
+    base: DataFrame, cent: DataFrame, cos_name: str = "cos"
+) -> DataFrame:
+    """Nearest-centroid assignment by cosine, ties to the lowest
+    centroid_id. ``base`` must carry ``vec_id`` and ``v``; every other
+    column rides along. ``cent`` is ``(centroid_id, cv)``.
+
+    Shape: broadcast the k centroids (BroadcastNestedLoopJoin streams
+    the base side in place), then collapse the k candidate rows per
+    vector with a ``max_by`` AGGREGATE rather than a rn=1 window — the
+    map-side partial aggregation reduces each vector to one row before
+    the exchange, so the shuffle moves N rows instead of N*k, and no
+    sort happens at all. The (cos, -centroid_id) struct key reproduces
+    the window's (cos DESC, centroid_id ASC) tie-break exactly,
+    including the all-NULL-cosine (zero-vector) case where struct
+    comparison falls through to the id."""
+    carry = [c for c in base.columns if c != "vec_id"]
+    scored = base.crossJoin(F.broadcast(cent)).withColumn(
+        "_ccos", cosine_col(F.col("v"), F.col("cv"))
+    )
+    payload = F.struct(
+        *[F.col(c).alias(c) for c in carry],
+        F.col("centroid_id").alias("centroid_id"),
+        F.col("_ccos").alias(cos_name),
+    )
+    key = F.struct(F.col("_ccos"), (-F.col("centroid_id")).cast("long"))
+    out = scored.groupBy("vec_id").agg(F.max_by(payload, key).alias("_b"))
+    return out.select(
+        "vec_id",
+        *[F.col(f"_b.{c}").alias(c) for c in carry],
+        F.col("_b.centroid_id").alias("centroid_id"),
+        F.col(f"_b.{cos_name}").alias(cos_name),
+    )
+
+
 def cosine_sql(a: str, b: str) -> str:
     """DuckDB twin of cosine_col (zero vectors -> NULL, not -1)."""
     return (

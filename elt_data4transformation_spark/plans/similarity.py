@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.vectors import cosine_col, cosine_sql
+from ..operators.vectors import assign_nearest, cosine_col, cosine_sql
 from ..sources import spread, table
 from .registry import register
 
@@ -153,14 +153,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _vectors(spark, sf_dir)
 
     def assign(base: DataFrame, cent: DataFrame) -> DataFrame:
-        crn = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), "centroid_id")
-        return (
-            base.crossJoin(F.broadcast(cent))
-            .withColumn("ccos", cosine_col(F.col("v"), F.col("cv")))
-            .withColumn("crn", F.row_number().over(crn))
-            .filter(F.col("crn") == 1)
-            .drop("ccos", "crn", "cv")
-        )
+        return assign_nearest(base, cent).drop("cos")
 
     cent0 = (
         e.filter(F.col("vec_id") < N_CENTROIDS)
@@ -272,13 +265,8 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("vec_id") < N_CENTROIDS)
         .select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv"))
     )
-    crn = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), "centroid_id")
-    assigned = (
-        e.crossJoin(F.broadcast(cent))
-        .withColumn("ccos", cosine_col(F.col("v"), F.col("cv")))
-        .withColumn("crn", F.row_number().over(crn))
-        .filter(F.col("crn") == 1)
-        .select("vec_id", "v", "centroid_id")
+    assigned = assign_nearest(e.select("vec_id", "v"), cent).select(
+        "vec_id", "v", "centroid_id"
     )
     a = assigned.select(
         F.col("centroid_id"), F.col("vec_id").alias("va"), F.col("v").alias("_va")
@@ -498,16 +486,7 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _vectors(spark, sf_dir)
 
     def assign(base: DataFrame, cent: DataFrame) -> DataFrame:
-        crn = Window.partitionBy("vec_id").orderBy(
-            F.desc("cos"), "centroid_id"
-        )
-        return (
-            base.crossJoin(F.broadcast(cent))
-            .withColumn("cos", cosine_col(F.col("v"), F.col("cv")))
-            .withColumn("crn", F.row_number().over(crn))
-            .filter(F.col("crn") == 1)
-            .drop("crn", "cv")
-        )
+        return assign_nearest(base, cent)
 
     def update(assigned: DataFrame) -> DataFrame:
         return (
