@@ -490,3 +490,60 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+# --- Trailing-window distinct users ----------------------------------------
+
+_ROLLING_DAYS = 7
+
+
+@register(
+    "rolling_active_users",
+    oracle=f"""
+        WITH du AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        ), days AS (
+            SELECT DISTINCT day FROM du
+        ), expanded AS (
+            SELECT du.user_id, du.day + CAST(o.o AS INTEGER) AS tday
+            FROM du CROSS JOIN (
+                SELECT UNNEST(RANGE(0, {_ROLLING_DAYS})) AS o) o
+        )
+        SELECT STRFTIME(days.day, '%Y-%m-%d') AS day,
+               COUNT(DISTINCT e.user_id) AS wau
+        FROM days JOIN expanded e ON e.tday = days.day
+        GROUP BY days.day
+        ORDER BY day
+    """,
+    tags=("events", "aggregate", "window"),
+    doc=f"Trailing-{_ROLLING_DAYS}-day distinct active users per day "
+    "(the WAU metric). Sliding COUNT(DISTINCT) has no per-row window "
+    "form that scales — a range-frame window would re-scan the trailing "
+    "week per row. Instead: dedup to (day, user) once, replicate each "
+    f"row to the {_ROLLING_DAYS} target days it contributes to "
+    "(explode of a constant sequence — bounded fan-out), then ONE "
+    "distinct-count aggregate keyed by target day. Cost is "
+    f"{_ROLLING_DAYS}x the daily-distinct table, independent of raw "
+    "event volume — the same replicate-to-bucket trick as "
+    "range_join_events.",
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    du = e.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).dropDuplicates(["day", "user_id"])
+    days = du.select("day").distinct()
+    expanded = du.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_ROLLING_DAYS - 1))
+        ).alias("o"),
+        "day",
+    ).select(F.date_add("day", F.col("o")).alias("tday"), "user_id")
+    return (
+        days.join(expanded, days["day"] == expanded["tday"])
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "wau")
+        .orderBy("day")
+    )

@@ -422,3 +422,64 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout", "predicate")
     )
+
+
+# --- Schema-evolution read (mergeSchema) -----------------------------------
+
+
+def schema_evo_path(sf_dir: str) -> str:
+    return os.path.join(
+        tempfile.gettempdir(),
+        "elt4t_schema_evo",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+
+
+@register(
+    "schema_evolution_read",
+    oracle="""
+        SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+                    ELSE 'LEGACY' END AS priority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 4) AS revenue
+        FROM orders
+        GROUP BY 1
+        ORDER BY priority
+    """,
+    tags=("storage", "source"),
+    doc="Schema-evolution source read: a v1 batch written WITHOUT the "
+    "o_orderpriority column (even keys) and a v2 batch WITH it (odd "
+    "keys) are read back in one mergeSchema scan; v1 rows surface the "
+    "evolved column as NULL, normalized to 'LEGACY'. This is the "
+    "append-only data-lake reality at 100 TB — producers add columns "
+    "over years and a reader must union the generations without "
+    "rewriting old files. mergeSchema reconciles footers at planning "
+    "time (per-file footer reads, driver-side, bounded by file count); "
+    "the scan itself stays a plain columnar read with pushdown. The "
+    "oracle reproduces the generation split from the flat table.",
+)
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = schema_evo_path(sf_dir)
+    o = table(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(out, "v1"))
+    v2.write.mode("overwrite").parquet(os.path.join(out, "v2"))
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(out, "v1"), os.path.join(out, "v2"))
+    )
+    return (
+        merged.groupBy(
+            F.coalesce("o_orderpriority", F.lit("LEGACY")).alias("priority")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+        .orderBy("priority")
+    )

@@ -518,3 +518,68 @@ def audit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("sample_key", "doc_id")
         .limit(50)
     )
+
+
+# --- Quantile binning (broadcast-boundary bucketing) -----------------------
+
+
+@register(
+    "quantile_binning",
+    oracle="""
+        WITH bounds AS (
+            SELECT lang,
+                   ROUND(QUANTILE_CONT(n_chars, 0.25), 4) AS q1,
+                   ROUND(QUANTILE_CONT(n_chars, 0.50), 4) AS q2,
+                   ROUND(QUANTILE_CONT(n_chars, 0.75), 4) AS q3
+            FROM documents GROUP BY lang
+        )
+        SELECT d.lang,
+               1 + CAST(d.n_chars > b.q1 AS INTEGER)
+                 + CAST(d.n_chars > b.q2 AS INTEGER)
+                 + CAST(d.n_chars > b.q3 AS INTEGER) AS bucket,
+               COUNT(*) AS n_docs,
+               MIN(d.n_chars) AS lo,
+               MAX(d.n_chars) AS hi
+        FROM documents d JOIN bounds b USING (lang)
+        GROUP BY d.lang, bucket
+        ORDER BY d.lang, bucket
+    """,
+    tags=("aggregate", "rank"),
+    doc="Quantile binning via broadcast boundaries — the SCALE path "
+    "for distribution ranks that ntile_deciles' doc promises: exact "
+    "per-group quartile cuts (one percentile aggregate, rows per "
+    "group = 1) broadcast back, bucket assignment a map-only "
+    "comparison chain. Unlike NTILE, no per-group sort of the full "
+    "table ever happens, so fixed-cardinality groups (5 langs) cannot "
+    "serialize onto single tasks at 100 TB; the tradeoff is boundary "
+    "ties all land in the lower bucket rather than splitting evenly. "
+    "Boundaries round to 4 decimals on both engines so the comparison "
+    "itself is engine-exact.",
+)
+def quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    pct = F.percentile(
+        "n_chars", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    )
+    bounds = d.groupBy("lang").agg(pct.alias("_p")).select(
+        "lang",
+        F.round(F.col("_p")[0], 4).alias("q1"),
+        F.round(F.col("_p")[1], 4).alias("q2"),
+        F.round(F.col("_p")[2], 4).alias("q3"),
+    )
+    bucket = (
+        F.lit(1)
+        + (F.col("n_chars") > F.col("q1")).cast("int")
+        + (F.col("n_chars") > F.col("q2")).cast("int")
+        + (F.col("n_chars") > F.col("q3")).cast("int")
+    )
+    return (
+        d.join(F.broadcast(bounds), "lang")
+        .groupBy("lang", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("lo"),
+            F.max("n_chars").alias("hi"),
+        )
+        .orderBy("lang", "bucket")
+    )

@@ -1873,3 +1873,56 @@ def test_tfidf_topterms_rank_is_descending(spark):
     for _, grp in pdf.groupby("doc_id"):
         ordered = grp.sort_values("rank")
         assert (ordered["tfidf"].diff().dropna() <= 1e-12).all()
+
+
+def test_rolling_active_users_dominates_daily(spark):
+    from elt_data4transformation_spark.plans.events import (
+        rolling_active_users,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    wau = rolling_active_users(spark, SF).toPandas().set_index("day")["wau"]
+    from elt_data4transformation_spark.sources import table
+
+    dau = (
+        table(spark, SF, "events")
+        .select(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"), "user_id")
+        .distinct()
+        .groupBy("day")
+        .count()
+        .toPandas()
+        .set_index("day")["count"]
+    )
+    # trailing-7-day distinct can never be below the single-day distinct
+    for day, n in dau.items():
+        assert wau[day] >= n
+
+
+def test_quantile_binning_buckets_ordered_and_cover(spark):
+    from elt_data4transformation_spark.plans.relational import quantile_binning
+
+    pdf = quantile_binning(spark, "/root/testdata/sf0.001").toPandas()
+    for lang, grp in pdf.groupby("lang"):
+        grp = grp.sort_values("bucket")
+        assert set(grp["bucket"]) <= {1, 2, 3, 4}
+        # value ranges ordered across buckets
+        assert (grp["hi"].values[:-1] <= grp["lo"].values[1:]).all()
+        # quartile bins: no bucket holds more than ~40% of the group
+        # (exact quarters up to boundary-tie spill)
+        assert grp["n_docs"].max() <= grp["n_docs"].sum() * 0.4
+
+
+def test_schema_evolution_read_null_fills_legacy(spark):
+    from elt_data4transformation_spark.plans.io_formats import (
+        schema_evolution_read,
+    )
+    from elt_data4transformation_spark.sources import table
+
+    SF = "/root/testdata/sf0.001"
+    pdf = schema_evolution_read(spark, SF).toPandas()
+    n_even = (
+        table(spark, SF, "orders").filter(F.col("o_orderkey") % 2 == 0).count()
+    )
+    legacy = pdf[pdf.priority == "LEGACY"]
+    assert int(legacy.n_orders.iloc[0]) == n_even
+    assert pdf.n_orders.sum() == table(spark, SF, "orders").count()
