@@ -3,11 +3,14 @@ metadata, decoded/feature-extracted via Arrow-batched mapInPandas.
 
 The Spark-side contract is real and tested — schema (binary payload +
 metadata struct), partition-parallel batch iteration, stable output
-schema. The actual media decode is STUBBED: the image/audio libraries
-are not in this container, so ``decode_features`` computes
-deterministic byte-level pseudo-features and the real decoder hook
-raises NotImplementedError (clearly marked) — swap `_decode_real` for
-PIL/ffmpeg at deployment and nothing else changes.
+schema. Media decode status: PNG images are REAL (pure-stdlib codec in
+operators/pngcodec.py) and WAV audio is REAL (stdlib ``wave``), both
+exercised end-to-end by the image_decode_features /
+audio_decode_features queries against arithmetic oracles; jpeg and
+video decode still need PIL/ffmpeg, which this container lacks, so
+``decode_features`` computes deterministic byte-level pseudo-features
+for those and `_decode_real` raises NotImplementedError for such
+mimes — swap in PIL/ffmpeg at deployment and nothing else changes.
 """
 
 from __future__ import annotations
@@ -40,9 +43,25 @@ def with_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _decode_real(payload: bytes, mime: str) -> dict:
-    """Real media decode hook — NOT implemented in this container."""
+    """Real media decode: PNG images are decoded with the pure-stdlib
+    codec (operators/pngcodec.py — same no-external-libs pattern that
+    closed the PDF stub); other mimes (jpeg/audio/video) still need
+    PIL/ffmpeg, which this container lacks, and raise."""
+    if mime == "image/png":
+        from . import pngcodec
+
+        w, h, px = pngcodec.read_png(payload)
+        means = px.reshape(-1, 3).mean(axis=0)
+        return {
+            "width": int(w),
+            "height": int(h),
+            "mean_r": float(means[0]),
+            "mean_g": float(means[1]),
+            "mean_b": float(means[2]),
+        }
     raise NotImplementedError(
-        "media decode requires PIL/ffmpeg; deterministic fake used instead"
+        f"decode for {mime} requires PIL/ffmpeg; deterministic fake "
+        "used instead"
     )
 
 
@@ -129,3 +148,177 @@ def sample_frames(
             )
 
     return df.select("doc_id", "payload").mapInPandas(fn, schema=FRAME_SCHEMA)
+
+
+# --- real PNG pipeline (encode -> binary column -> decode) -----------------
+
+PNG_SCHEMA = (
+    "doc_id long, payload binary, "
+    "meta struct<mime: string, n_bytes: bigint>"
+)
+PNG_FEATURES_SCHEMA = (
+    "doc_id long, width long, height long, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def png_dims(doc_id: int) -> tuple[int, int]:
+    return 8 + doc_id % 8, 8 + doc_id % 5
+
+
+def png_pixel(doc_id: int, x: int, y: int) -> tuple[int, int, int]:
+    """Deterministic synthetic pixel — the SAME arithmetic the DuckDB
+    oracle evaluates, so the decoded channel means are provable."""
+    return (
+        (doc_id * 7 + x * 13 + y * 31) % 256,
+        (doc_id * 11 + x * 3 + y * 17) % 256,
+        (doc_id * 5 + x * 29 + y * 7) % 256,
+    )
+
+
+def encode_png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Render each id's synthetic image to real PNG bytes (binary
+    media payload column + typed metadata) via Arrow-batched
+    mapInPandas — the media-ingest side of the multimodal contract."""
+    import numpy as np
+
+    from . import pngcodec
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                w, h = png_dims(d)
+                x = np.arange(w)
+                y = np.arange(h)[:, None]
+                px = np.empty((h, w, 3), dtype=np.uint8)
+                px[:, :, 0] = (d * 7 + x * 13 + y * 31) % 256
+                px[:, :, 1] = (d * 11 + x * 3 + y * 17) % 256
+                px[:, :, 2] = (d * 5 + x * 29 + y * 7) % 256
+                png = pngcodec.write_png(w, h, px.tobytes())
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "payload": png,
+                        "meta": {"mime": "image/png", "n_bytes": len(png)},
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload", "meta"])
+
+    return df.select(id_col).mapInPandas(fn, PNG_SCHEMA)
+
+
+def decode_png_features(df: DataFrame) -> DataFrame:
+    """Decode real PNG payloads back to (dims, per-channel means) with
+    the stdlib codec — `_decode_real`, batch-applied."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                feats = _decode_real(bytes(payload), meta["mime"])
+                rows.append({"doc_id": doc_id, **feats})
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height",
+                    "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return df.mapInPandas(fn, PNG_FEATURES_SCHEMA)
+
+
+# --- real WAV audio pipeline (encode -> binary column -> decode) -----------
+
+WAV_RATE = 8000
+WAV_SCHEMA = PNG_SCHEMA  # same lake-row shape: id + payload + meta
+WAV_FEATURES_SCHEMA = (
+    "doc_id long, n_samples long, duration_s double, "
+    "mean_abs double, peak long"
+)
+
+
+def wav_n_samples(doc_id: int) -> int:
+    return 400 + (doc_id % 50) * 8
+
+
+def wav_sample(doc_id: int, i: int) -> int:
+    """Deterministic synthetic PCM sample in [-1000, 1000] — the same
+    arithmetic the DuckDB oracle evaluates."""
+    return (doc_id * 13 + i * i * 7) % 2001 - 1000
+
+
+def encode_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Render each id's synthetic signal to a REAL mono 16-bit PCM WAV
+    (stdlib ``wave`` writer) carried as a binary payload column."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                n = wav_n_samples(d)
+                i = np.arange(n, dtype=np.int64)
+                pcm = ((d * 13 + i * i * 7) % 2001 - 1000).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(WAV_RATE)
+                    wf.writeframes(pcm.tobytes())
+                payload = buf.getvalue()
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "payload": payload,
+                        "meta": {"mime": "audio/wav", "n_bytes": len(payload)},
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload", "meta"])
+
+    return df.select(id_col).mapInPandas(fn, WAV_SCHEMA)
+
+
+def decode_wav_features(df: DataFrame) -> DataFrame:
+    """Decode real WAV payloads (stdlib ``wave`` reader) to signal
+    features — duration, mean absolute amplitude, peak."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as wf:
+                    assert wf.getnchannels() == 1 and wf.getsampwidth() == 2
+                    rate = wf.getframerate()
+                    pcm = np.frombuffer(
+                        wf.readframes(wf.getnframes()), dtype="<i2"
+                    ).astype(np.int64)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_samples": len(pcm),
+                        "duration_s": len(pcm) / rate,
+                        "mean_abs": float(np.abs(pcm).mean()),
+                        "peak": int(np.abs(pcm).max()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "duration_s", "mean_abs", "peak",
+                ],
+            )
+
+    return df.mapInPandas(fn, WAV_FEATURES_SCHEMA)

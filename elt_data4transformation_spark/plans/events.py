@@ -547,3 +547,70 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "wau")
         .orderBy("day")
     )
+
+
+# --- Corrupt-record quarantine ---------------------------------------------
+
+
+@register(
+    "corrupt_quarantine",
+    oracle="""
+        WITH fed AS (
+            SELECT event_type,
+                   CASE WHEN event_id % 7 = 3
+                        THEN 'corrupt<' || event_id || '>'
+                        ELSE props END AS payload
+            FROM events
+        ), parsed AS (
+            SELECT event_type,
+                   CASE WHEN JSON_VALID(payload)
+                        THEN CAST(JSON_EXTRACT_STRING(payload, '$.k')
+                                  AS INTEGER)
+                        END AS k,
+                   NOT JSON_VALID(payload) AS bad
+            FROM fed
+        )
+        SELECT event_type,
+               COUNT(*) AS n_total,
+               COUNT(*) FILTER (WHERE bad) AS n_quarantined,
+               ROUND(AVG(k), 6) AS avg_k_clean
+        FROM parsed
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("events", "json", "quality"),
+    doc="Bad-record quarantine on a schema-on-read payload: a "
+    "deterministic 1-in-7 slice of the JSON payload column is replaced "
+    "with garbage (the same id-arithmetic fixture construction as "
+    "pii_redact), then the read path routes unparseable rows to a "
+    "quarantine count instead of failing the job — the PERMISSIVE-"
+    "with-audit pattern every production ingest needs, since one "
+    "malformed record must never kill a 100 TB load. Validity is "
+    "get_json_object returning NULL on Spark / JSON_VALID on DuckDB "
+    "(agreeing on the controlled garbage); clean-row metrics aggregate "
+    "only parsed payloads. Map-only projection + one hash aggregate.",
+)
+def corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    payload = F.when(
+        F.col("event_id") % 7 == 3,
+        F.concat(F.lit("corrupt<"), F.col("event_id"), F.lit(">")),
+    ).otherwise(F.col("props"))
+    fed = e.select("event_type", payload.alias("payload"))
+    valid = F.get_json_object("payload", "$").isNotNull()
+    parsed = fed.select(
+        "event_type",
+        F.when(
+            valid, F.get_json_object("payload", "$.k").cast("int")
+        ).alias("k"),
+        (~valid).alias("bad"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(F.col("bad"), 1)).alias("n_quarantined"),
+            F.round(F.avg("k"), 6).alias("avg_k_clean"),
+        )
+        .orderBy("event_type")
+    )

@@ -483,3 +483,103 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@register(
+    "orc_roundtrip",
+    oracle="""
+        SELECT s_nationkey,
+               COUNT(*) AS n_suppliers,
+               ROUND(SUM(s_acctbal), 4) AS total_bal
+        FROM supplier
+        WHERE s_acctbal > 0
+        GROUP BY s_nationkey
+        ORDER BY s_nationkey
+    """,
+    tags=("source", "sink", "format"),
+    doc="ORC format roundtrip beside the CSV/JSON one: the supplier "
+    "dim is written as ORC and read back with an explicit schema; the "
+    "positive-balance filter is pushed into the ORC reader (ORC "
+    "carries min/max stripe statistics like parquet, so the pushdown "
+    "skips stripes at scale) and the aggregate proves value fidelity "
+    "against the parquet-sourced oracle. Covers the third columnar "
+    "container a lake ingest layer encounters.",
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "elt4t_orc",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    s.write.mode("overwrite").orc(out)
+    r = spark.read.schema(
+        "s_suppkey long, s_nationkey long, s_acctbal double"
+    ).orc(out)
+    return (
+        r.filter(F.col("s_acctbal") > 0)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 4).alias("total_bal"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+# --- small-file compaction -------------------------------------------------
+
+_COMPACT_SMALL = 64
+_COMPACT_TARGET = 4
+
+
+@register(
+    "compact_small_files",
+    oracle=f"""
+        SELECT COUNT(*) AS n_rows,
+               {_COMPACT_SMALL} AS files_before,
+               {_COMPACT_TARGET} AS files_after
+        FROM documents
+    """,
+    tags=("storage", "sink"),
+    doc="Small-file compaction — THE lake maintenance op at 100 TB: a "
+    f"{_COMPACT_SMALL}-file fragmented landing (per-trigger micro-batch "
+    "writes leave exactly this) is rewritten into "
+    f"{_COMPACT_TARGET} right-sized files via one repartition pass; "
+    "the query re-reads both layouts and measures the REAL file counts "
+    "with input_file_name(), so the oracle row pins the compaction "
+    "contract (row preservation + before/after file counts) — a "
+    "coalesce that lost rows or a writer that split differently fails "
+    "the hash. At scale the target count comes from "
+    "bytes/target_file_size and the same pass applies "
+    "sortWithinPartitions for the zorder_layout clustering.",
+)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "elt4t_compact",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    small, packed = os.path.join(base, "small"), os.path.join(base, "packed")
+    d.repartition(_COMPACT_SMALL).write.mode("overwrite").parquet(small)
+    sm = spark.read.parquet(small)
+    sm.repartition(_COMPACT_TARGET).write.mode("overwrite").parquet(packed)
+    pk = spark.read.parquet(packed)
+    def n_files(df: DataFrame, name: str) -> DataFrame:
+        # project the (non-deterministic) file name first, then count —
+        # input_file_name() can't sit inside the aggregate itself
+        return (
+            df.select(F.input_file_name().alias("_f"))
+            .distinct()
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    return (
+        pk.agg(F.count(F.lit(1)).alias("n_rows"))
+        .crossJoin(n_files(sm, "files_before"))
+        .crossJoin(n_files(pk, "files_after"))
+        .select("n_rows", "files_before", "files_after")
+    )

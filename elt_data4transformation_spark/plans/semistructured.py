@@ -421,3 +421,99 @@ def oai_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(table(spark, sf_dir, "documents"))
     responses = d.select(_oai_xml_col().alias("xml"))
     return oai.parse_oai_responses(responses).orderBy("external_id")
+
+
+@register(
+    "image_decode_features",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id,
+                   8 + doc_id % 8 AS width,
+                   8 + doc_id % 5 AS height
+            FROM documents
+        ), grid AS (
+            SELECT d.doc_id, d.width, d.height, x.x, y.y
+            FROM dims d
+            CROSS JOIN (SELECT UNNEST(RANGE(0, 15)) AS x) x
+            CROSS JOIN (SELECT UNNEST(RANGE(0, 12)) AS y) y
+            WHERE x.x < d.width AND y.y < d.height
+        )
+        SELECT doc_id, width, height,
+               ROUND(AVG((doc_id * 7 + x * 13 + y * 31) % 256), 6) AS mean_r,
+               ROUND(AVG((doc_id * 11 + x * 3 + y * 17) % 256), 6) AS mean_g,
+               ROUND(AVG((doc_id * 5 + x * 29 + y * 7) % 256), 6) AS mean_b
+        FROM grid
+        GROUP BY doc_id, width, height
+        ORDER BY doc_id
+    """,
+    tags=("multimodal",),
+    doc="REAL image decode end-to-end: each doc_id's synthetic image "
+    "is rendered to actual PNG bytes (pure-stdlib encoder, "
+    "operators/pngcodec.py), carried as a binary payload + typed "
+    "metadata column, then decoded back by the stdlib PNG decoder "
+    "(full five-filter support) inside Arrow-batched mapInPandas, "
+    "emitting (width, height, per-channel means). The oracle evaluates "
+    "the SAME pixel arithmetic directly over an (x, y) grid — a hash "
+    "match proves the writer, the IDAT zlib/filter pipeline, the "
+    "decoder and the Spark binary-column plumbing are all faithful. "
+    "Both map stages are partition-parallel with zero shuffle; at "
+    "100 TB each task decodes only its own partition's payloads.",
+)
+def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents")).select("doc_id")
+    encoded = multimodal.encode_png_payloads(d)
+    feats = multimodal.decode_png_features(encoded)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "audio_decode_features",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id, 400 + (doc_id % 50) * 8 AS n_samples
+            FROM documents
+        ), samples AS (
+            SELECT d.doc_id, d.n_samples,
+                   (d.doc_id * 13 + i.i * i.i * 7) % 2001 - 1000 AS s
+            FROM dims d
+            CROSS JOIN (SELECT UNNEST(RANGE(0, 792)) AS i) i
+            WHERE i.i < d.n_samples
+        )
+        SELECT doc_id, n_samples,
+               ROUND(n_samples / 8000.0, 6) AS duration_s,
+               ROUND(AVG(ABS(s)), 6) AS mean_abs,
+               MAX(ABS(s)) AS peak
+        FROM samples
+        GROUP BY doc_id, n_samples
+        ORDER BY doc_id
+    """,
+    tags=("multimodal",),
+    doc="REAL audio decode end-to-end, the WAV sibling of "
+    "image_decode_features: each doc_id's synthetic signal is written "
+    "to actual mono 16-bit PCM WAV bytes (stdlib wave writer), carried "
+    "as the binary payload column, decoded back by the stdlib wave "
+    "reader inside Arrow-batched mapInPandas, and summarized as "
+    "(n_samples, duration, mean |amplitude|, peak). The oracle "
+    "evaluates the same sample arithmetic directly — a hash match "
+    "proves the RIFF container round-trip and the Spark plumbing. "
+    "Map-only stages, zero shuffle, partition-parallel decode.",
+)
+def audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents")).select("doc_id")
+    feats = multimodal.decode_wav_features(
+        multimodal.encode_wav_payloads(d)
+    )
+    return feats.select(
+        "doc_id",
+        "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("mean_abs", 6).alias("mean_abs"),
+        "peak",
+    ).orderBy("doc_id")

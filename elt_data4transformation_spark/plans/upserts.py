@@ -499,3 +499,36 @@ def scd2_dim_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(new_rows)
         .orderBy("c_custkey", "version")
     )
+
+
+@register(
+    "unpivot_metrics",
+    oracle="""
+        SELECT o_orderpriority, o_orderstatus AS status, COUNT(*) AS n
+        FROM orders
+        GROUP BY o_orderpriority, o_orderstatus
+        ORDER BY o_orderpriority, status
+    """,
+    tags=("aggregate", "pivot"),
+    doc="Unpivot (wide -> long melt), the inverse of pivot_status: the "
+    "wide conditional-count table is melted back to (priority, status, "
+    "n) rows with DataFrame.unpivot (Spark's native melt — one Expand "
+    "node, no join), zero-filled combinations dropped to match the "
+    "direct long-form aggregate. Proves pivot/unpivot are lossless "
+    "inverses; the reshape runs on the already-aggregated table, so "
+    "its cost is independent of fact-table size.",
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    long = wide.unpivot(
+        ["o_orderpriority"], ["F", "O", "P"], "status", "n"
+    )
+    return (
+        long.filter(F.col("n").isNotNull() & (F.col("n") > 0))
+        .orderBy("o_orderpriority", "status")
+    )

@@ -368,3 +368,55 @@ def ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment", "decile")
     )
+
+
+_RANGE_FRAME_SEC = 3600  # trailing 1 h
+
+
+@register(
+    "range_frame_avg",
+    oracle=f"""
+        SELECT event_id, user_id,
+               ROUND(AVG(value) OVER w, 6) AS avg_1h,
+               COUNT(*) OVER w AS n_in_window
+        FROM (
+            SELECT event_id, user_id, value,
+                   CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec FROM events
+        )
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY sec
+            RANGE BETWEEN {_RANGE_FRAME_SEC} PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+    """,
+    tags=("window", "events"),
+    doc=f"Time-RANGE window frame — trailing {_RANGE_FRAME_SEC}-second "
+    "per-user average, the interval counterpart of moving_avg's "
+    "ROWS frame. The frame is defined on epoch seconds (floored "
+    "identically on both engines), so rows landing in the same second "
+    "form one peer group and the frame content is order-independent — "
+    "no tie-break needed for determinism, unlike ROWS frames. "
+    "Partitioned by user_id (high cardinality): each partition sorts "
+    "locally and the running frame is evaluated in one pass with a "
+    "sliding aggregate state, never a per-row rescan.",
+)
+def range_frame_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.unix_timestamp("ts").alias("sec"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-_RANGE_FRAME_SEC, 0)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.round(F.avg("value").over(w), 6).alias("avg_1h"),
+            F.count(F.lit(1)).over(w).alias("n_in_window"),
+        )
+        .orderBy("event_id")
+    )

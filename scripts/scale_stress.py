@@ -54,6 +54,14 @@ QUERIES = [
     "pdf_extract",
     "scd2_dim_history",
     "claims_extract",
+    "anomaly_zscore",
+    "event_transitions",
+    "rolling_active_users",
+    "quantile_binning",
+    "tfidf_topterms",
+    "pmi_cooccurrence",
+    "semantic_dedup",
+    "kmeans_clusters",
 ]
 
 
@@ -88,13 +96,20 @@ def replicate(spark: SparkSession, n: int) -> None:
 
 
 def run(name: str, sf_dir: str) -> float:
+    """Steady-state timing: first execution pays whole-stage-codegen
+    JIT compilation (hundreds of ms to seconds for the regex/hash-heavy
+    expression trees, attributed to whichever SF runs first and
+    poisoning the ratio); report the second run."""
     spark = SparkSession.getActiveSession()
-    spark.catalog.clearCache()
-    t0 = time.monotonic()
-    REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    return round(time.monotonic() - t0, 3)
+    best = None
+    for _ in range(2):
+        spark.catalog.clearCache()
+        t0 = time.monotonic()
+        REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        best = round(time.monotonic() - t0, 3)
+    return best
 
 
 def main() -> None:

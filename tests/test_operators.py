@@ -245,8 +245,19 @@ def test_multimodal_decode_stub(spark):
     assert out["header_hex"] == "68656c6c"
     assert out["mime"] == "text/plain"
     assert out["fake_width"] == 64 + (11 % 64) * 16
+    # PNG decode is now REAL (stdlib codec); other mimes stay gated
     with pytest.raises(NotImplementedError):
+        multimodal._decode_real(b"x", "image/jpeg")
+    with pytest.raises(ValueError):  # PNG route rejects non-PNG bytes
         multimodal._decode_real(b"x", "image/png")
+    from elt_data4transformation_spark.operators import pngcodec
+
+    feats = multimodal._decode_real(
+        pngcodec.write_png(2, 1, bytes([10, 20, 30, 40, 60, 80])),
+        "image/png",
+    )
+    assert (feats["width"], feats["height"]) == (2, 1)
+    assert feats["mean_r"] == 25.0 and feats["mean_b"] == 55.0
 
 
 # --- pg_trgm parity + greedy clustering (T5 / T9) -------------------------
@@ -1926,3 +1937,208 @@ def test_schema_evolution_read_null_fills_legacy(spark):
     legacy = pdf[pdf.priority == "LEGACY"]
     assert int(legacy.n_orders.iloc[0]) == n_even
     assert pdf.n_orders.sum() == table(spark, SF, "orders").count()
+
+
+def test_unpivot_is_pivot_inverse(spark):
+    from elt_data4transformation_spark.plans.upserts import (
+        pivot_status,
+        unpivot_metrics,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    wide = pivot_status(spark, SF).toPandas()
+    long = unpivot_metrics(spark, SF).toPandas()
+    for _, r in long.iterrows():
+        assert wide.loc[
+            wide.o_orderpriority == r.o_orderpriority, r.status
+        ].iloc[0] == r.n
+    # melt drops only zero cells: totals agree
+    assert long.n.sum() == wide[["F", "O", "P"]].to_numpy().sum()
+
+
+def test_range_frame_includes_same_second_peers(spark):
+    rows = [
+        (1, 10, "2024-01-01 10:00:00", 2.0),
+        (2, 10, "2024-01-01 10:00:00", 4.0),  # same-second peer of 1
+        (3, 10, "2024-01-01 10:30:00", 6.0),
+        (4, 10, "2024-01-01 12:00:00", 8.0),  # > 1h after all others
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    got = {
+        r.event_id: (r.n, r.avg)
+        for r in df.select(
+            "event_id",
+            F.count(F.lit(1)).over(w).alias("n"),
+            F.avg("value").over(w).alias("avg"),
+        ).collect()
+    }
+    # RANGE peers: rows 1 and 2 share the frame {1,2} regardless of order
+    assert got[1] == (2, 3.0) and got[2] == (2, 3.0)
+    assert got[3] == (3, 4.0)
+    assert got[4] == (1, 8.0)  # everything else fell out of the hour
+
+
+def test_corrupt_quarantine_counts_exact_slice(spark):
+    from elt_data4transformation_spark.plans.events import corrupt_quarantine
+    from elt_data4transformation_spark.sources import table
+
+    SF = "/root/testdata/sf0.001"
+    pdf = corrupt_quarantine(spark, SF).toPandas()
+    e = table(spark, SF, "events")
+    expect_bad = e.filter(F.col("event_id") % 7 == 3).count()
+    assert pdf.n_quarantined.sum() == expect_bad
+    assert (pdf.n_quarantined < pdf.n_total).all()
+
+
+def test_orc_roundtrip_matches_parquet_source(spark):
+    from elt_data4transformation_spark.plans.io_formats import orc_roundtrip
+    from elt_data4transformation_spark.sources import table
+
+    SF = "/root/testdata/sf0.001"
+    pdf = orc_roundtrip(spark, SF).toPandas()
+    direct = (
+        table(spark, SF, "supplier")
+        .filter(F.col("s_acctbal") > 0)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 4).alias("total_bal"),
+        )
+        .orderBy("s_nationkey")
+        .toPandas()
+    )
+    # int32 parquet key vs the declared long ORC schema: values equal
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(pdf, direct, check_dtype=False)
+
+
+# --- PNG codec (real image decode path) -----------------------------------
+
+
+def test_png_roundtrip_exact():
+    import numpy as np
+
+    from elt_data4transformation_spark.operators import pngcodec
+
+    rng = np.random.default_rng(11)
+    for w, h in [(1, 1), (2, 7), (16, 9), (63, 31)]:
+        rgb = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+        w2, h2, px = pngcodec.read_png(pngcodec.write_png(w, h, rgb))
+        assert (w2, h2) == (w, h)
+        assert px.tobytes() == rgb
+
+
+def test_png_decoder_handles_all_filters():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from elt_data4transformation_spark.operators import pngcodec
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    rng = np.random.default_rng(5)
+    w, h = 4, 5
+    img = rng.integers(0, 256, size=(h, w * 3), dtype=np.uint8)
+    raw = bytearray()
+    prev = np.zeros(w * 3, dtype=np.uint8)
+    for y, f in enumerate([1, 2, 3, 4, 0]):  # one scanline per filter
+        raw.append(f)
+        cur = img[y]
+        for x in range(w * 3):
+            left = int(cur[x - 3]) if x >= 3 else 0
+            up = int(prev[x])
+            ul = int(prev[x - 3]) if x >= 3 else 0
+            v = int(cur[x])
+            if f == 0:
+                e = v
+            elif f == 1:
+                e = (v - left) % 256
+            elif f == 2:
+                e = (v - up) % 256
+            elif f == 3:
+                e = (v - ((left + up) >> 1)) % 256
+            else:
+                e = (v - paeth(left, up, ul)) % 256
+            raw.append(e)
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    w2, h2, px = pngcodec.read_png(png)
+    assert (w2, h2) == (w, h)
+    assert px.reshape(h, w * 3).tobytes() == img.tobytes()
+
+
+def test_png_decoder_rejects_garbage():
+    import pytest as _pytest
+
+    from elt_data4transformation_spark.operators import pngcodec
+
+    good = pngcodec.write_png(2, 2, bytes(range(12)))
+    for bad in [b"", b"notapng", good[:20], good[:8] + b"\x00" * 24]:
+        with _pytest.raises(ValueError):
+            pngcodec.read_png(bad)
+    # corrupt one IDAT byte: CRC check must catch it
+    corrupted = bytearray(good)
+    corrupted[40] ^= 0xFF
+    with _pytest.raises((ValueError, zlib.error)):
+        pngcodec.read_png(bytes(corrupted))
+
+
+import zlib  # noqa: E402  (used by the PNG corruption test)
+
+
+def test_wav_roundtrip_features():
+    import io
+    import wave
+
+    import numpy as np
+
+    from elt_data4transformation_spark.operators import multimodal
+
+    d = 42
+    n = multimodal.wav_n_samples(d)
+    # the synthetic samples written by the encoder...
+    i = np.arange(n, dtype=np.int64)
+    pcm = (d * 13 + i * i * 7) % 2001 - 1000
+    # ...must match the scalar reference formula
+    assert [multimodal.wav_sample(d, j) for j in range(5)] == pcm[:5].tolist()
+    # and survive a real stdlib WAV write/read round-trip
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(multimodal.WAV_RATE)
+        wf.writeframes(pcm.astype("<i2").tobytes())
+    with wave.open(io.BytesIO(buf.getvalue()), "rb") as wf:
+        back = np.frombuffer(wf.readframes(wf.getnframes()), dtype="<i2")
+    assert back.tolist() == pcm.tolist()
