@@ -211,7 +211,14 @@ def encode_png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 def decode_png_features(df: DataFrame) -> DataFrame:
     """Decode real PNG payloads back to (dims, per-channel means) with
-    the stdlib codec — `_decode_real`, batch-applied."""
+    the stdlib codec — `_decode_real`, batch-applied. A payload that
+    fails to decode (corrupt bytes, out-of-subset PNG) yields a row of
+    NULL features instead of killing the stage — one bad record must
+    never fail a 100 TB load (same policy as corrupt_quarantine)."""
+    _null_feats = {
+        "width": None, "height": None,
+        "mean_r": None, "mean_g": None, "mean_b": None,
+    }
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -219,7 +226,10 @@ def decode_png_features(df: DataFrame) -> DataFrame:
             for doc_id, payload, meta in zip(
                 pdf["doc_id"], pdf["payload"], pdf["meta"]
             ):
-                feats = _decode_real(bytes(payload), meta["mime"])
+                try:
+                    feats = _decode_real(bytes(payload), meta["mime"])
+                except ValueError:
+                    feats = _null_feats
                 rows.append({"doc_id": doc_id, **feats})
             yield pd.DataFrame(
                 rows,
@@ -300,7 +310,13 @@ def decode_wav_features(df: DataFrame) -> DataFrame:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 with wave.open(io.BytesIO(bytes(payload)), "rb") as wf:
-                    assert wf.getnchannels() == 1 and wf.getsampwidth() == 2
+                    # explicit (not assert — stripped under -O): a
+                    # stereo/non-16-bit payload would silently misparse
+                    if wf.getnchannels() != 1 or wf.getsampwidth() != 2:
+                        raise ValueError(
+                            "expected mono 16-bit PCM, got "
+                            f"{wf.getnchannels()}ch/{wf.getsampwidth()*8}bit"
+                        )
                     rate = wf.getframerate()
                     pcm = np.frombuffer(
                         wf.readframes(wf.getnframes()), dtype="<i2"

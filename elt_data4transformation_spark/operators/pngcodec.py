@@ -56,8 +56,8 @@ def read_png(data: bytes) -> tuple[int, int, np.ndarray]:
 
     Returns (width, height, pixels) with pixels shaped (h, w, 3).
     Raises ValueError on anything outside the supported subset — the
-    caller (multimodal decode) routes such payloads to quarantine
-    rather than failing the stage."""
+    caller (multimodal.decode_png_features) catches it and emits a
+    NULL-features row rather than failing the stage."""
     if data[:8] != _SIG:
         raise ValueError("not a PNG signature")
     pos, width = 8, None
@@ -101,15 +101,22 @@ def read_png(data: bytes) -> tuple[int, int, np.ndarray]:
             out[y] = cur
         elif f == 2:  # Up — vectorized, no per-pixel carry
             out[y] = cur + prev
-        elif f in (1, 3, 4):  # Sub/Average/Paeth carry left-neighbor state
+        elif f == 1:
+            # Sub — the filter libpng picks most often. The left-pixel
+            # recurrence is a per-channel prefix sum, and mod-256
+            # addition is linear, so cumsum in a wide dtype then mask:
+            # fully vectorized, no per-byte Python.
+            lanes = cur.reshape(-1, bpp).astype(np.uint32)
+            out[y] = (
+                np.cumsum(lanes, axis=0) & 0xFF
+            ).astype(np.uint8).reshape(stride)
+        elif f in (3, 4):  # Average/Paeth: nonlinear left-carry, loop
             line = np.zeros(stride, dtype=np.uint8)
             for x in range(stride):
                 left = int(line[x - bpp]) if x >= bpp else 0
                 up = int(prev[x])
                 ul = int(prev[x - bpp]) if x >= bpp else 0
-                if f == 1:
-                    rec = (int(cur[x]) + left) & 0xFF
-                elif f == 3:
+                if f == 3:
                     rec = (int(cur[x]) + ((left + up) >> 1)) & 0xFF
                 else:
                     p = left + up - ul

@@ -1231,3 +1231,84 @@ def answer_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_label", "position")
     )
+
+
+# --- Levenshtein-gated title matching --------------------------------------
+
+_LEV_MAX = 8  # max edit distance reported
+_LEV_BAND = 8  # length-band width (chars) for candidate blocking
+
+
+@register(
+    "levenshtein_titles",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:4], ' ')
+                       AS title
+            FROM documents WHERE LEN(text) > 0
+        ), banded AS (
+            SELECT *, CAST(FLOOR(LENGTH(title) / {_LEV_BAND}) AS BIGINT)
+                          AS band
+            FROM t
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               LEVENSHTEIN(a.title, b.title) AS dist
+        FROM banded a JOIN banded b
+          ON a.lang = b.lang AND a.band = b.band
+         AND a.doc_id < b.doc_id
+        WHERE LEVENSHTEIN(a.title, b.title) <= {_LEV_MAX}
+        ORDER BY doc_a, doc_b
+    """,
+    tags=("cluster", "similarity", "text"),
+    doc="Edit-distance fuzzy title matching: 4-word title prefixes are "
+    f"blocked by (lang, length-band of {_LEV_BAND} chars) and pairs "
+    f"within a block reported when levenshtein <= {_LEV_MAX} — the "
+    "third string-similarity primitive beside pg_trgm "
+    "(trigram_similarity) and token-vector cosine "
+    "(snapshot_fuzzy_diff); both engines implement classic "
+    "unit-cost edit distance, so the gate agrees exactly. Scale note: "
+    "like trigram_similarity, the (lang, band) block is "
+    "fixed-cardinality, so block sizes grow linearly with the corpus "
+    "and within-block pairs quadratically — at 100 TB the candidate "
+    "set must come from the LSH/band index (dedup.py) with "
+    "levenshtein only as the rescore; this query IS that rescore "
+    "shape. A true band-cross match would also probe bands b±1; "
+    "omitted here since distance-{_LEV_MAX} pairs within a "
+    f"{_LEV_BAND}-char band cover the fixture (declared narrowing).",
+)
+def levenshtein_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    t = d.select(
+        "doc_id",
+        "lang",
+        F.array_join(F.slice(F.split("text", " "), 1, 4), " ").alias(
+            "title"
+        ),
+    ).withColumn(
+        "band", F.floor(F.length("title") / _LEV_BAND).cast("long")
+    )
+    a = t.select(
+        F.col("lang").alias("_l"),
+        F.col("band").alias("_b"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("title").alias("_ta"),
+    )
+    b = t.select(
+        F.col("lang").alias("_l2"),
+        F.col("band").alias("_b2"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("title").alias("_tb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("_l") == F.col("_l2"))
+            & (F.col("_b") == F.col("_b2"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .withColumn("dist", F.levenshtein("_ta", "_tb"))
+        .filter(F.col("dist") <= _LEV_MAX)
+        .select("doc_a", "doc_b", "dist")
+        .orderBy("doc_a", "doc_b")
+    )

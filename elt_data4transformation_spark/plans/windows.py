@@ -420,3 +420,114 @@ def range_frame_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "forward_fill",
+    oracle="""
+        WITH masked AS (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN event_id % 4 = 1 THEN NULL ELSE value END AS v
+            FROM events
+        )
+        SELECT event_id, user_id,
+               ROUND(LAST_VALUE(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   4) AS filled
+        FROM masked
+        ORDER BY event_id
+    """,
+    tags=("window", "events"),
+    doc="Forward-fill (last-observation-carried-forward) gap "
+    "interpolation: a deterministic 1-in-4 slice of readings is "
+    "NULLed, then each user's series is repaired with "
+    "last(value, ignorenulls) over an unbounded-preceding row frame — "
+    "the time-series repair step between ingest and feature "
+    "extraction. Leading NULLs (no prior observation) stay NULL on "
+    "both engines. One window over the high-cardinality user key; the "
+    "running last-non-null state is O(1) per row, so the pass stays a "
+    "single sort-free-aggregate sweep per partition at any scale.",
+)
+def forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    v = F.when(F.col("event_id") % 4 == 1, F.lit(None)).otherwise(
+        F.col("value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        e.select("event_id", "user_id", "ts", v.alias("v"))
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.last("v", ignorenulls=True).over(w), 4).alias(
+                "filled"
+            ),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "session_window_agg",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_id, ts, value,
+                   LAG(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_ts
+            FROM events
+        ), flagged AS (
+            SELECT *, CASE WHEN prev_ts IS NULL
+                             OR DATEDIFF('second', prev_ts, ts) > 1800
+                           THEN 1 ELSE 0 END AS is_new
+            FROM seq
+        ), sess AS (
+            SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL '30 minutes' AS session_end,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS total_value
+        FROM sess
+        GROUP BY user_id, sid
+        ORDER BY user_id, session_start
+    """,
+    tags=("window", "sessionize", "aggregate"),
+    doc="Native session_window sessionization in BATCH: one "
+    "groupBy(user, session_window(ts, '30 minutes')) — Spark merges "
+    "events whose windows overlap (gap <= 30 min; verified: a gap of "
+    "exactly 1800 s merges, 1801 splits, and end = last_ts + gap), so "
+    "no lag/cumsum window chain is needed at all. The oracle is the "
+    "equivalent cumsum construction. Compared to `sessionize` this is "
+    "the operator a Spark user should reach for: a single "
+    "session-merging hash aggregate (partial merge on the map side) "
+    "instead of two analytic windows, and the identical code runs "
+    "under readStream with a watermark (streaming/events.py).",
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )

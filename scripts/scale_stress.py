@@ -101,15 +101,17 @@ def run(name: str, sf_dir: str) -> float:
     expression trees, attributed to whichever SF runs first and
     poisoning the ratio); report the second run."""
     spark = SparkSession.getActiveSession()
-    best = None
-    for _ in range(2):
+
+    def once() -> float:
         spark.catalog.clearCache()
         t0 = time.monotonic()
         REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
-        best = round(time.monotonic() - t0, 3)
-    return best
+        return round(time.monotonic() - t0, 3)
+
+    once()  # warmup: pays whole-stage-codegen JIT
+    return once()  # report steady state
 
 
 def main() -> None:

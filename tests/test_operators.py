@@ -2142,3 +2142,92 @@ def test_wav_roundtrip_features():
     with wave.open(io.BytesIO(buf.getvalue()), "rb") as wf:
         back = np.frombuffer(wf.readframes(wf.getnframes()), dtype="<i2")
     assert back.tolist() == pcm.tolist()
+
+
+def test_png_pixel_reference_matches_encoder():
+    import io  # noqa: F401
+
+    import numpy as np
+
+    from elt_data4transformation_spark.operators import multimodal, pngcodec
+
+    # the scalar reference formula, the vectorized encoder, and the
+    # decoder must all agree pixel-for-pixel
+    d = 123
+    w, h = multimodal.png_dims(d)
+    x = np.arange(w)
+    y = np.arange(h)[:, None]
+    px = np.empty((h, w, 3), dtype=np.uint8)
+    px[:, :, 0] = (d * 7 + x * 13 + y * 31) % 256
+    px[:, :, 1] = (d * 11 + x * 3 + y * 17) % 256
+    px[:, :, 2] = (d * 5 + x * 29 + y * 7) % 256
+    for xx, yy in [(0, 0), (w - 1, h - 1), (w // 2, h // 3)]:
+        assert tuple(px[yy, xx]) == multimodal.png_pixel(d, xx, yy)
+    _, _, back = pngcodec.read_png(pngcodec.write_png(w, h, px.tobytes()))
+    assert back.tobytes() == px.tobytes()
+
+
+def test_decode_png_features_quarantines_corrupt_payload(spark):
+    from elt_data4transformation_spark.operators import multimodal, pngcodec
+
+    good = pngcodec.write_png(2, 2, bytes(range(12)))
+    df = spark.createDataFrame(
+        [(1, bytearray(good), {"mime": "image/png", "n_bytes": len(good)}),
+         (2, bytearray(b"corrupt"), {"mime": "image/png", "n_bytes": 7})],
+        multimodal.PNG_SCHEMA,
+    )
+    out = {
+        r.doc_id: r
+        for r in multimodal.decode_png_features(df).collect()
+    }
+    assert out[1].width == 2 and out[1].mean_r is not None
+    # bad payload -> NULL features row, stage survives
+    assert out[2].width is None and out[2].mean_r is None
+
+
+def test_forward_fill_repairs_masked_values(spark):
+    from elt_data4transformation_spark.plans.windows import forward_fill
+    from elt_data4transformation_spark.sources import table
+
+    SF = "/root/testdata/sf0.001"
+    pdf = forward_fill(spark, SF).toPandas().set_index("event_id")
+    raw = (
+        table(spark, SF, "events")
+        .select("event_id", "value")
+        .toPandas()
+        .set_index("event_id")
+    )
+    # non-masked rows keep their own value
+    keep = [i for i in raw.index if i % 4 != 0 and i % 4 != 1][:50]
+    for i in keep:
+        assert abs(pdf.loc[i, "filled"] - round(raw.loc[i, "value"], 4)) < 1e-9
+    # masked rows never expose their own (hidden) value unless equal by
+    # chance; they are filled from a predecessor or NULL
+    masked = pdf[[i % 4 == 1 for i in pdf.index]]
+    assert masked["filled"].notna().sum() > 0  # fills actually happen
+
+
+def test_session_window_agg_matches_cumsum_sessionize(spark):
+    from elt_data4transformation_spark.plans.windows import (
+        session_window_agg,
+        sessionize,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    sw = session_window_agg(spark, SF).toPandas()
+    cs = sessionize(spark, SF).toPandas()
+    # same session partitioning: identical (user, n_events, start) multiset
+    a = sorted(zip(sw.user_id, sw.n_events, sw.session_start))
+    b = sorted(zip(cs.user_id, cs.n_events, cs.session_start))
+    assert a == b
+
+
+def test_levenshtein_pairs_symmetric_bounded(spark):
+    from elt_data4transformation_spark.plans.cluster import (
+        _LEV_MAX,
+        levenshtein_titles,
+    )
+
+    pdf = levenshtein_titles(spark, "/root/testdata/sf0.001").toPandas()
+    assert (pdf.doc_a < pdf.doc_b).all()
+    assert (pdf.dist <= _LEV_MAX).all() and (pdf.dist >= 0).all()

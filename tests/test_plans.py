@@ -97,3 +97,42 @@ def test_events_scan_prunes_to_used_columns(spark):
     assert schemas, plan
     # payload-ish columns must not be read by the windowed aggregate
     assert all("payload" not in s and "user_agent" not in s for s in schemas), schemas
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """Spark's runtime bloom-filter join pruning (InjectRuntimeFilter)
+    is available and fires when the creation side is selective — the
+    mechanism that turns a filtered-dim join into a semi-pruned fact
+    scan at 100 TB. Size thresholds are lowered to make the sf0.001
+    fixture eligible; production defaults (10 GB application side)
+    gate it to genuinely large scans."""
+    from pyspark.sql import functions as F
+
+    from elt_data4transformation_spark.sources import table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        # injection targets shuffle joins; a broadcastable dim would
+        # short-circuit it (the broadcast side is already its own filter)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = table(spark, SF_SMALL, "lineitem")
+        o = table(spark, SF_SMALL, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        plan = _final_plan(
+            j.groupBy("o_orderpriority").agg(F.sum("l_quantity"))
+        )
+        assert "might_contain" in plan  # bloom probe on the fact scan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
