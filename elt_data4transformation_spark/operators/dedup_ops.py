@@ -81,6 +81,12 @@ def jaccard_pairs(
             F.col("_inter").cast("double")
             / (F.col("_na") + F.col("_nb") - F.col("_inter"))
         ).alias("jac"),
+        # exact intersection/set sizes, so callers can derive other
+        # overlap measures (containment, overlap coefficient) without
+        # a second join
+        F.col("_inter").alias("inter_size"),
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
     )
 
 

@@ -299,14 +299,17 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- connected components over near-dup edges ------------------------------
 
 
-@register(
-    "dedup_components",
-    oracle=f"""
-        WITH RECURSIVE sh AS ({_signatures_sql()[0]}),
-        dg AS ({_signatures_sql()[1]}), sig AS ({_signatures_sql()[2]}),
-        bands AS ({" UNION ALL ".join(
-            f"SELECT doc_id, {b} AS band_idx, band{b} AS band_key FROM sig"
-            for b in range(N_BANDS))}),
+def _components_cte() -> str:
+    """Recursive-CTE clause list computing near-dup component ``labels``
+    (doc_id, component) from the LSH edge set — shared by the
+    dedup_components and cluster_canonical oracles."""
+    sh, dg, sig = _signatures_sql()
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, band{b} AS band_key FROM sig"
+        for b in range(N_BANDS)
+    )
+    return f"""sh AS ({sh}), dg AS ({dg}), sig AS ({sig}),
+        bands AS ({bands}),
         cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b
@@ -335,7 +338,13 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels AS (
             SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
             FROM reach GROUP BY a
-        )
+        )"""
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+        WITH RECURSIVE {_components_cte()}
         SELECT l.doc_id, l.component,
                COUNT(*) OVER (PARTITION BY l.component) AS component_size
         FROM labels l
@@ -357,7 +366,20 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "never data.",
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = dedup_ops.minhash_lsh_pairs(
+    labels = _min_label_components(_lsh_edges(spark, sf_dir))
+    w = Window.partitionBy("component")
+    return (
+        labels.select(
+            "doc_id",
+            "component",
+            F.count(F.lit(1)).over(w).alias("component_size"),
+        )
+        .orderBy("component", "doc_id")
+    )
+
+
+def _lsh_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_ops.minhash_lsh_pairs(
         spread(table(spark, sf_dir, "documents")),
         id_col="doc_id",
         text_col="text",
@@ -366,6 +388,12 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bands=N_BANDS,
         threshold=0.5,
     ).select("doc_a", "doc_b")
+
+
+def _min_label_components(edges: DataFrame) -> DataFrame:
+    """Iterative min-label propagation over an undirected edge set
+    (doc_a, doc_b) -> labels (doc_id, component). See dedup_components
+    for the full scale rationale."""
     # localCheckpoint (eager) instead of persist: an iterative plan
     # that only persists still re-analyzes a logical tree that GROWS
     # by two shuffles per round — on a 20-round budget the planner,
@@ -416,15 +444,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = stepped.drop("prev")
         if changed == 0:
             break
-    w = Window.partitionBy("component")
-    return (
-        labels.select(
-            "doc_id",
-            "component",
-            F.count(F.lit(1)).over(w).alias("component_size"),
-        )
-        .orderBy("component", "doc_id")
-    )
+    return labels
 
 
 # --- incremental dedup: a new batch probed against the corpus index --------
@@ -545,4 +565,168 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_doc_id", "matched_doc_id", F.round("jac", 6).alias("jaccard")
         )
         .orderBy("new_doc_id")
+    )
+
+
+# --- containment (sub-document duplication) --------------------------------
+
+CONTAIN_MIN = 0.5  # containment gate: |A∩B| / min(|A|,|B|)
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+        WITH g AS (
+            SELECT doc_id, lang, {T.word_ngrams_sql(3, 'w')} AS grams
+            FROM (SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS w
+                  FROM documents
+                  WHERE LEN(STRING_SPLIT(text, ' ')) >= 3)
+        ), pairs AS (
+            SELECT a.lang AS lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(LEN(LIST_INTERSECT(a.grams, b.grams)) AS DOUBLE)
+                       / LEAST(LEN(a.grams), LEN(b.grams)) AS cont,
+                   CAST(LEN(LIST_INTERSECT(a.grams, b.grams)) AS DOUBLE)
+                       / LEN(LIST_DISTINCT(LIST_CONCAT(a.grams, b.grams)))
+                       AS jac
+            FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE LEN(LIST_INTERSECT(a.grams, b.grams)) > 0
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                      ORDER BY cont DESC, doc_a, doc_b) AS rn
+            FROM pairs WHERE cont >= {CONTAIN_MIN}
+        )
+        SELECT lang, doc_a, doc_b,
+               ROUND(cont, 6) AS containment, ROUND(jac, 6) AS jaccard
+        FROM ranked WHERE rn <= 5
+        ORDER BY lang, doc_a, doc_b
+    """,
+    tags=("dedup",),
+    doc="Word-3-gram CONTAINMENT |A∩B|/min(|A|,|B|) — catches "
+    "sub-document duplication (a doc embedded in a larger one) that "
+    "Jaccard misses because the union is dominated by the larger side; "
+    "the standard second gate in web-corpus dedup (RefinedWeb-style). "
+    "Same sparse inverted-index join as dedup_ngram_jaccard (only "
+    "co-gram pairs materialize; jaccard_pairs now exposes the exact "
+    "intersection/set sizes so both measures come from ONE join), "
+    "top-5 per language block via two-phase top-k. Both measures are "
+    "ratios of exact set-size integers, so the gate and the ordering "
+    "agree across engines exactly.",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents"))
+    words = d.select("doc_id", "lang", T.words_col().alias("w")).filter(
+        F.size("w") >= 3
+    )
+    g = words.select(
+        "doc_id", "lang", T.word_ngrams_col(3, F.col("w")).alias("grams")
+    )
+    pairs = (
+        dedup_ops.jaccard_pairs(g, "doc_id", "grams", block_col="lang")
+        .withColumn(
+            "cont",
+            F.col("inter_size").cast("double")
+            / F.least("n_a", "n_b"),
+        )
+        .filter(F.col("cont") >= CONTAIN_MIN)
+        .select(F.col("block").alias("lang"), "doc_a", "doc_b", "cont", "jac")
+    )
+    return (
+        dedup_ops.topk_per_group(
+            pairs,
+            ["lang"],
+            [F.desc("cont"), F.asc("doc_a"), F.asc("doc_b")],
+            5,
+        )
+        .select(
+            "lang",
+            "doc_a",
+            "doc_b",
+            F.round("cont", 6).alias("containment"),
+            F.round("jac", 6).alias("jaccard"),
+        )
+        .orderBy("lang", "doc_a", "doc_b")
+    )
+
+
+# --- canonical selection: the end product of a dedup run -------------------
+
+
+@register(
+    "cluster_canonical",
+    oracle=f"""
+        WITH RECURSIVE {_components_cte()},
+        alldocs AS (
+            SELECT doc_id,
+                   ROUND({T.quality_sql()}, 6) AS q,
+                   CAST(LEN({T.words_sql()}) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        lab AS (
+            SELECT d.doc_id, COALESCE(l.component, d.doc_id) AS component,
+                   d.q, d.n_tokens
+            FROM alldocs d LEFT JOIN labels l ON d.doc_id = l.doc_id
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY component
+                      ORDER BY q DESC, doc_id) AS rn
+            FROM lab
+        )
+        SELECT component,
+               MAX(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+               CAST(SUM(CASE WHEN rn > 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+                   AS tokens_removed,
+               MAX(CASE WHEN rn = 1 THEN q END) AS canonical_quality
+        FROM ranked
+        GROUP BY component
+        ORDER BY component
+    """,
+    tags=("dedup", "graph"),
+    doc="Canonical-document selection — the END PRODUCT of a corpus "
+    "dedup run: near-dup components (LSH edges >= 0.5, min-label "
+    "propagation, singletons = their own component) each elect one "
+    "keeper by highest quality score (doc_id tie-break) and report the "
+    "token volume the dedup removes. Composes dedup_components + the "
+    "quality_score gate the way a production 100 TB pipeline chains "
+    "them; Spark side elects via ONE max_by(struct) partial aggregate "
+    "(no window over the corpus), quality is rounded to 6dp on both "
+    "engines BEFORE the election so float drift cannot flip a winner.",
+)
+def cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = _min_label_components(_lsh_edges(spark, sf_dir))
+    docs = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.round(T.quality_col(), 6).alias("q"),
+        F.size(T.words_col()).cast("long").alias("n_tokens"),
+    )
+    lab = docs.join(labels, "doc_id", "left").withColumn(
+        "component", F.coalesce("component", "doc_id")
+    )
+    # canonical = max over (q, -doc_id, n_tokens) struct: highest
+    # quality, then lowest doc_id — a partial-aggregating shuffle on
+    # component, never a corpus-wide window
+    pick = F.max(
+        F.struct(
+            F.col("q"),
+            (-F.col("doc_id")).alias("neg_id"),
+            F.col("n_tokens").alias("tok"),
+        )
+    ).alias("top")
+    return (
+        lab.groupBy("component")
+        .agg(
+            pick,
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("n_tokens").alias("tokens_total"),
+        )
+        .select(
+            "component",
+            (-F.col("top.neg_id")).alias("canonical_doc_id"),
+            "n_members",
+            "tokens_total",
+            (F.col("tokens_total") - F.col("top.tok")).alias("tokens_removed"),
+            F.col("top.q").alias("canonical_quality"),
+        )
+        .orderBy("component")
     )

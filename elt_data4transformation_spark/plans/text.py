@@ -562,3 +562,101 @@ def decontamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- corpus bigram language model -----------------------------------------
+
+_LM_MIN_COUNT = 3  # continuation must appear >= this many times
+_LM_TOP_K = 3  # continuations kept per context
+
+
+@register(
+    "bigram_lm",
+    oracle=f"""
+        WITH w AS (
+            SELECT STRING_SPLIT(text, ' ') AS w FROM documents
+            WHERE LEN(STRING_SPLIT(text, ' ')) >= 2
+        ), g AS (
+            SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w)),
+                          i -> w[i] || ' ' || w[i + 1])) AS g
+            FROM w
+        ), p AS (
+            SELECT SPLIT_PART(g, ' ', 1) AS context,
+                   SPLIT_PART(g, ' ', 2) AS next_token
+            FROM g
+        ), pc AS (
+            SELECT context, next_token,
+                   CAST(COUNT(*) AS BIGINT) AS pair_n
+            FROM p GROUP BY context, next_token
+        ), cc AS (
+            SELECT context, CAST(SUM(pair_n) AS BIGINT) AS ctx_n
+            FROM pc GROUP BY context
+        ), r AS (
+            SELECT pc.context, pc.next_token, pc.pair_n, cc.ctx_n,
+                   ROUND(CAST(pc.pair_n AS DOUBLE) / cc.ctx_n, 6) AS prob,
+                   ROW_NUMBER() OVER (PARTITION BY pc.context
+                       ORDER BY pc.pair_n DESC, pc.next_token) AS rnk
+            FROM pc JOIN cc ON pc.context = cc.context
+            WHERE pc.pair_n >= {_LM_MIN_COUNT}
+        )
+        SELECT context, next_token, pair_n, ctx_n, prob,
+               CAST(rnk AS INTEGER) AS rnk
+        FROM r WHERE rnk <= {_LM_TOP_K}
+        ORDER BY context, rnk
+    """,
+    tags=("text", "lm"),
+    doc="Corpus bigram language model: token-pair counts (NON-distinct "
+    "— true occurrence counts, unlike the set-semantics dedup n-grams), "
+    "per-context continuation probability, top-"
+    f"{_LM_TOP_K} continuations with support >= {_LM_MIN_COUNT} — the "
+    "n-gram-count stage every LM-data pipeline runs for corpus stats / "
+    "contamination scoring. Two hash aggregations plus one "
+    "co-partitioned join (pair counts and context totals shuffle on "
+    "the same key, so the join is exchange-free); the ranking window "
+    "partitions by context — vocabulary-cardinality groups whose size "
+    "is bounded by distinct continuations, not corpus rows, so no "
+    "single-task skew at 100 TB. Context totals are summed from pair "
+    "counts BEFORE the support filter, so probabilities stay true "
+    "conditional frequencies.",
+)
+def bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents"))
+    w = d.select(T.words_col().alias("w")).filter(F.size("w") >= 2)
+    grams = w.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("w", i), F.element_at("w", i + 1)
+                ),
+            )
+        ).alias("g")
+    )
+    p = grams.select(
+        F.substring_index("g", " ", 1).alias("context"),
+        F.substring_index("g", " ", -1).alias("next_token"),
+    )
+    pc = p.groupBy("context", "next_token").agg(
+        F.count(F.lit(1)).alias("pair_n")
+    )
+    cc = pc.groupBy("context").agg(F.sum("pair_n").alias("ctx_n"))
+    rw = Window.partitionBy("context").orderBy(
+        F.desc("pair_n"), F.asc("next_token")
+    )
+    return (
+        pc.join(cc, "context")
+        .filter(F.col("pair_n") >= _LM_MIN_COUNT)
+        .withColumn("rnk", F.row_number().over(rw))
+        .filter(F.col("rnk") <= _LM_TOP_K)
+        .select(
+            "context",
+            "next_token",
+            "pair_n",
+            "ctx_n",
+            F.round(F.col("pair_n").cast("double") / F.col("ctx_n"), 6).alias(
+                "prob"
+            ),
+            "rnk",
+        )
+        .orderBy("context", "rnk")
+    )

@@ -2231,3 +2231,69 @@ def test_levenshtein_pairs_symmetric_bounded(spark):
     pdf = levenshtein_titles(spark, "/root/testdata/sf0.001").toPandas()
     assert (pdf.doc_a < pdf.doc_b).all()
     assert (pdf.dist <= _LEV_MAX).all() and (pdf.dist >= 0).all()
+
+
+def test_containment_catches_embedded_subdocument(spark):
+    from elt_data4transformation_spark.operators.dedup_ops import (
+        jaccard_pairs,
+    )
+    from pyspark.sql import functions as F
+    from elt_data4transformation_spark.functions import textfns as T
+
+    # doc 1 is fully embedded in doc 2: containment must be 1.0 while
+    # jaccard is diluted by the larger side's extra grams
+    small = "alpha beta gamma delta"
+    big = small + " epsilon zeta eta theta iota kappa " + "x y z w v u t s"
+    df = spark.createDataFrame(
+        [(1, small), (2, big)], ["doc_id", "text"]
+    ).select(
+        "doc_id", T.word_ngrams_col(3, T.words_col()).alias("grams")
+    )
+    out = (
+        jaccard_pairs(df, "doc_id", "grams")
+        .withColumn(
+            "cont",
+            F.col("inter_size").cast("double") / F.least("n_a", "n_b"),
+        )
+        .collect()
+    )
+    assert len(out) == 1
+    row = out[0]
+    assert row["cont"] == 1.0
+    assert row["jac"] < 0.2
+
+
+def test_cluster_canonical_singletons_and_election(spark):
+    from elt_data4transformation_spark.plans.dedup import cluster_canonical
+
+    pdf = cluster_canonical(spark, "/root/testdata/sf0.001").toPandas()
+    docs_total = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).count()
+    # every document lands in exactly one component
+    assert pdf.n_members.sum() == docs_total
+    # canonical is a member, so its tokens are never counted as removed
+    assert (pdf.tokens_removed <= pdf.tokens_total).all()
+    singles = pdf[pdf.n_members == 1]
+    assert (singles.component == singles.canonical_doc_id).all()
+    assert (singles.tokens_removed == 0).all()
+    assert ((pdf.canonical_quality >= 0) & (pdf.canonical_quality <= 1)).all()
+
+
+def test_bigram_lm_counts_repeats_and_true_conditionals(spark):
+    from elt_data4transformation_spark.plans.text import (
+        _LM_MIN_COUNT,
+        _LM_TOP_K,
+        bigram_lm,
+    )
+
+    pdf = bigram_lm(spark, "/root/testdata/sf0.001").toPandas()
+    assert (pdf.pair_n >= _LM_MIN_COUNT).all()
+    assert (pdf.rnk <= _LM_TOP_K).all()
+    # prob is a true conditional: pair_n / ctx_n, and ctx_n counts ALL
+    # continuations (so the per-context probs kept may sum below 1 but
+    # each equals its ratio exactly at 6dp)
+    import numpy as np
+
+    assert np.allclose(pdf.prob, (pdf.pair_n / pdf.ctx_n).round(6))
+    assert (pdf.ctx_n >= pdf.pair_n).all()
