@@ -173,3 +173,55 @@ def cosine_pairs(
         both.groupBy("_ga", "_gb")
         .applyInPandas(block_fn, out_schema)
     )
+
+
+# --- Bucketed vectorized within-group pairs -------------------------------
+
+
+def bucket_cosine_pairs(
+    df: DataFrame,
+    bucket_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """All pairs (id_a < id_b) WITHIN each bucket with cosine >=
+    threshold — the vectorized inner loop of cluster-then-compare
+    dedup (SemDeDup shape). One grouped-map task per bucket, a single
+    numpy matmul inside; no cross-bucket pair ever materializes.
+
+    Zero vectors have NULL cosine semantics upstream (cosine_col);
+    here their rows simply produce no pair because NaN >= threshold is
+    False — identical keep/prune outcome.
+
+    Emits: bucket, id_a, id_b, cosine.
+    """
+    tagged = df.select(
+        F.col(bucket_col).alias("_bk"),
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    out_schema = "bucket long, id_a long, id_b long, cosine double"
+
+    def bucket_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("_id", ignore_index=True)
+        ids = pdf["_id"].to_numpy()
+        m = np.stack(pdf["_v"].to_numpy())
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            nm = m / norms
+        sims = nm @ nm.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        mask = sims[ia, ib] >= threshold  # NaN (zero vector) -> False
+        return pd.DataFrame(
+            {
+                "bucket": np.full(int(mask.sum()), pdf["_bk"].iloc[0]),
+                "id_a": ids[ia[mask]],
+                "id_b": ids[ib[mask]],
+                "cosine": sims[ia, ib][mask],
+            }
+        )
+
+    return tagged.groupBy("_bk").applyInPandas(bucket_fn, out_schema)

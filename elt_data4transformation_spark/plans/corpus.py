@@ -1003,3 +1003,164 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rank", "token", "tfidf")
         .orderBy("doc_id", "rank")
     )
+
+
+# --- RAG / training chunking ----------------------------------------------
+
+_CHUNK_SIZE = 64  # words per chunk
+_CHUNK_STRIDE = 48  # step between chunk starts (overlap = 16 words)
+
+
+@register(
+    "chunk_documents",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS w,
+                   LEN(STRING_SPLIT(text, ' ')) AS n
+            FROM documents WHERE LEN(text) > 0
+        ), starts AS (
+            SELECT doc_id, n, UNNEST(RANGE(1, n + 1, {_CHUNK_STRIDE}))
+                       AS start_word,
+                   w
+            FROM w
+        )
+        SELECT doc_id,
+               CAST((start_word - 1) / {_CHUNK_STRIDE} AS BIGINT)
+                   AS chunk_idx,
+               CAST(start_word AS BIGINT) AS start_word,
+               CAST(LEAST({_CHUNK_SIZE}, n - start_word + 1) AS BIGINT)
+                   AS n_tokens,
+               MD5(ARRAY_TO_STRING(
+                   w[start_word : start_word + {_CHUNK_SIZE} - 1], ' '))
+                   AS chunk_hash
+        FROM starts
+        ORDER BY doc_id, chunk_idx
+    """,
+    tags=("corpus", "chunk"),
+    doc="Overlapping sliding-window chunking — the RAG/embedding-prep "
+    f"shape: {_CHUNK_SIZE}-word chunks every {_CHUNK_STRIDE} words "
+    "(16-word overlap so no boundary sentence is lost), each chunk "
+    "addressed by (doc_id, chunk_idx) and content-hashed for "
+    "downstream chunk-level dedup (paragraph_dedup's unit) / "
+    "incremental re-embedding (only changed hashes re-embed). Pure "
+    "per-row generator expression -> explode: linear, partition-local, "
+    "no shuffle before the output sort; both engines slice the same "
+    "1-based word array so the hashes agree exactly.",
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents")).filter(
+        F.length("text") > 0
+    )
+    w = d.select(
+        "doc_id",
+        T.words_col().alias("w"),
+        F.size(T.words_col()).alias("n"),
+    )
+    starts = w.select(
+        "doc_id",
+        "n",
+        "w",
+        F.explode(
+            F.sequence(F.lit(1), F.col("n"), F.lit(_CHUNK_STRIDE))
+        ).alias("start_word"),
+    )
+    return (
+        starts.select(
+            "doc_id",
+            ((F.col("start_word") - 1) / _CHUNK_STRIDE)
+            .cast("long")
+            .alias("chunk_idx"),
+            F.col("start_word").cast("long").alias("start_word"),
+            F.least(
+                F.lit(_CHUNK_SIZE), F.col("n") - F.col("start_word") + 1
+            )
+            .cast("long")
+            .alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("w"), F.col("start_word"), _CHUNK_SIZE),
+                    " ",
+                )
+            ).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+# --- token-distribution entropy (quality signal) ---------------------------
+
+
+@register(
+    "token_entropy",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+            FROM documents WHERE LEN(text) > 0
+        ), c AS (
+            SELECT doc_id, tok, COUNT(*) AS cnt
+            FROM t GROUP BY doc_id, tok
+        ), c2 AS (
+            SELECT doc_id, cnt,
+                   SUM(cnt) OVER (PARTITION BY doc_id) AS tot
+            FROM c
+        ), d AS (
+            SELECT doc_id,
+                   CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                   -SUM((CAST(cnt AS DOUBLE) / tot)
+                        * LOG2(CAST(cnt AS DOUBLE) / tot)) AS h
+            FROM c2 GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens, n_distinct,
+               ROUND(h, 4) AS entropy,
+               ROUND(h / NULLIF(LOG2(CAST(n_distinct AS DOUBLE)), 0.0), 4)
+                   AS norm_entropy
+        FROM d
+        ORDER BY doc_id
+    """,
+    tags=("corpus", "text"),
+    doc="Per-document token-distribution Shannon entropy + normalized "
+    "entropy (H / log2 distinct) — the information-density quality "
+    "signal complementing repetition_score's top-word fraction: "
+    "boilerplate and keyword-stuffed documents score low, natural prose "
+    "high. One explode + two hash aggregations keyed by doc_id (all "
+    "shuffles on the same key -> single exchange), linear in corpus "
+    "size; entropy rounded to 4dp on both engines so summation order "
+    "cannot flip the hash. NULLIF guards the single-distinct-token "
+    "degenerate doc (0/0) identically on both engines.",
+)
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents")).filter(
+        F.length("text") > 0
+    )
+    c = (
+        d.select("doc_id", F.explode(T.words_col()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # the per-doc total comes from a window over the already-aggregated
+    # (doc, token) counts — same doc_id key as the groupBy below, so
+    # the window sort and the final aggregation share one exchange
+    tot = F.sum("cnt").over(Window.partitionBy("doc_id"))
+    c2 = c.withColumn("p", F.col("cnt") / tot)
+    agg = c2.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (-F.sum(F.col("p") * F.log2("p"))).alias("h"),
+    )
+    return (
+        agg.select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            F.round("h", 4).alias("entropy"),
+            F.round(
+                F.col("h")
+                / F.nullif(
+                    F.log2(F.col("n_distinct").cast("double")), F.lit(0.0)
+                ),
+                4,
+            ).alias("norm_entropy"),
+        )
+        .orderBy("doc_id")
+    )

@@ -403,6 +403,13 @@ def _min_label_components(edges: DataFrame) -> DataFrame:
     # (localCheckpoint trades fault-tolerance of the lineage for speed;
     # a multi-tenant cluster job would point this at a reliable
     # checkpoint dir instead.)
+    #
+    # Checkpoint the EDGES before the two-branch symmetrization: und
+    # references `edges` twice, and without a materialization the
+    # whole upstream candidate plan (shingle -> minhash -> band join
+    # -> rescore, the expensive part) executes once per branch
+    # (measured ~2x the LSH cost at sf0.1).
+    edges = edges.localCheckpoint(eager=True)
     und = (
         edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .unionByName(

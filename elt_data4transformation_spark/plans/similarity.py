@@ -11,7 +11,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.vectors import assign_nearest, cosine_col, cosine_sql
+from ..operators.vectors import (
+    assign_nearest,
+    bucket_cosine_pairs,
+    cosine_col,
+    cosine_sql,
+)
 from ..sources import spread, table
 from .registry import register
 
@@ -265,25 +270,30 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("vec_id") < N_CENTROIDS)
         .select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv"))
     )
+    # `assigned` feeds both the pair pass and the final keep join; it
+    # ends in an aggregation exchange that Spark's ReusedExchange
+    # dedupes across consumers, so no explicit checkpoint is needed.
     assigned = assign_nearest(e.select("vec_id", "v"), cent).select(
         "vec_id", "v", "centroid_id"
     )
-    a = assigned.select(
-        F.col("centroid_id"), F.col("vec_id").alias("va"), F.col("v").alias("_va")
-    )
-    b = assigned.select(
-        F.col("centroid_id").alias("_cb"),
-        F.col("vec_id").alias("vb"),
-        F.col("v").alias("_vb"),
-    )
+    # within-bucket pairs via ONE numpy matmul per bucket (Arrow
+    # grouped-map) instead of a self-join evaluating an interpreted
+    # fold-cosine per pair — same pair set, ~100x fewer Python/JVM
+    # expression evaluations; the JVM fold path stays in cosine_col
+    # for small candidate sets (e.g. assign_nearest).
     pairs = (
-        a.join(
-            b,
-            (F.col("centroid_id") == F.col("_cb")) & (F.col("va") < F.col("vb")),
+        bucket_cosine_pairs(
+            assigned,
+            bucket_col="centroid_id",
+            id_col="vec_id",
+            vec_col="v",
+            threshold=SEM_TAU,
         )
-        .withColumn("cos", cosine_col(F.col("_va"), F.col("_vb")))
-        .filter(F.col("cos") >= SEM_TAU)
-        .select("va", "vb", "cos")
+        .select(
+            F.col("id_a").alias("va"),
+            F.col("id_b").alias("vb"),
+            F.col("cosine").alias("cos"),
+        )
     )
     pruned = pairs.groupBy(F.col("vb").alias("vec_id")).agg(
         F.min("va").alias("pruned_by"),

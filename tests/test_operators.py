@@ -2297,3 +2297,51 @@ def test_bigram_lm_counts_repeats_and_true_conditionals(spark):
 
     assert np.allclose(pdf.prob, (pdf.pair_n / pdf.ctx_n).round(6))
     assert (pdf.ctx_n >= pdf.pair_n).all()
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    from elt_data4transformation_spark.plans.corpus import (
+        _CHUNK_SIZE,
+        _CHUNK_STRIDE,
+        chunk_documents,
+    )
+    from pyspark.sql import functions as F
+
+    pdf = chunk_documents(spark, "/root/testdata/sf0.001").toPandas()
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.length("text") > 0)
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .toPandas()
+        .set_index("doc_id")["n"]
+    )
+    # chunk starts advance by the stride and cover every word
+    for doc_id, grp in pdf.groupby("doc_id"):
+        grp = grp.sort_values("chunk_idx")
+        assert (grp.start_word.diff().dropna() == _CHUNK_STRIDE).all()
+        n = docs[doc_id]
+        last = grp.iloc[-1]
+        assert last.start_word + last.n_tokens - 1 == n
+        assert (grp.n_tokens <= _CHUNK_SIZE).all()
+        assert (grp.n_tokens >= 1).all()
+
+
+def test_token_entropy_bounds_and_degenerates(spark):
+    import numpy as np
+
+    from elt_data4transformation_spark.plans.corpus import token_entropy
+
+    pdf = token_entropy(spark, "/root/testdata/sf0.001").toPandas()
+    # entropy within [0, log2(n_distinct)]; normalized within [0, 1]
+    assert (pdf.entropy >= 0).all()
+    assert (
+        pdf.entropy <= np.log2(pdf.n_distinct).round(4) + 1e-9
+    ).all()
+    ok = pdf.norm_entropy.dropna()
+    assert ((ok >= 0) & (ok <= 1.0 + 1e-9)).all()
+    # uniform-ish sanity: a doc of all-distinct tokens has H = log2(n)
+    uni = pdf[pdf.n_distinct == pdf.n_tokens]
+    if len(uni):
+        assert np.allclose(
+            uni.entropy, np.log2(uni.n_tokens).round(4), atol=1e-3
+        )
