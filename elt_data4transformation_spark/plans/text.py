@@ -610,9 +610,10 @@ _LM_TOP_K = 3  # continuations kept per context
     "per-context continuation probability, top-"
     f"{_LM_TOP_K} continuations with support >= {_LM_MIN_COUNT} — the "
     "n-gram-count stage every LM-data pipeline runs for corpus stats / "
-    "contamination scoring. Two hash aggregations plus one "
-    "co-partitioned join (pair counts and context totals shuffle on "
-    "the same key, so the join is exchange-free); the ranking window "
+    "contamination scoring. Two hash aggregations plus a join of pair "
+    "counts to context totals (both keyed on context: AQE broadcasts "
+    "the totals at small SF, and at scale the two aggregations are "
+    "already co-partitioned on the join key); the ranking window "
     "partitions by context — vocabulary-cardinality groups whose size "
     "is bounded by distinct continuations, not corpus rows, so no "
     "single-task skew at 100 TB. Context totals are summed from pair "

@@ -432,3 +432,56 @@ def stream_stream_view_purchase(
             "purchase_ts"
         ),
     )
+
+
+def stream_stream_view_purchase_outer(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: like
+    stream_stream_view_purchase, but views with NO purchase in their
+    2-hour window also emit (purchase columns NULL) — and only AFTER
+    the global watermark proves no matching purchase can still arrive
+    (view state eviction). That late-null emission is the semantics
+    batch left-joins get for free and streams must buy with the
+    watermark; the bounded-fixture twin is a left join whose unmatched
+    rows are filtered to views already evictable at the final
+    watermark min(max view ts, max purchase ts) - 1h."""
+    def side(event_type: str, id_alias: str, ts_alias: str) -> DataFrame:
+        return (
+            read_events_stream(spark, sf_dir, glob, max_files_per_trigger)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{id_alias}_uid"),
+                F.col("event_id").alias(id_alias),
+                F.col("ts").alias(ts_alias),
+            )
+            .withWatermark(ts_alias, "1 hour")
+        )
+
+    v = side("view", "view_id", "view_ts")
+    p = side("purchase", "purchase_id", "purchase_ts")
+    j = v.join(
+        p,
+        (F.col("view_id_uid") == F.col("purchase_id_uid"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr("INTERVAL 2 HOURS")
+        ),
+        "left_outer",
+    )
+    out = _run_to_memory(j, "append")
+    return out.select(
+        F.col("view_id_uid").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "view_ts"
+        ),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "purchase_ts"
+        ),
+    )

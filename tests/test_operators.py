@@ -2345,3 +2345,40 @@ def test_token_entropy_bounds_and_degenerates(spark):
         assert np.allclose(
             uni.entropy, np.log2(uni.n_tokens).round(4), atol=1e-3
         )
+
+
+def test_stream_stream_left_outer_null_release(spark, tmp_path):
+    """Left-outer nulls must be released by watermark advancement, not
+    batch boundaries: the multi-batch run (4 time-ordered files,
+    maxFilesPerTrigger=1) emits the same matched AND null-purchase
+    rows as the single-batch run."""
+    from pyspark.sql import functions as F
+
+    from elt_data4transformation_spark.streaming.events import (
+        stream_stream_view_purchase_outer,
+    )
+
+    src = str(tmp_path / "multi_outer")
+    ev_all = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    ).withColumn("_t", F.col("ts").cast("timestamp").cast("double"))
+    qs = ev_all.approxQuantile("_t", [0.25, 0.5, 0.75], 0.0)
+    bounds = [float("-inf"), *qs, float("inf")]
+    for i in range(4):
+        part = ev_all.filter(
+            (F.col("_t") > bounds[i]) & (F.col("_t") <= bounds[i + 1])
+        ).drop("_t")
+        part.coalesce(1).write.mode("append").parquet(src)
+
+    def run(sf_dir, glob, mfpt):
+        out = stream_stream_view_purchase_outer(
+            spark, sf_dir, glob=glob, max_files_per_trigger=mfpt
+        )
+        return {tuple(r) for r in out.collect()}
+
+    single = run("/root/testdata/sf0.001", "events.parquet", None)
+    multi = run(src, "*.parquet", 1)
+    assert multi == single
+    # non-vacuous: fixture must exercise both match and null paths
+    assert any(r[2] is not None for r in single)
+    assert any(r[2] is None for r in single)
