@@ -532,3 +532,112 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         long.filter(F.col("n").isNotNull() & (F.col("n") > 0))
         .orderBy("o_orderpriority", "status")
     )
+
+
+@register(
+    "cdc_aggregate_maintain",
+    oracle=f"""
+        WITH base AS (
+            SELECT event_id, event_type, value FROM events
+            WHERE ts < TIMESTAMP '{T1}'
+        ), post AS (
+            SELECT event_id, event_type, value FROM events
+            WHERE ts >= TIMESTAMP '{T1}'
+        ), inserts AS (
+            SELECT * FROM post WHERE event_id % 10 <> 0
+        ), del_req AS (
+            SELECT event_id - 10 AS target_id FROM post
+            WHERE event_id % 10 = 0
+        ), live AS (
+            SELECT event_id, event_type, value FROM base
+            UNION ALL
+            SELECT event_id, event_type, value FROM inserts
+        ), deleted AS (
+            SELECT l.event_id, l.event_type, l.value
+            FROM live l JOIN del_req d ON l.event_id = d.target_id
+        ), final AS (
+            SELECT l.* FROM live l
+            LEFT JOIN del_req d ON l.event_id = d.target_id
+            WHERE d.target_id IS NULL
+        )
+        SELECT f.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               ROUND(SUM(f.value), 4) AS total_value,
+               CAST(COALESCE(MAX(i.n_ins), 0) AS BIGINT) AS n_inserted,
+               CAST(COALESCE(MAX(dl.n_del), 0) AS BIGINT)
+                   AS n_deleted_applied
+        FROM final f
+        LEFT JOIN (SELECT event_type, COUNT(*) AS n_ins
+                   FROM inserts GROUP BY event_type) i
+               ON f.event_type = i.event_type
+        LEFT JOIN (SELECT event_type, COUNT(*) AS n_del
+                   FROM deleted GROUP BY event_type) dl
+               ON f.event_type = dl.event_type
+        GROUP BY f.event_type
+        ORDER BY f.event_type
+    """,
+    tags=("upsert", "cdc", "incremental"),
+    doc="Incremental AGGREGATE maintenance from a CDC op-log — the "
+    "step beyond cdc_apply's row-level last-wins: per-type (count, "
+    "sum) state is maintained as base_agg + insert_deltas - "
+    "delete_deltas (deletes fetch their target row's value via one "
+    "key join), NEVER by re-aggregating the base. The oracle "
+    "recomputes the final state from scratch (live rows minus "
+    "deletions, then aggregate), so a hash match PROVES maintained "
+    "state == full recompute — the invariant every materialized-view "
+    "maintenance engine must hold (Flink retract streams, "
+    "dbt-incremental). Work is proportional to the DELTA (one window-"
+    "free join of the small delete set against the keyed state, "
+    "partial-aggregated per type); the base is touched only for its "
+    "stored aggregate + the targeted delete keys, which at 100 TB is "
+    "a partition-pruned point-lookup join, not a scan.",
+)
+def cdc_aggregate_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    base = e.filter(F.col("ts") < F.lit(T1).cast("timestamp")).select(
+        "event_id", "event_type", "value"
+    )
+    post = e.filter(F.col("ts") >= F.lit(T1).cast("timestamp")).select(
+        "event_id", "event_type", "value"
+    )
+    inserts = post.filter(F.col("event_id") % 10 != 0)
+    del_req = post.filter(F.col("event_id") % 10 == 0).select(
+        (F.col("event_id") - 10).alias("target_id")
+    )
+    live = base.unionByName(inserts)
+    # deletions fetch their target's (type, value) via one equi-join —
+    # the only base access the maintenance path needs
+    deleted = live.join(
+        del_req, live["event_id"] == del_req["target_id"]
+    ).select("event_type", "value")
+
+    base_agg = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("b_n"), F.sum("value").alias("b_sum")
+    )
+    ins_agg = inserts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("i_n"), F.sum("value").alias("i_sum")
+    )
+    del_agg = deleted.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("d_n"), F.sum("value").alias("d_sum")
+    )
+    maintained = (
+        base_agg.join(ins_agg, "event_type", "full_outer")
+        .join(del_agg, "event_type", "full_outer")
+        .select(
+            "event_type",
+            (
+                F.coalesce("b_n", F.lit(0))
+                + F.coalesce("i_n", F.lit(0))
+                - F.coalesce("d_n", F.lit(0))
+            ).alias("n_rows"),
+            F.round(
+                F.coalesce("b_sum", F.lit(0.0))
+                + F.coalesce("i_sum", F.lit(0.0))
+                - F.coalesce("d_sum", F.lit(0.0)),
+                4,
+            ).alias("total_value"),
+            F.coalesce("i_n", F.lit(0)).alias("n_inserted"),
+            F.coalesce("d_n", F.lit(0)).alias("n_deleted_applied"),
+        )
+    )
+    return maintained.filter(F.col("n_rows") > 0).orderBy("event_type")

@@ -62,7 +62,22 @@ QUERIES = [
     "pmi_cooccurrence",
     "semantic_dedup",
     "kmeans_clusters",
+    "dedup_containment",
+    "cluster_canonical",
+    "bigram_lm",
+    "chunk_documents",
+    "token_entropy",
+    "levenshtein_titles",
+    "grouping_sets_orders",
+    "stratified_sample",
 ]
+
+# override the query list: SCALE_STRESS_QUERIES="a,b,c"
+import os as _os
+
+_env = _os.environ.get("SCALE_STRESS_QUERIES")
+if _env:
+    QUERIES = [q.strip() for q in _env.split(",") if q.strip()]
 
 
 def replicate(spark: SparkSession, n: int) -> None:

@@ -2382,3 +2382,55 @@ def test_stream_stream_left_outer_null_release(spark, tmp_path):
     # non-vacuous: fixture must exercise both match and null paths
     assert any(r[2] is not None for r in single)
     assert any(r[2] is None for r in single)
+
+
+def test_cdc_aggregate_maintain_equals_recompute(spark):
+    """The maintained (base + deltas) aggregate must equal a from-
+    scratch recompute of the final state — differential, same engine,
+    independent of the DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    from elt_data4transformation_spark.plans.upserts import (
+        T1,
+        cdc_aggregate_maintain,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    maintained = (
+        cdc_aggregate_maintain(spark, sf)
+        .select("event_type", "n_rows", "total_value")
+        .toPandas()
+        .set_index("event_type")
+    )
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    base = e.filter(F.col("ts") < F.lit(T1).cast("timestamp"))
+    post = e.filter(F.col("ts") >= F.lit(T1).cast("timestamp"))
+    live = base.unionByName(post.filter(F.col("event_id") % 10 != 0))
+    del_ids = post.filter(F.col("event_id") % 10 == 0).select(
+        (F.col("event_id") - 10).alias("event_id")
+    )
+    final = live.join(del_ids, "event_id", "left_anti")
+    recomputed = (
+        final.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .toPandas()
+        .set_index("event_type")
+    )
+    assert set(maintained.index) == set(recomputed.index)
+    for et in maintained.index:
+        assert maintained.loc[et, "n_rows"] == recomputed.loc[et, "n_rows"]
+        assert (
+            abs(
+                maintained.loc[et, "total_value"]
+                - recomputed.loc[et, "total_value"]
+            )
+            < 1e-6
+        )
