@@ -661,3 +661,133 @@ def bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("context", "rnk")
     )
+
+
+# --- distributed BPE merge training ---------------------------------------
+
+_BPE_MERGES = 8
+_EOW = "</w>"
+
+
+def _bpe_oracle() -> str:
+    """Unrolled-CTE DuckDB twin of the iterative BPE trainer (the same
+    generated-stage pattern as the kmeans oracle): each merge step is
+    one (pair-count, argmax, replace) stage triple."""
+    stages = [
+        f"""w0 AS MATERIALIZED (
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
+                   ARRAY_TO_STRING(LIST_TRANSFORM(RANGE(1, LEN(word) + 1),
+                       i -> SUBSTRING(word, i, 1)), ' ') || ' {_EOW}' AS s
+            FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word
+                  FROM documents WHERE LEN(text) > 0)
+            WHERE LEN(word) > 0
+            GROUP BY word
+        )"""
+    ]
+    for i in range(_BPE_MERGES):
+        stages.append(
+            f"""p{i} AS MATERIALIZED (
+                SELECT pr, SUM(cnt) AS n FROM (
+                    SELECT cnt,
+                           UNNEST(LIST_TRANSFORM(RANGE(1, LEN(a)),
+                               j -> a[j] || ' ' || a[j + 1])) AS pr
+                    FROM (SELECT cnt, STRING_SPLIT(s, ' ') AS a FROM w{i})
+                ) GROUP BY pr
+            )"""
+        )
+        stages.append(
+            f"m{i} AS MATERIALIZED "
+            f"(SELECT pr, n FROM p{i} ORDER BY n DESC, pr LIMIT 1)"
+        )
+        stages.append(
+            f"""w{i + 1} AS MATERIALIZED (
+                SELECT word, cnt,
+                       TRIM(REPLACE(' ' || s || ' ',
+                            ' ' || (SELECT pr FROM m{i}) || ' ',
+                            ' ' || REPLACE((SELECT pr FROM m{i}), ' ', '')
+                                || ' ')) AS s
+                FROM w{i}
+            )"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS step, pr AS pair, REPLACE(pr, ' ', '') AS merged, "
+        f"CAST(n AS BIGINT) AS pair_count FROM m{i}"
+        for i in range(_BPE_MERGES)
+    )
+    return f"WITH {', '.join(stages)} {selects} ORDER BY step"
+
+
+@register(
+    "bpe_merges",
+    oracle=_bpe_oracle(),
+    tags=("text", "lm", "iterative"),
+    doc=f"Distributed BPE merge training ({_BPE_MERGES} merges): the "
+    "tokenizer-training core of an LM-data pipeline. Start from "
+    "per-word character sequences weighted by corpus word counts, "
+    "repeat (count adjacent symbol pairs -> merge the most frequent, "
+    "lexicographic tie-break). Scale shape: each round is one "
+    "explode+hash-aggregate over the DISTINCT-word table (vocabulary-"
+    "sized, not corpus-sized — the classic BPE trick), the winning "
+    "pair is the only row the driver sees (loop control, like "
+    "dedup_components' convergence count), and the merge applies as a "
+    "pure string expression. Both engines apply merges with literal "
+    "space-delimited REPLACE, which is left-to-right non-overlapping "
+    "on both — so greedy merge semantics (including the 'a a a' "
+    "overlap case) agree exactly; the oracle unrolls the loop into "
+    "generated CTE stages like the kmeans oracle. localCheckpoint per "
+    "round keeps the re-planned tree constant-size.",
+)
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents")).filter(
+        F.length("text") > 0
+    )
+    word = F.col("word")
+    chars = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.length(word)),
+            lambda i: F.substring(word, i, 1),
+        ),
+        " ",
+    )
+    w = (
+        d.select(F.explode(T.words_col()).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "word", "cnt", F.concat(chars, F.lit(f" {_EOW}")).alias("s")
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    for step in range(_BPE_MERGES):
+        a = F.split("s", " ")
+        prs = F.when(
+            F.size(a) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(a) - 1),
+                lambda j: F.concat_ws(
+                    " ", F.element_at(a, j), F.element_at(a, j + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        pair_counts = (
+            w.select(F.col("cnt"), F.explode(prs).alias("pr"))
+            .groupBy("pr")
+            .agg(F.sum("cnt").alias("n"))
+        )
+        best = pair_counts.orderBy(F.desc("n"), F.asc("pr")).first()
+        merges.append((step, best["pr"], best["pr"].replace(" ", ""), int(best["n"])))
+        w = w.withColumn(
+            "s",
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("s"), F.lit(" ")),
+                    F.lit(f" {best['pr']} "),
+                    F.lit(" " + best["pr"].replace(" ", "") + " "),
+                )
+            ),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "step int, pair string, merged string, pair_count long"
+    ).orderBy("step")

@@ -2434,3 +2434,25 @@ def test_cdc_aggregate_maintain_equals_recompute(spark):
             )
             < 1e-6
         )
+
+
+def test_bpe_merges_greedy_overlap_and_monotone(spark):
+    """BPE invariants on the fixture: merged symbols concatenate their
+    pair, pair counts never increase as merges consume pairs, and the
+    'a a a' overlap resolves left-to-right greedily (via the literal
+    space-delimited replace both engines share)."""
+    from pyspark.sql import functions as F
+
+    from elt_data4transformation_spark.plans.text import bpe_merges
+
+    pdf = bpe_merges(spark, "/root/testdata/sf0.001").toPandas()
+    assert list(pdf.step) == list(range(len(pdf)))
+    for _, r in pdf.iterrows():
+        a, b = r["pair"].split(" ")
+        assert r["merged"] == a + b
+        assert r["pair_count"] > 0
+    # greedy-overlap unit check on the shared replace semantics
+    out = spark.sql(
+        "SELECT TRIM(REPLACE(' a a a ', ' a a ', ' aa ')) AS s"
+    ).collect()[0]["s"]
+    assert out == "aa a"
