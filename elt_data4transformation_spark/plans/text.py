@@ -717,27 +717,16 @@ def _bpe_oracle() -> str:
     return f"WITH {', '.join(stages)} {selects} ORDER BY step"
 
 
-@register(
-    "bpe_merges",
-    oracle=_bpe_oracle(),
-    tags=("text", "lm", "iterative"),
-    doc=f"Distributed BPE merge training ({_BPE_MERGES} merges): the "
-    "tokenizer-training core of an LM-data pipeline. Start from "
-    "per-word character sequences weighted by corpus word counts, "
-    "repeat (count adjacent symbol pairs -> merge the most frequent, "
-    "lexicographic tie-break). Scale shape: each round is one "
-    "explode+hash-aggregate over the DISTINCT-word table (vocabulary-"
-    "sized, not corpus-sized — the classic BPE trick), the winning "
-    "pair is the only row the driver sees (loop control, like "
-    "dedup_components' convergence count), and the merge applies as a "
-    "pure string expression. Both engines apply merges with literal "
-    "space-delimited REPLACE, which is left-to-right non-overlapping "
-    "on both — so greedy merge semantics (including the 'a a a' "
-    "overlap case) agree exactly; the oracle unrolls the loop into "
-    "generated CTE stages like the kmeans oracle. localCheckpoint per "
-    "round keeps the re-planned tree constant-size.",
-)
-def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_stages() -> str:
+    """The shared CTE stage list (w0..w{N}, p*, m*) as a string, for
+    oracles that consume the trained state (bpe_encode)."""
+    oracle = _bpe_oracle()
+    return oracle[len("WITH ") : oracle.index(" SELECT 0 AS step")]
+
+
+def _train_bpe(spark: SparkSession, sf_dir: str):
+    """Run the merge-training loop; returns (final word-symbol table,
+    merge list [(step, pair, merged, count)])."""
     d = spread(table(spark, sf_dir, "documents")).filter(
         F.length("text") > 0
     )
@@ -788,6 +777,98 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         ).localCheckpoint(eager=True)
+    return w, merges
+
+
+@register(
+    "bpe_merges",
+    oracle=_bpe_oracle(),
+    tags=("text", "lm", "iterative"),
+    doc=f"Distributed BPE merge training ({_BPE_MERGES} merges): the "
+    "tokenizer-training core of an LM-data pipeline. Start from "
+    "per-word character sequences weighted by corpus word counts, "
+    "repeat (count adjacent symbol pairs -> merge the most frequent, "
+    "lexicographic tie-break). Scale shape: each round is one "
+    "explode+hash-aggregate over the DISTINCT-word table (vocabulary-"
+    "sized, not corpus-sized — the classic BPE trick), the winning "
+    "pair is the only row the driver sees (loop control, like "
+    "dedup_components' convergence count), and the merge applies as a "
+    "pure string expression. Both engines apply merges with literal "
+    "space-delimited REPLACE, which is left-to-right non-overlapping "
+    "on both — so greedy merge semantics (including the 'a a a' "
+    "overlap case) agree exactly; the oracle unrolls the loop into "
+    "generated CTE stages like the kmeans oracle. localCheckpoint per "
+    "round keeps the re-planned tree constant-size.",
+)
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, merges = _train_bpe(spark, sf_dir)
     return spark.createDataFrame(
         merges, "step int, pair string, merged string, pair_count long"
     ).orderBy("step")
+
+
+def _bpe_encode_oracle() -> str:
+    n = _BPE_MERGES
+    return f"""
+        WITH {_bpe_stages()},
+        doc_words AS (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word,
+                   LENGTH(text) AS n_chars
+            FROM documents WHERE LEN(text) > 0
+        ),
+        vocab AS (
+            SELECT word, LEN(STRING_SPLIT(s, ' ')) AS n_sym FROM w{n}
+        )
+        SELECT d.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS ws_tokens,
+               CAST(SUM(v.n_sym) AS BIGINT) AS bpe_tokens,
+               ROUND(CAST(MAX(d.n_chars) AS DOUBLE) / SUM(v.n_sym), 4)
+                   AS chars_per_token
+        FROM doc_words d JOIN vocab v ON d.word = v.word
+        GROUP BY d.doc_id
+        ORDER BY d.doc_id
+    """
+
+
+@register(
+    "bpe_encode",
+    oracle=_bpe_encode_oracle(),
+    tags=("text", "lm", "iterative"),
+    doc="BPE ENCODING with the merges bpe_merges just trained — closes "
+    "the tokenizer loop (train -> encode -> budget): every document's "
+    "token count under the learned vocabulary, via one join of the "
+    "corpus word stream against the trained word->symbol table (the "
+    "trained state IS the encoder for in-vocabulary words — no "
+    "per-document merge replay), plus chars-per-token as the "
+    "compression metric an LM-data pipeline tracks per source. Scale "
+    "shape: the vocab side is tiny and broadcasts; the corpus side is "
+    "one explode + one aggregation keyed by doc_id. The oracle reuses "
+    "the trainer's unrolled CTE stages and encodes the same way, so a "
+    "hash match proves trainer AND encoder agree end-to-end across "
+    "engines.",
+)
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w, _ = _train_bpe(spark, sf_dir)
+    vocab = w.select(
+        "word", F.size(F.split("s", " ")).alias("n_sym")
+    )
+    d = spread(table(spark, sf_dir, "documents")).filter(
+        F.length("text") > 0
+    )
+    doc_words = d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.explode(T.words_col()).alias("word"),
+    )
+    return (
+        doc_words.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("ws_tokens"),
+            F.sum("n_sym").alias("bpe_tokens"),
+            F.round(
+                F.max("n_chars").cast("double") / F.sum("n_sym"), 4
+            ).alias("chars_per_token"),
+        )
+        .orderBy("doc_id")
+    )

@@ -2456,3 +2456,35 @@ def test_bpe_merges_greedy_overlap_and_monotone(spark):
         "SELECT TRIM(REPLACE(' a a a ', ' a a ', ' aa ')) AS s"
     ).collect()[0]["s"]
     assert out == "aa a"
+
+
+def test_bpe_encode_compresses_vs_chars(spark):
+    """Encoding invariants: bpe tokens per word >= 1, strictly fewer
+    symbols than characters+eow once merges applied (for any doc whose
+    words hit the merged pairs), and ws_tokens matches the split."""
+    from pyspark.sql import functions as F
+
+    from elt_data4transformation_spark.plans.text import bpe_encode
+
+    pdf = bpe_encode(spark, "/root/testdata/sf0.001").toPandas()
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.size(F.split("text", " ")).alias("n_words"),
+            (F.length("text") + F.size(F.split("text", " "))).alias(
+                "chars_plus_eow"
+            ),
+        )
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert len(pdf) == len(docs)
+    merged = pdf.set_index("doc_id").join(docs)
+    assert (merged.ws_tokens == merged.n_words).all()
+    # every word contributes >= 1 symbol; char-seq + eow is the ceiling
+    assert (merged.bpe_tokens >= merged.ws_tokens).all()
+    assert (merged.bpe_tokens <= merged.chars_plus_eow).all()
+    # merges actually fired somewhere
+    assert (merged.bpe_tokens < merged.chars_plus_eow).any()
