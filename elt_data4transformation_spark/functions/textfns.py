@@ -221,13 +221,21 @@ def simhash_sql(words_sql_expr: str) -> str:
 
 
 def quality_col(text: str = "text") -> Column:
-    """Length / stopword-ratio / punctuation-ratio blend in [0, 1]."""
+    """Length / stopword-ratio / punctuation-ratio blend in [0, 1].
+
+    NULLIF guard on the char count: an empty-text row would make the
+    punctuation ratio 0/0 — NaN in Spark, and NaN sorts ABOVE every
+    real number in a descending rank, silently winning any
+    quality-ordered election (cluster_canonical). The guard turns it
+    into NULL, which LEAST skips identically on both engines, so an
+    empty doc gets the same small finite quality everywhere
+    (quality_sql mirrors)."""
     n_words = F.size(words_col(text)).cast("long")
     sw_ratio = stopword_hits_col("en", text).cast("double") / n_words
     punct = (
         F.size(F.regexp_extract_all(text, F.lit("[^a-z0-9 ]"), 0))
         .cast("double")
-        / F.length(text)
+        / F.nullif(F.length(text), F.lit(0))
     )
     return F.least(
         F.greatest(
@@ -247,7 +255,8 @@ def quality_sql(text: str = "text") -> str:
     return f"""LEAST(GREATEST(
         0.3 * LEAST({n_words} / 200.0, 1.0)
       + 0.4 * LEAST(CAST({sw} AS DOUBLE) / {n_words} * 5, 1.0)
-      + 0.3 * (1.0 - LEAST(CAST({punct} AS DOUBLE) / LENGTH({text}) * 10, 1.0)),
+      + 0.3 * (1.0 - LEAST(CAST({punct} AS DOUBLE)
+                / NULLIF(LENGTH({text}), 0) * 10, 1.0)),
         0.0), 1.0)"""
 
 

@@ -531,3 +531,270 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("centroid_id")
     )
+
+
+# --- product quantization (PQ) ANN ----------------------------------------
+
+PQ_M = 32  # subspaces (64 dims -> 2 per subspace)
+PQ_SUB = 2  # dims per subspace
+PQ_K = 16  # codes per subspace (from the seed vectors vec_id < 16)
+
+
+def _pq_sub_l2_sql(vcol: str, cvcol: str, m: str) -> str:
+    """Exact L2^2 between subspace ``m`` (0-based) slices of two
+    64-dim DOUBLE[] columns (1-based element access, same order as the
+    Spark fold)."""
+    return (
+        f"LIST_SUM(LIST_TRANSFORM(RANGE(1, {PQ_SUB} + 1), "
+        f"d -> ({vcol}[{m} * {PQ_SUB} + d] - {cvcol}[{m} * {PQ_SUB} + d])"
+        f" * ({vcol}[{m} * {PQ_SUB} + d] - {cvcol}[{m} * {PQ_SUB} + d])))"
+    )
+
+
+def _pq_oracle() -> str:
+    d2 = _pq_sub_l2_sql("e.v", "c.cv", "m.m")
+    qd2 = _pq_sub_l2_sql("q.v", "c.cv", "m.m")
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), cents AS (
+            SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {PQ_K}
+        ), subs AS (
+            SELECT UNNEST(RANGE(0, {PQ_M})) AS m
+        ), scored AS (
+            SELECT e.vec_id, m.m, c.cid, {d2} AS d2,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id, m.m
+                       ORDER BY {d2}, c.cid) AS rn
+            FROM e CROSS JOIN subs m CROSS JOIN cents c
+        ), encl0 AS (
+            SELECT vec_id, m, cid AS code FROM scored WHERE rn = 1
+        ), members AS (
+            -- one deterministic Lloyd pass per subspace: the mean of
+            -- each code's member subvectors, rounded so both engines
+            -- build identical refined codebooks
+            SELECT en.m, en.code, d.d, ROUND(AVG(e.v[en.m * {PQ_SUB} + d.d]), 6) AS mv
+            FROM encl0 en
+            JOIN e ON e.vec_id = en.vec_id
+            CROSS JOIN (SELECT UNNEST(RANGE(1, {PQ_SUB} + 1)) AS d) d
+            GROUP BY en.m, en.code, d.d
+        ), refined AS (
+            SELECT m, code, LIST(mv ORDER BY d) AS rv
+            FROM members GROUP BY m, code
+        ), book2 AS (
+            -- full (m, code) grid; codes with no members keep their
+            -- seed slice
+            SELECT m.m, c.cid,
+                   COALESCE(r.rv, c.cv[m.m * {PQ_SUB} + 1 : (m.m + 1) * {PQ_SUB}])
+                       AS rv
+            FROM subs m CROSS JOIN cents c
+            LEFT JOIN refined r ON r.m = m.m AND r.code = c.cid
+        ), rescore AS (
+            SELECT e.vec_id, b.m, b.cid,
+                   LIST_SUM(LIST_TRANSFORM(RANGE(1, {PQ_SUB} + 1),
+                       d -> (e.v[b.m * {PQ_SUB} + d] - b.rv[d])
+                          * (e.v[b.m * {PQ_SUB} + d] - b.rv[d]))) AS d2,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id, b.m
+                       ORDER BY LIST_SUM(LIST_TRANSFORM(RANGE(1, {PQ_SUB} + 1),
+                           d -> (e.v[b.m * {PQ_SUB} + d] - b.rv[d])
+                              * (e.v[b.m * {PQ_SUB} + d] - b.rv[d]))), b.cid)
+                       AS rn
+            FROM e CROSS JOIN book2 b
+        ), encl AS (
+            SELECT vec_id, m, cid AS code FROM rescore WHERE rn = 1
+        ), lut0 AS (
+            SELECT q.vec_id AS query_id, b.m, b.cid,
+                   LIST_SUM(LIST_TRANSFORM(RANGE(1, {PQ_SUB} + 1),
+                       d -> (q.v[b.m * {PQ_SUB} + d] - b.rv[d])
+                          * (q.v[b.m * {PQ_SUB} + d] - b.rv[d]))) AS d2
+            FROM e q CROSS JOIN book2 b
+            WHERE q.vec_id < {N_QUERIES}
+        ), adc AS (
+            SELECT l.query_id, en.vec_id AS neighbor_id,
+                   SUM(l.d2) AS adist
+            FROM encl en JOIN lut0 l ON l.m = en.m AND l.cid = en.code
+            WHERE en.vec_id <> l.query_id
+            GROUP BY l.query_id, en.vec_id
+        ), ranked AS (
+            SELECT query_id, neighbor_id, adist,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY adist, neighbor_id) AS rank
+            FROM adc
+        )
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+               ROUND(adist, 4) AS approx_l2
+        FROM ranked WHERE rank <= {TOP_K}
+        ORDER BY query_id, rank
+    """
+
+
+@register(
+    "ann_pq_topk",
+    oracle=_pq_oracle(),
+    tags=("similarity", "quantization"),
+    doc="Product-quantization ANN (the classic IVF-PQ second half): "
+    f"64-dim vectors split into {PQ_M} subspaces of {PQ_SUB} dims; "
+    f"each subspace quantized to {PQ_K} codes taken from the seed "
+    "vectors' slices (deterministic codebook, argmin L2 with "
+    "lowest-code tie-break); queries build an asymmetric-distance LUT "
+    "(query-subvector -> every code's exact sub-distance) and every "
+    "base vector's approximate L2 is just the sum of its code LUT "
+    "lookups — the memory-bandwidth trick that lets a 100 TB ANN "
+    "index hold 16 bytes per vector instead of 512. Codebook and LUT "
+    "are broadcast; the base table never shuffles; per-query top-k via "
+    "window over the (query x base) broadcast join, exactly like "
+    "ann_cosine_topk. Approximate by construction — recall vs exact "
+    "L2 asserted in tests.",
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _vectors(spark, sf_dir).select("vec_id", "v")
+
+    def sub_l2(a: F.Column, b: F.Column) -> F.Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def subs_of(v: F.Column) -> F.Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+            lambda m: F.slice(v, m * PQ_SUB + 1, PQ_SUB),
+        )
+
+    # seed codebook: the seed vectors' slices, ordered by id,
+    # pre-sliced into subspace arrays (bsubs[c][m] = centroid c, sub m)
+    cents = e.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    book0 = cents.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("cid"), F.col("cv")))),
+            lambda st: subs_of(st["cv"]),
+        ).alias("bsubs")
+    )
+    seq_m = F.sequence(F.lit(0), F.lit(PQ_M - 1))
+
+    # encode: per subspace, argmin sub-L2 over the codes; first-min =
+    # lowest code id because bsubs is id-ordered and array_position
+    # returns the first match
+    def dists_for(m: F.Column) -> F.Column:
+        return F.transform(
+            F.col("bsubs"),
+            lambda bs: sub_l2(
+                F.element_at(F.col("vsubs"), m + 1),
+                F.element_at(bs, m + 1),
+            ),
+        )
+
+    def encode(base: DataFrame, book: DataFrame) -> DataFrame:
+        return base.crossJoin(F.broadcast(book)).select(
+            "vec_id",
+            "vsubs",
+            F.transform(
+                seq_m,
+                lambda m: (
+                    F.array_position(dists_for(m), F.array_min(dists_for(m)))
+                    - 1
+                ).cast("int"),
+            ).alias("codes"),
+        )
+
+    ev = e.withColumn("vsubs", subs_of(F.col("v")))
+    enc0 = encode(ev, book0)
+    # one deterministic Lloyd pass per subspace: each code's member
+    # subvector mean (rounded 6dp on both engines), empty codes keep
+    # their seed slice — same refinement recipe as ann_ivf_topk,
+    # applied per subspace
+    refined = (
+        enc0.join(ev.select("vec_id", F.col("vsubs").alias("_vs")), "vec_id")
+        .select(F.posexplode("codes").alias("m", "code"), F.col("_vs"))
+        .select(
+            "m",
+            "code",
+            F.posexplode(
+                F.element_at(F.col("_vs"), F.col("m") + 1)
+            ).alias("d", "val"),
+        )
+        .groupBy("m", "code", "d")
+        .agg(F.round(F.avg("val"), 6).alias("mv"))
+        .groupBy("m", "code")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "mv"))),
+                lambda x: x["mv"],
+            ).alias("rv")
+        )
+    )
+    grid = cents.select(
+        "cid", F.explode(seq_m).alias("m"),
+        F.col("cv")
+    ).select(
+        "cid", "m",
+        F.slice(F.col("cv"), F.col("m") * PQ_SUB + 1, F.lit(PQ_SUB)).alias(
+            "seed_rv"
+        ),
+    )
+    book2_rows = grid.join(
+        refined,
+        (grid["cid"] == refined["code"]) & (grid["m"] == refined["m"]),
+        "left",
+    ).select(
+        grid["cid"], grid["m"], F.coalesce("rv", "seed_rv").alias("rv")
+    )
+    book = (
+        book2_rows.groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "rv"))),
+                lambda x: x["rv"],
+            ).alias("marr")
+        )
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("cid", "marr"))),
+                lambda x: x["marr"],
+            ).alias("bsubs")
+        )
+    )
+    enc = encode(ev, book)
+    # query LUT[m][c]: exact sub-L2 from the query's sub m to code c
+    # (re-attach the tiny broadcast codebook; enc dropped it)
+    q = (
+        enc.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(book))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.transform(seq_m, dists_for).alias("lut"),
+        )
+    )
+    # ADC scan: approximate L2 = sum of 8 LUT lookups on the codes
+    scored = (
+        enc.drop("vsubs")
+        .join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.aggregate(
+                F.zip_with(
+                    F.col("lut"),
+                    F.col("codes"),
+                    lambda lut_m, code_m: F.element_at(lut_m, code_m + 1),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("adist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.round("adist", 4).alias("approx_l2"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -2488,3 +2488,79 @@ def test_bpe_encode_compresses_vs_chars(spark):
     assert (merged.bpe_tokens <= merged.chars_plus_eow).all()
     # merges actually fired somewhere
     assert (merged.bpe_tokens < merged.chars_plus_eow).any()
+
+
+def test_quality_col_empty_text_no_nan_and_engines_agree(spark):
+    """Empty text must never produce NaN (NaN sorts above every real
+    quality in a descending election — cluster_canonical would
+    silently crown an empty doc) and both engines must yield the SAME
+    finite value. The NULLIF guard turns Spark's 0/0 punct ratio into
+    NULL, which LEAST then skips identically on both engines."""
+    import math
+
+    import duckdb
+
+    from elt_data4transformation_spark.functions.textfns import (
+        quality_col,
+        quality_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "real words here and the of a")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["q"]
+        for r in df.select("doc_id", quality_col().alias("q")).collect()
+    }
+    assert got[1] is not None and not math.isnan(got[1])
+    assert got[2] is not None and not math.isnan(got[2])
+    empty_lit = "''"
+    duck = duckdb.sql(f"SELECT {quality_sql(empty_lit)} AS q").fetchone()[0]
+    assert duck is not None and not math.isnan(duck)
+    assert abs(duck - got[1]) < 1e-12
+
+
+def test_ann_pq_recall_vs_exact_l2(spark):
+    """PQ top-k must overlap substantially with exact L2 top-k (the
+    whole point of the compact code): recall@5 >= 0.5 on the fixture,
+    and codes are within [0, PQ_K)."""
+    from pyspark.sql import functions as F
+
+    from elt_data4transformation_spark.plans.similarity import (
+        N_QUERIES,
+        TOP_K,
+        ann_pq_topk,
+        _vectors,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    pq = ann_pq_topk(spark, sf).toPandas()
+    assert set(pq.query_id.unique()) == set(range(N_QUERIES))
+    assert pq.groupby("query_id").size().eq(TOP_K).all()
+
+    e = _vectors(spark, sf).select("vec_id", "v")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    l2 = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), "vec_id")
+    exact = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", l2.alias("d2"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .toPandas()
+    )
+    hits = 0
+    for qid in range(N_QUERIES):
+        got = set(pq[pq.query_id == qid].neighbor_id)
+        truth = set(exact[exact.query_id == qid].vec_id)
+        hits += len(got & truth)
+    recall = hits / (N_QUERIES * TOP_K)
+    assert recall >= 0.5, f"PQ recall@{TOP_K} too low: {recall}"
