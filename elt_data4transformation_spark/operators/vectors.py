@@ -201,7 +201,13 @@ def bucket_cosine_pairs(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
-    out_schema = "bucket long, id_a long, id_b long, cosine double"
+    # bucket keys aren't always numeric (language blocks, band keys):
+    # derive the output type from the input column instead of baking
+    # one in, or Arrow coercion fails in every bucket task
+    bucket_type = dict(df.dtypes)[bucket_col]
+    out_schema = (
+        f"bucket {bucket_type}, id_a long, id_b long, cosine double"
+    )
 
     def bucket_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np

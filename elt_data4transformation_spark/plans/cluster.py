@@ -1311,10 +1311,13 @@ def levenshtein_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         a.join(
-            # broadcast the build side: the title projection is tiny
-            # relative to the corpus, and a hash join keeps the spread
-            # probe partitioning — no shuffle of the pair stream
-            F.broadcast(b),
+            # no broadcast HINT: the build side has one row per
+            # document, so forcing it past autoBroadcastJoinThreshold
+            # would collect the whole corpus projection on the driver
+            # at scale. AQE broadcasts it at small SFs on its own (the
+            # projection is narrow) and falls back to a shuffle join
+            # when the corpus outgrows the threshold.
+            b,
             (F.col("_l") == F.col("_l2"))
             & (F.col("_b") == F.col("_b2"))
             & (F.col("doc_a") < F.col("doc_b")),

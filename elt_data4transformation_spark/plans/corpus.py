@@ -1123,8 +1123,9 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "entropy (H / log2 distinct) — the information-density quality "
     "signal complementing repetition_score's top-word fraction: "
     "boilerplate and keyword-stuffed documents score low, natural prose "
-    "high. One explode + two hash aggregations keyed by doc_id (all "
-    "shuffles on the same key -> single exchange), linear in corpus "
+    "high. One explode + (doc,token) aggregation, a doc-keyed window "
+    "for the totals, and the final doc aggregation — the last two "
+    "reuse the window's doc_id exchange; linear in corpus "
     "size; entropy rounded to 4dp on both engines so summation order "
     "cannot flip the hash. NULLIF guards the single-distinct-token "
     "degenerate doc (0/0) identically on both engines.",

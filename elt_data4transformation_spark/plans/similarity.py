@@ -674,9 +674,13 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seq_m = F.sequence(F.lit(0), F.lit(PQ_M - 1))
 
-    # encode: per subspace, argmin sub-L2 over the codes; first-min =
-    # lowest code id because bsubs is id-ordered and array_position
-    # returns the first match
+    # encode: per subspace, argmin sub-L2 over the codes. The argmin is
+    # array_min over (dist, code_idx) structs — lexicographic struct
+    # comparison gives (min dist, then lowest code id), and every
+    # sub-distance is computed exactly ONCE (an array_position(
+    # dists, array_min(dists)) formulation would evaluate the whole
+    # distance array twice: HOF lambdas sit outside common-
+    # subexpression elimination)
     def dists_for(m: F.Column) -> F.Column:
         return F.transform(
             F.col("bsubs"),
@@ -686,17 +690,24 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
 
+    def code_for(m: F.Column) -> F.Column:
+        scored = F.transform(
+            F.col("bsubs"),
+            lambda bs, i: F.struct(
+                sub_l2(
+                    F.element_at(F.col("vsubs"), m + 1),
+                    F.element_at(bs, m + 1),
+                ).alias("d"),
+                i.alias("i"),
+            ),
+        )
+        return F.array_min(scored)["i"].cast("int")
+
     def encode(base: DataFrame, book: DataFrame) -> DataFrame:
         return base.crossJoin(F.broadcast(book)).select(
             "vec_id",
             "vsubs",
-            F.transform(
-                seq_m,
-                lambda m: (
-                    F.array_position(dists_for(m), F.array_min(dists_for(m)))
-                    - 1
-                ).cast("int"),
-            ).alias("codes"),
+            F.transform(seq_m, code_for).alias("codes"),
         )
 
     ev = e.withColumn("vsubs", subs_of(F.col("v")))
@@ -706,13 +717,12 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # their seed slice — same refinement recipe as ann_ivf_topk,
     # applied per subspace
     refined = (
-        enc0.join(ev.select("vec_id", F.col("vsubs").alias("_vs")), "vec_id")
-        .select(F.posexplode("codes").alias("m", "code"), F.col("_vs"))
+        enc0.select(F.posexplode("codes").alias("m", "code"), F.col("vsubs"))
         .select(
             "m",
             "code",
             F.posexplode(
-                F.element_at(F.col("_vs"), F.col("m") + 1)
+                F.element_at(F.col("vsubs"), F.col("m") + 1)
             ).alias("d", "val"),
         )
         .groupBy("m", "code", "d")

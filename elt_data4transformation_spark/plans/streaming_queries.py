@@ -304,8 +304,15 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT user_id, event_id, ts FROM events
             WHERE event_type = 'purchase'
         ), wm AS (
-            SELECT LEAST((SELECT MAX(ts) FROM v), (SELECT MAX(ts) FROM p))
-                   - INTERVAL 1 HOUR AS w
+            -- NULL (never advances) when either side is empty: DuckDB's
+            -- LEAST would ignore the NULL max and release nulls, but
+            -- Spark's global watermark is the MIN of both sides and
+            -- stays at epoch if one stream has no rows
+            SELECT CASE WHEN (SELECT COUNT(*) FROM v) = 0
+                          OR (SELECT COUNT(*) FROM p) = 0 THEN NULL
+                        ELSE LEAST((SELECT MAX(ts) FROM v),
+                                   (SELECT MAX(ts) FROM p))
+                             - INTERVAL 1 HOUR END AS w
         ), m AS (
             SELECT v.user_id, v.event_id AS view_id, v.ts AS vts,
                    p.event_id AS purchase_id, p.ts AS pts

@@ -766,6 +766,12 @@ def _train_bpe(spark: SparkSession, sf_dir: str):
             .agg(F.sum("cnt").alias("n"))
         )
         best = pair_counts.orderBy(F.desc("n"), F.asc("pr")).first()
+        if best is None:
+            # every word collapsed to a single symbol — no pairs left.
+            # The unrolled oracle degrades the same way: an empty m{i}
+            # contributes no merge row and NULL-poisons later stages,
+            # so both sides stop emitting merges at the same round.
+            break
         merges.append((step, best["pr"], best["pr"].replace(" ", ""), int(best["n"])))
         w = w.withColumn(
             "s",
@@ -793,12 +799,18 @@ def _train_bpe(spark: SparkSession, sf_dir: str):
     "sized, not corpus-sized — the classic BPE trick), the winning "
     "pair is the only row the driver sees (loop control, like "
     "dedup_components' convergence count), and the merge applies as a "
-    "pure string expression. Both engines apply merges with literal "
-    "space-delimited REPLACE, which is left-to-right non-overlapping "
-    "on both — so greedy merge semantics (including the 'a a a' "
-    "overlap case) agree exactly; the oracle unrolls the loop into "
-    "generated CTE stages like the kmeans oracle. localCheckpoint per "
-    "round keeps the re-planned tree constant-size.",
+    "pure string expression. Merge application is SINGLE-PASS "
+    "left-to-right non-overlapping REPLACE on both engines — for a "
+    "run of the same pair >= 4 symbols ('x x x x') one pass yields "
+    "'xx x x' where classic greedy BPE yields 'xx xx' (the consumed "
+    "separator can't start the next match). Declared deviation: both "
+    "engines share the semantics exactly (so the oracle hash is "
+    "meaningful), and 4-runs of one pair are rare in natural text; a "
+    "fixpoint re-application per round would restore classic greedy "
+    "at the cost of unbounded oracle unrolling. The oracle unrolls "
+    "the training loop into generated CTE stages like the kmeans "
+    "oracle; localCheckpoint per round keeps the re-planned tree "
+    "constant-size.",
 )
 def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, merges = _train_bpe(spark, sf_dir)

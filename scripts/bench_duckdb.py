@@ -45,14 +45,17 @@ def main() -> None:
             print(f"# duckdb FAILED {name}: {exc}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0  # non-sf-suffixed dir; never discard the timings
     line = json.dumps(
         {
             "metric": "duckdb_oracle_wall_sec",
             "value": total,
             "unit": "sec",
             "queries": timings,
-            "sf": float(sf),
+            "sf": sf,
             "n_queries": len(timings),
         }
     )
