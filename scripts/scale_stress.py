@@ -70,6 +70,9 @@ QUERIES = [
     "levenshtein_titles",
     "grouping_sets_orders",
     "stratified_sample",
+    "ann_pq_topk",
+    "bpe_encode",
+    "cdc_aggregate_maintain",
 ]
 
 # override the query list: SCALE_STRESS_QUERIES="a,b,c"
