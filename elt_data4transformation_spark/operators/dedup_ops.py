@@ -12,6 +12,13 @@
 Reference analog: T5 trigram title dedup
 (migrations/0006_title_dedup.sql:51-72) — pg_trgm's similarity index
 becomes LSH banding + exact re-score.
+
+Cache ownership: operators persist() bounded intermediates (posting
+lists, band tables, candidate pairs) and deliberately do NOT unpersist
+before returning — the returned plan still references them lazily.
+The CALLER owns cache lifetime: bench.py and the audit scripts call
+spark.catalog.clearCache() between queries, and the test suite clears
+after every test (conftest autouse fixture).
 """
 
 from __future__ import annotations

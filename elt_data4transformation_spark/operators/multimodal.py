@@ -16,6 +16,8 @@ mimes — swap in PIL/ffmpeg at deployment and nothing else changes.
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -228,7 +230,12 @@ def decode_png_features(df: DataFrame) -> DataFrame:
             ):
                 try:
                     feats = _decode_real(bytes(payload), meta["mime"])
-                except ValueError:
+                except (
+                    ValueError,       # malformed chunk structure
+                    zlib.error,       # CRC-valid but truncated IDAT
+                    struct.error,     # short IHDR
+                    NotImplementedError,  # non-PNG mime routed here
+                ):
                     feats = _null_feats
                 rows.append({"doc_id": doc_id, **feats})
             yield pd.DataFrame(
@@ -305,31 +312,44 @@ def decode_wav_features(df: DataFrame) -> DataFrame:
 
     import numpy as np
 
+    _null_row = {
+        "n_samples": None, "duration_s": None,
+        "mean_abs": None, "peak": None,
+    }
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                with wave.open(io.BytesIO(bytes(payload)), "rb") as wf:
-                    # explicit (not assert — stripped under -O): a
-                    # stereo/non-16-bit payload would silently misparse
-                    if wf.getnchannels() != 1 or wf.getsampwidth() != 2:
-                        raise ValueError(
-                            "expected mono 16-bit PCM, got "
-                            f"{wf.getnchannels()}ch/{wf.getsampwidth()*8}bit"
-                        )
-                    rate = wf.getframerate()
-                    pcm = np.frombuffer(
-                        wf.readframes(wf.getnframes()), dtype="<i2"
-                    ).astype(np.int64)
-                rows.append(
-                    {
-                        "doc_id": doc_id,
+                # same NULL-row quarantine policy as decode_png_features:
+                # a corrupt/truncated RIFF, a stereo/non-16-bit payload,
+                # an empty signal, or a zero framerate must yield a NULL
+                # feature row, never kill the stage
+                try:
+                    with wave.open(io.BytesIO(bytes(payload)), "rb") as wf:
+                        # explicit (not assert — stripped under -O): a
+                        # stereo/non-16-bit payload would silently misparse
+                        if wf.getnchannels() != 1 or wf.getsampwidth() != 2:
+                            raise ValueError(
+                                "expected mono 16-bit PCM, got "
+                                f"{wf.getnchannels()}ch/"
+                                f"{wf.getsampwidth()*8}bit"
+                            )
+                        rate = wf.getframerate()
+                        pcm = np.frombuffer(
+                            wf.readframes(wf.getnframes()), dtype="<i2"
+                        ).astype(np.int64)
+                    if rate <= 0 or len(pcm) == 0:
+                        raise ValueError("empty signal or zero framerate")
+                    feats = {
                         "n_samples": len(pcm),
                         "duration_s": len(pcm) / rate,
                         "mean_abs": float(np.abs(pcm).mean()),
                         "peak": int(np.abs(pcm).max()),
                     }
-                )
+                except (wave.Error, ValueError, EOFError, struct.error):
+                    feats = _null_row
+                rows.append({"doc_id": doc_id, **feats})
             yield pd.DataFrame(
                 rows,
                 columns=[

@@ -730,9 +730,15 @@ def _fuzzy_rows_sql() -> str:
             SELECT CAST(SUBSTR(cid_s, 2) AS BIGINT) AS cur_id,
                    CAST(SUBSTR(pid_s, 2) AS BIGINT) AS prev_id, sim
             FROM (
+                -- ROUND BEFORE gating/ranking: the dot product is a
+                -- float sum whose partial-aggregation order differs
+                -- between engines; an unrounded >= gate or ORDER BY sim
+                -- could flip a near-threshold pair or the best-match
+                -- pick (same round-before-compare rule as pagerank /
+                -- kmeans)
                 SELECT c.id AS cid_s, p.id AS pid_s,
-                       SUM(c.w * p.w)
-                       / (ANY_VALUE(c.nrm) * ANY_VALUE(p.nrm)) AS sim
+                       ROUND(SUM(c.w * p.w)
+                       / (ANY_VALUE(c.nrm) * ANY_VALUE(p.nrm)), 6) AS sim
                 FROM vecp c JOIN vecp p
                   ON c.term = p.term AND c.position = p.position
                 WHERE c.id LIKE 'c%' AND p.id LIKE 'p%'
@@ -877,9 +883,12 @@ def snapshot_fuzzy_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("c.nid").alias("cur_id"), F.col("p.nid").alias("prev_id"))
         .agg(
-            (
+            # round BEFORE the gate and the best-match ordering — float
+            # summation order differs across engines (see oracle note)
+            F.round(
                 F.sum(F.col("c.w") * F.col("p.w"))
-                / (F.first(F.col("c.nrm")) * F.first(F.col("p.nrm")))
+                / (F.first(F.col("c.nrm")) * F.first(F.col("p.nrm"))),
+                6,
             ).alias("sim")
         )
         .filter(F.col("sim") >= _FUZZY_THRESHOLD)

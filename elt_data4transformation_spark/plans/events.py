@@ -243,7 +243,7 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("p_ts"))
     )
 
-    def lag_hours(child: DataFrame, a: str, b: str) -> F.Column:
+    def lag_hours(a: str, b: str) -> F.Column:
         return F.round(
             F.avg(
                 (F.unix_timestamp(b) - F.unix_timestamp(a)) / F.lit(3600.0)
@@ -263,7 +263,7 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(2).alias("ord"),
             F.lit("view_after_signup").alias("stage"),
             F.count(F.lit(1)).alias("n_users"),
-            lag_hours(v, "s_ts", "v_ts").alias("avg_hours_from_prev"),
+            lag_hours("s_ts", "v_ts").alias("avg_hours_from_prev"),
         )
     )
     row3 = (
@@ -272,7 +272,7 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(3).alias("ord"),
             F.lit("purchase_after_view").alias("stage"),
             F.count(F.lit(1)).alias("n_users"),
-            lag_hours(p, "v_ts", "p_ts").alias("avg_hours_from_prev"),
+            lag_hours("v_ts", "p_ts").alias("avg_hours_from_prev"),
         )
     )
     return (

@@ -272,9 +272,15 @@ _FRAME_SIZE, _FRAME_STRIDE, _FRAME_NTH = 64, 256, 2
     "multimodal_framesample",
     oracle=f"""
         WITH docs AS (
+            -- ASCII gate: the Spark side frames UTF-8 BYTES of the
+            -- payload while SQL SUBSTRING counts CHARACTERS; restrict
+            -- both sides to ASCII docs so bytes == chars by
+            -- construction (a non-ASCII doc would silently shift every
+            -- byte offset after the first multibyte char)
             SELECT doc_id, text, LENGTH(text) AS n_bytes
             FROM documents
             WHERE LENGTH(text) >= {_FRAME_SIZE}
+              AND NOT REGEXP_MATCHES(text, '[^\\x00-\\x7F]')
         ),
         frames AS (
             SELECT doc_id, text,
@@ -303,7 +309,10 @@ _FRAME_SIZE, _FRAME_STRIDE, _FRAME_NTH = 64, 256, 2
 )
 def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(table(spark, sf_dir, "documents")).filter(
-        F.length("text") >= _FRAME_SIZE
+        (F.length("text") >= _FRAME_SIZE)
+        # ASCII gate, mirrored in the oracle: frames are BYTE-addressed
+        # on this side but character-addressed in SQL
+        & ~F.col("text").rlike(r"[^\x00-\x7F]")
     )
     binary = multimodal.with_binary_payload(d, "doc_id", "text")
     return multimodal.sample_frames(

@@ -481,8 +481,14 @@ def forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  ORDER BY ts, event_id) AS prev_ts
             FROM events
         ), flagged AS (
+            -- microsecond-exact gap compare (ts - prev_ts is a full-
+            -- precision INTERVAL): DATEDIFF('second', ...) would
+            -- truncate, so a 1800.5 s gap would merge here while
+            -- Spark's session_window splits — latent hash break on
+            -- any fixture containing such a gap (sessionize is safe:
+            -- it second-truncates on BOTH sides)
             SELECT *, CASE WHEN prev_ts IS NULL
-                             OR DATEDIFF('second', prev_ts, ts) > 1800
+                             OR ts - prev_ts > INTERVAL '30 minutes'
                            THEN 1 ELSE 0 END AS is_new
             FROM seq
         ), sess AS (

@@ -22,6 +22,17 @@ def spark():
     yield s
 
 
+@pytest.fixture(autouse=True)
+def _release_cached_blocks(request):
+    """Operators persist() bounded intermediates (posting lists, LSH
+    candidates, term vectors) and leave cache lifetime to the caller —
+    bench.py clearCache()s between queries; do the same between tests
+    so 300 tests in one session can't accumulate pinned blocks."""
+    yield
+    if "spark" in request.fixturenames:
+        request.getfixturevalue("spark").catalog.clearCache()
+
+
 @pytest.fixture(scope="session")
 def oracle_con():
     con = duckdb.connect()

@@ -1014,9 +1014,6 @@ def test_pack_sequences_bin_boundaries(spark, tmp_path):
 def test_mixture_resample_rates_and_determinism(spark, tmp_path):
     from elt_data4transformation_spark.plans import REGISTRY
 
-    rows = [
-        (i, "t", "en", f"src{s}", 1) for i in range(300) for s in (0, 1, 2)
-    ]
     rows = [(i * 3 + s, "t", "en", f"src{s}", 1) for i in range(300) for s in (0, 1, 2)]
     sf = _write_docs(spark, tmp_path, rows)
     out = {r["source"]: r for r in REGISTRY["mixture_resample"].fn(spark, sf).collect()}
@@ -2564,3 +2561,78 @@ def test_ann_pq_recall_vs_exact_l2(spark):
         hits += len(got & truth)
     recall = hits / (N_QUERIES * TOP_K)
     assert recall >= 0.5, f"PQ recall@{TOP_K} too low: {recall}"
+
+
+def test_media_decode_quarantines_all_failure_classes(spark):
+    """One bad payload must NEVER kill a decode stage: truncated-IDAT
+    PNGs (zlib.error with valid per-chunk CRCs), non-PNG mimes
+    (NotImplementedError), corrupt RIFF and zero-rate WAVs all land as
+    NULL-feature rows."""
+    import io
+    import struct
+    import wave
+    import zlib
+
+    from elt_data4transformation_spark.operators import pngcodec
+    from elt_data4transformation_spark.operators.multimodal import (
+        PNG_SCHEMA,
+        decode_png_features,
+        decode_wav_features,
+    )
+
+    # CRC-valid truncated PNG: rebuild with only the first IDAT bytes
+    good = pngcodec.write_png(4, 4, bytes(48))
+
+    def chunks(b):
+        i = 8
+        while i < len(b):
+            (ln,) = struct.unpack(">I", b[i : i + 4])
+            typ = b[i + 4 : i + 8]
+            yield typ, b[i + 8 : i + 8 + ln]
+            i += 12 + ln
+
+    def chunk(typ, data):
+        crc = zlib.crc32(typ + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + typ + data + struct.pack(">I", crc)
+
+    parts = dict(chunks(good))
+    truncated = (
+        good[:8]
+        + chunk(b"IHDR", parts[b"IHDR"])
+        + chunk(b"IDAT", parts[b"IDAT"][: len(parts[b"IDAT"]) // 2])
+        + chunk(b"IEND", b"")
+    )
+    rows = [
+        (1, truncated, {"mime": "image/png", "n_bytes": len(truncated)}),
+        (2, good, {"mime": "video/mp4", "n_bytes": len(good)}),
+        (3, good, {"mime": "image/png", "n_bytes": len(good)}),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in decode_png_features(
+            spark.createDataFrame(rows, PNG_SCHEMA)
+        ).collect()
+    }
+    assert out[1]["width"] is None  # truncated IDAT quarantined
+    assert out[2]["width"] is None  # non-PNG mime quarantined
+    assert out[3]["width"] == 4  # good row still decodes
+
+    # WAV: garbage payload + zero-framerate payload quarantined
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(b"\x01\x00\x02\x00")
+    wav_rows = [
+        (1, b"not a wav at all", {"mime": "audio/wav", "n_bytes": 16}),
+        (2, buf.getvalue(), {"mime": "audio/wav", "n_bytes": 44}),
+    ]
+    wout = {
+        r["doc_id"]: r
+        for r in decode_wav_features(
+            spark.createDataFrame(wav_rows, PNG_SCHEMA)
+        ).collect()
+    }
+    assert wout[1]["n_samples"] is None
+    assert wout[2]["n_samples"] == 2
