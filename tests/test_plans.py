@@ -136,3 +136,90 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# --- round-2 cross-operator invariants -------------------------------------
+
+
+def test_containment_dominates_jaccard_everywhere(spark):
+    """|A∩B|/min >= |A∩B|/|A∪B| for every pair, and both in (0, 1]."""
+    from pyspark.sql import functions as F
+
+    from elt_data4transformation_spark.functions import textfns as T
+    from elt_data4transformation_spark.operators.dedup_ops import (
+        jaccard_pairs,
+    )
+    from elt_data4transformation_spark.sources import spread, table
+
+    d = spread(table(spark, "/root/testdata/sf0.001", "documents"))
+    g = d.select(
+        "doc_id",
+        "lang",
+        T.word_ngrams_col(3, T.words_col()).alias("grams"),
+    ).filter(F.size(T.words_col()) >= 3)
+    pdf = (
+        jaccard_pairs(g, "doc_id", "grams", block_col="lang")
+        .withColumn(
+            "cont",
+            F.col("inter_size").cast("double") / F.least("n_a", "n_b"),
+        )
+        .select("jac", "cont")
+        .toPandas()
+    )
+    assert len(pdf) > 0
+    assert (pdf.cont >= pdf.jac - 1e-12).all()
+    assert ((pdf.jac > 0) & (pdf.cont <= 1.0 + 1e-12)).all()
+
+
+def test_bigram_lm_probability_mass_bounded(spark):
+    """Kept continuations' probability mass never exceeds 1 per
+    context (ctx_n counts ALL continuations, kept or not)."""
+    from elt_data4transformation_spark.plans.text import bigram_lm
+
+    pdf = bigram_lm(spark, "/root/testdata/sf0.001").toPandas()
+    mass = pdf.groupby("context").prob.sum()
+    assert (mass <= 1.0 + 1e-6).all()
+
+
+def test_stratified_sample_exact_k_disjoint_deterministic(spark):
+    """Exactly min(k, stratum size) rows per language, no doc sampled
+    twice, and two runs agree row-for-row."""
+    from elt_data4transformation_spark.plans.corpus import (
+        _STRAT_K,
+        stratified_sample,
+    )
+
+    a = stratified_sample(spark, "/root/testdata/sf0.001").toPandas()
+    b = stratified_sample(spark, "/root/testdata/sf0.001").toPandas()
+    assert a.equals(b)
+    sizes = a.groupby("lang").size()
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .groupBy("lang")
+        .count()
+        .toPandas()
+        .set_index("lang")["count"]
+    )
+    for lang, n in sizes.items():
+        assert n == min(_STRAT_K, docs[lang])
+    assert a.doc_id.is_unique
+
+
+def test_cluster_canonical_token_accounting_vs_components(spark):
+    """cluster_canonical's member count must agree with
+    dedup_components' component sizes for every multi-member
+    component (singletons are canonical-only rows)."""
+    from elt_data4transformation_spark.plans.dedup import (
+        cluster_canonical,
+        dedup_components,
+    )
+
+    canon = (
+        cluster_canonical(spark, "/root/testdata/sf0.001")
+        .toPandas()
+        .set_index("component")
+    )
+    comp = dedup_components(spark, "/root/testdata/sf0.001").toPandas()
+    sizes = comp.groupby("component").size()
+    for cid, n in sizes.items():
+        assert canon.loc[cid, "n_members"] == n
