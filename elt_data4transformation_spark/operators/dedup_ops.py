@@ -167,6 +167,70 @@ def band_table(sig: DataFrame, id_col: str, n_bands: int) -> DataFrame:
     ).select(id_col, "bd.band_idx", "bd.band_key")
 
 
+def capped_band_candidates(
+    bands: DataFrame, id_col: str = "_id", max_bucket: int | None = None
+) -> DataFrame:
+    """Candidate pairs (doc_a < doc_b) from a long-form (id, band_idx,
+    band_key) table, with the MEGA-BUCKET FAN-OUT CAP.
+
+    A band bucket of width w emits w*(w-1)/2 pairs — a 100 TB crawl
+    WILL contain boilerplate mega-clusters (cookie banners, licence
+    pages) whose buckets make that quadratic. Buckets wider than
+    ``max_bucket`` therefore fall back to a deterministic HUB STAR:
+    (bucket-min id, member) — w-1 pairs instead of w^2/2, preserving
+    the bucket's connectivity through the hub (after the exact
+    re-score, every member that truly is a near-dup of the hub stays
+    in the hub's component). Recall cost: a member-member pair of a
+    mega bucket that is NOT near-dup to the hub and shares no other
+    band is lost — measured and asserted in tests. ``None`` disables
+    the cap (legacy all-pairs)."""
+    a = bands.alias("a")
+    b = bands.alias("b")
+    if max_bucket is None:
+        return (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"),
+            )
+            .distinct()
+        )
+    # bucket widths + hubs: one aggregate on the same (band_idx,
+    # band_key) key the candidate join shuffles on — the width table is
+    # one row per bucket, joined back on that key (no extra shuffle of
+    # the bands table under AQE's reused exchange)
+    widths = bands.groupBy("band_idx", "band_key").agg(
+        F.count(F.lit(1)).alias("_w"), F.min(id_col).alias("_hub")
+    )
+    ok = widths.filter(F.col("_w") <= max_bucket).select("band_idx", "band_key")
+    okb = bands.join(ok, ["band_idx", "band_key"], "left_semi")
+    oa = okb.alias("a")
+    ob = okb.alias("b")
+    normal = oa.join(
+        ob,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("doc_a"),
+        F.col(f"b.{id_col}").alias("doc_b"),
+    )
+    mega = widths.filter(F.col("_w") > max_bucket).select(
+        "band_idx", "band_key", "_hub"
+    )
+    star = (
+        bands.join(mega, ["band_idx", "band_key"])
+        .filter(F.col(id_col) > F.col("_hub"))
+        .select(F.col("_hub").alias("doc_a"), F.col(id_col).alias("doc_b"))
+    )
+    return normal.unionByName(star).distinct()
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str,
@@ -175,9 +239,13 @@ def minhash_lsh_pairs(
     n_hashes: int = 8,
     n_bands: int = 2,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs with exact-Jaccard re-score >= threshold.
     Output: doc_a, doc_b, jaccard_raw (unrounded).
+
+    ``max_bucket`` bounds per-band-bucket candidate fan-out (see
+    capped_band_candidates — mega buckets degrade to a hub star).
 
     Cost shape: the full-corpus shingle arrays are never persisted or
     shuffled — signatures consume them inline in one scan, and the
@@ -199,17 +267,8 @@ def minhash_lsh_pairs(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     bands.count()  # eager: concurrent self-join sides can't dedupe a cold cache
-    a = bands.alias("a")
-    b = bands.alias("b")
     cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
-        .distinct()
+        capped_band_candidates(bands, "_id", max_bucket)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cand.count()  # eager: ids feed the semi-join below

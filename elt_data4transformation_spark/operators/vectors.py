@@ -97,8 +97,15 @@ def cosine_pairs(
     threshold: float = 0.9,
     block_size: int = 4096,
     carry_cols: tuple[str, ...] = (),
+    round_dp: int | None = None,
+    expected_dim: int | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine >= threshold.
+
+    NULL / mis-sized vectors are quarantined before blocking (see
+    bucket_cosine_pairs); ``round_dp`` rounds the cosine BEFORE the
+    threshold gate so an oracle computing cosine in a different float
+    summation order agrees on keep/drop (round-before-compare rule).
 
     Emits columns: id_a, id_b, cosine (+ carried cols as <c>_a / <c>_b).
     """
@@ -107,7 +114,19 @@ def cosine_pairs(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
         *[F.col(c) for c in carry_cols],
-    ).withColumn("_g", F.floor(F.col("_id") / block_size).cast("long"))
+    ).filter(F.col("_v").isNotNull())
+    if expected_dim is not None:
+        tagged = tagged.filter(F.size("_v") == expected_dim)
+    else:
+        dims = tagged.groupBy().agg(F.max(F.size("_v")).alias("_dim"))
+        tagged = (
+            tagged.join(F.broadcast(dims))
+            .filter(F.size("_v") == F.col("_dim"))
+            .drop("_dim")
+        )
+    tagged = tagged.withColumn(
+        "_g", F.floor(F.col("_id") / block_size).cast("long")
+    )
 
     gids = tagged.select("_g").distinct()
     block_pairs = (
@@ -155,6 +174,8 @@ def cosine_pairs(
         na = ma / np.linalg.norm(ma, axis=1, keepdims=True)
         nb = mb / np.linalg.norm(mb, axis=1, keepdims=True)
         sims = na @ nb.T
+        if round_dp is not None:
+            sims = np.round(sims, round_dp)
         ia, ib = (sims >= threshold).nonzero()
         ids_a = a["_id"].to_numpy()[ia]
         ids_b = b["_id"].to_numpy()[ib]
@@ -184,6 +205,8 @@ def bucket_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "v",
     threshold: float = 0.9,
+    round_dp: int | None = None,
+    expected_dim: int | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) WITHIN each bucket with cosine >=
     threshold — the vectorized inner loop of cluster-then-compare
@@ -194,13 +217,35 @@ def bucket_cosine_pairs(
     here their rows simply produce no pair because NaN >= threshold is
     False — identical keep/prune outcome.
 
+    NULL and mis-sized vectors are QUARANTINED (dropped before the
+    grouped map) rather than allowed to kill the stage inside
+    np.stack — same exclusion policy as the decode operators. The
+    expected dimension is ``expected_dim`` when the caller knows it,
+    else the corpus-wide max vector size (one tiny scalar aggregate,
+    broadcast).
+
+    ``round_dp``: round the cosine BEFORE applying the threshold —
+    callers whose oracle computes cosine with a different float
+    summation order (BLAS matmul here vs an ordered fold in SQL) must
+    gate on identically-rounded values or a near-threshold pair can
+    flip keep/prune between engines (repo round-before-compare rule).
+
     Emits: bucket, id_a, id_b, cosine.
     """
     tagged = df.select(
         F.col(bucket_col).alias("_bk"),
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
-    )
+    ).filter(F.col("_v").isNotNull())
+    if expected_dim is not None:
+        tagged = tagged.filter(F.size("_v") == expected_dim)
+    else:
+        dims = tagged.groupBy().agg(F.max(F.size("_v")).alias("_dim"))
+        tagged = (
+            tagged.join(F.broadcast(dims))
+            .filter(F.size("_v") == F.col("_dim"))
+            .drop("_dim")
+        )
     # bucket keys aren't always numeric (language blocks, band keys):
     # derive the output type from the input column instead of baking
     # one in, or Arrow coercion fails in every bucket task
@@ -219,6 +264,8 @@ def bucket_cosine_pairs(
         with np.errstate(divide="ignore", invalid="ignore"):
             nm = m / norms
         sims = nm @ nm.T
+        if round_dp is not None:
+            sims = np.round(sims, round_dp)
         ia, ib = np.triu_indices(len(ids), k=1)
         mask = sims[ia, ib] >= threshold  # NaN (zero vector) -> False
         return pd.DataFrame(

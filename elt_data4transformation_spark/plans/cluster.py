@@ -463,6 +463,12 @@ def findings_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- T9: greedy single-linkage clustering (driver-side by design) ---------
 
 _CLUSTER_THRESHOLD = 0.5
+# Hard ceiling for the driver-side collect: the reference's distinct-
+# question set is ~10^3 (postgres.py:961-966); 200k rows of short
+# questions is still comfortably driver-sized, while anything larger
+# means the input is NOT the bounded question table this operator is
+# specified for — fail fast and point at the distributed variant.
+GREEDY_MAX_ROWS = 200_000
 
 
 def _jaccard(a: frozenset[str], b: frozenset[str]) -> float:
@@ -503,6 +509,19 @@ def greedy_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("first_seen"))
         .orderBy("first_seen")
     )
+    # ENFORCED ceiling (not just documented): count before collecting.
+    # Above the bound the sequential first-cluster-wins semantics this
+    # operator exists to reproduce is the wrong tool anyway — the
+    # distributed transitive-closure variant (dedup_components) is the
+    # declared 100 TB path.
+    n_questions = q.count()
+    if n_questions > GREEDY_MAX_ROWS:
+        raise ValueError(
+            f"greedy_cluster: {n_questions} distinct questions exceeds "
+            f"the driver-side ceiling of {GREEDY_MAX_ROWS}; use the "
+            "distributed connected-components path (dedup_components) "
+            "for corpora of this size"
+        )
     rows = q.collect()  # bounded distinct-question set, by design (see doc)
     clusters: list[list[frozenset[str]]] = []
     assignment: dict[str, int] = {}

@@ -25,6 +25,38 @@ from .registry import register
 N_MINHASH = 8
 N_BANDS = 2  # 4 hashes per band
 SHINGLE = 5
+# Mega-bucket fan-out cap: a band bucket wider than this degrades to a
+# hub star (bucket-min id vs each member) instead of all pairs — the
+# boilerplate-mega-cluster guard a 100 TB crawl needs. 64 is above the
+# widest bucket the driver's correctness SF produces (29 at sf0.01, so
+# capped and uncapped rows are identical there) and well below the
+# mega buckets that appear from sf0.1 up (307-wide at sf0.1 = ~47k
+# pairs from ONE bucket without the cap).
+LSH_MAX_BUCKET = 64
+
+
+def _capped_cand_sql(cap: int = LSH_MAX_BUCKET) -> str:
+    """DuckDB twin of operators/dedup_ops.capped_band_candidates: the
+    ``widths`` + ``cand`` CTE pair over an existing ``bands`` CTE."""
+    return f"""widths AS (
+            SELECT band_idx, band_key, COUNT(*) AS w, MIN(doc_id) AS hub
+            FROM bands GROUP BY band_idx, band_key
+        ),
+        cand AS (
+            SELECT DISTINCT doc_a, doc_b FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a
+                JOIN bands b ON a.band_idx = b.band_idx
+                 AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+                JOIN widths w ON w.band_idx = a.band_idx
+                 AND w.band_key = a.band_key AND w.w <= {cap}
+                UNION ALL
+                SELECT w.hub AS doc_a, b.doc_id AS doc_b
+                FROM bands b JOIN widths w
+                  ON w.band_idx = b.band_idx AND w.band_key = b.band_key
+                 AND w.w > {cap} AND b.doc_id > w.hub
+            )
+        )"""
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -129,12 +161,7 @@ def _minhash_pairs_oracle() -> str:
     return f"""
         WITH sh AS ({sh}), dg AS ({dg}), sig AS ({sig}),
         bands AS ({band_selects}),
-        cand AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a JOIN bands b
-              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-             AND a.doc_id < b.doc_id
-        )
+        {_capped_cand_sql()}
         SELECT c.doc_a, c.doc_b,
                ROUND(CAST(LEN(LIST_INTERSECT(sa.shingles, sb.shingles)) AS DOUBLE)
                      / LEN(LIST_DISTINCT(LIST_CONCAT(sa.shingles, sb.shingles))), 6)
@@ -156,7 +183,9 @@ def _minhash_pairs_oracle() -> str:
     "candidates, exact shingle-Jaccard >= 0.5 re-score keeps precision — "
     "the scale path for T5 trigram dedup (migrations/0006_title_dedup.sql:"
     "51-72: similarity >= 0.85 best-match). Candidate generation never "
-    "cross-joins; see tests for synthetic near-dup coverage.",
+    f"cross-joins, and buckets wider than {LSH_MAX_BUCKET} degrade to a "
+    "hub star (mega-cluster fan-out cap, mirrored in the oracle); see "
+    "tests for synthetic near-dup + mega-cluster coverage.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_ops.minhash_lsh_pairs(
@@ -167,6 +196,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_hashes=N_MINHASH,
         n_bands=N_BANDS,
         threshold=0.5,
+        max_bucket=LSH_MAX_BUCKET,
     )
     return (
         pairs.select("doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard"))
@@ -263,11 +293,14 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
             FROM embeddings
         )
+        -- ROUND BEFORE the gate: Spark scores these pairs with a BLAS
+        -- matmul, DuckDB with an ordered fold; both engines gate on the
+        -- 6dp-rounded cosine so a near-threshold pair cannot flip
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                a.label AS label_a, b.label AS label_b,
                ROUND({vectors.cosine_sql('a.v', 'b.v')}, 6) AS cosine
         FROM e a JOIN e b ON a.vec_id < b.vec_id
-        WHERE {vectors.cosine_sql('a.v', 'b.v')} >= 0.45
+        WHERE ROUND({vectors.cosine_sql('a.v', 'b.v')}, 6) >= 0.45
         ORDER BY vec_a, vec_b
     """,
     tags=("dedup", "similarity"),
@@ -282,7 +315,13 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", F.col("embedding").alias("v")
     )
     pairs = vectors.cosine_pairs(
-        e, id_col="vec_id", vec_col="v", threshold=0.45, carry_cols=("label",)
+        e,
+        id_col="vec_id",
+        vec_col="v",
+        threshold=0.45,
+        carry_cols=("label",),
+        round_dp=6,  # gate both engines on the 6dp-rounded cosine
+        expected_dim=64,
     )
     return (
         pairs.select(
@@ -310,12 +349,7 @@ def _components_cte() -> str:
     )
     return f"""sh AS ({sh}), dg AS ({dg}), sig AS ({sig}),
         bands AS ({bands}),
-        cand AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a JOIN bands b
-              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-             AND a.doc_id < b.doc_id
-        ),
+        {_capped_cand_sql()},
         edges AS (
             SELECT c.doc_a, c.doc_b
             FROM cand c
@@ -387,6 +421,7 @@ def _lsh_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_hashes=N_MINHASH,
         n_bands=N_BANDS,
         threshold=0.5,
+        max_bucket=LSH_MAX_BUCKET,
     ).select("doc_a", "doc_b")
 
 

@@ -23,6 +23,7 @@ from .registry import register
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
 N_CENTROIDS = 16  # vec_id < 16 seed the IVF buckets
+EMB_DIM = 64  # testdata embedding dimensionality (TESTDATA.md)
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -232,11 +233,16 @@ SEM_TAU = 0.4  # within-bucket cosine above which the larger id is pruned
                 FROM e CROSS JOIN cent
             ) WHERE crn = 1
         ), pairs AS (
+            -- ROUND BEFORE the gate: Spark computes this cosine as a
+            -- BLAS matmul over pre-normalized vectors, DuckDB as an
+            -- ordered fold — gating both engines on the 6dp-rounded
+            -- value keeps a near-threshold pair from flipping
+            -- keep/prune (round-before-compare rule)
             SELECT a.vec_id AS va, b.vec_id AS vb,
-                   {cosine_sql('a.v', 'b.v')} AS cos
+                   ROUND({cosine_sql('a.v', 'b.v')}, 6) AS cos
             FROM assigned a JOIN assigned b
               ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-            WHERE {cosine_sql('a.v', 'b.v')} >= {SEM_TAU}
+            WHERE ROUND({cosine_sql('a.v', 'b.v')}, 6) >= {SEM_TAU}
         ), pruned AS (
             SELECT vb AS vec_id, MIN(va) AS pruned_by,
                    ROUND(ARG_MIN(cos, va), 6) AS sim_to_kept
@@ -288,6 +294,10 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             id_col="vec_id",
             vec_col="v",
             threshold=SEM_TAU,
+            # gate on the 6dp-rounded cosine — the oracle's fold-order
+            # cosine and this matmul cosine agree only after rounding
+            round_dp=6,
+            expected_dim=EMB_DIM,
         )
         .select(
             F.col("id_a").alias("va"),
@@ -609,8 +619,12 @@ def _pq_oracle() -> str:
             FROM e q CROSS JOIN book2 b
             WHERE q.vec_id < {N_QUERIES}
         ), adc AS (
+            -- ROUND BEFORE the ranking: DuckDB's SUM adds the {PQ_M}
+            -- LUT terms in nondeterministic aggregation order while
+            -- Spark's zip_with fold is fixed-order — near-tied
+            -- neighbors must rank on identically-rounded distances
             SELECT l.query_id, en.vec_id AS neighbor_id,
-                   SUM(l.d2) AS adist
+                   ROUND(SUM(l.d2), 6) AS adist
             FROM encl en JOIN lut0 l ON l.m = en.m AND l.cid = en.code
             WHERE en.vec_id <> l.query_id
             GROUP BY l.query_id, en.vec_id
@@ -785,14 +799,21 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.aggregate(
-                F.zip_with(
-                    F.col("lut"),
-                    F.col("codes"),
-                    lambda lut_m, code_m: F.element_at(lut_m, code_m + 1),
+            # round BEFORE the row_number ordering — the oracle's SUM
+            # aggregation order differs from this fixed-order fold, so
+            # near-tied neighbors must rank on identically-rounded
+            # distances (round-before-compare rule)
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("lut"),
+                        F.col("codes"),
+                        lambda lut_m, code_m: F.element_at(lut_m, code_m + 1),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
                 ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+                6,
             ).alias("adist"),
         )
     )

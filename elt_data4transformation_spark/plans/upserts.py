@@ -562,7 +562,14 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT f.event_type,
                CAST(COUNT(*) AS BIGINT) AS n_rows,
-               ROUND(SUM(f.value), 4) AS total_value,
+               -- DECIMAL sum: the Spark side maintains this total as
+               -- base + inserts - deletes, which under double floats
+               -- differs from a from-scratch SUM by cancellation error;
+               -- exact fixed-point arithmetic makes maintained ==
+               -- recomputed EXACTLY (values are 2dp by construction, so
+               -- the cast itself is deterministic on both engines)
+               ROUND(CAST(SUM(CAST(f.value AS DECIMAL(18,2))) AS DOUBLE), 4)
+                   AS total_value,
                CAST(COALESCE(MAX(i.n_ins), 0) AS BIGINT) AS n_inserted,
                CAST(COALESCE(MAX(dl.n_del), 0) AS BIGINT)
                    AS n_deleted_applied
@@ -611,14 +618,21 @@ def cdc_aggregate_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         del_req, live["event_id"] == del_req["target_id"]
     ).select("event_type", "value")
 
+    # DECIMAL partial sums: base + inserts - deletes under doubles
+    # suffers cancellation error the oracle's from-scratch SUM doesn't,
+    # so at a rounding boundary the 4dp hash could break. Fixed-point
+    # sums make maintained state EXACTLY equal to a recompute (values
+    # are 2dp by construction, so the cast is deterministic).
+    dec = F.col("value").cast("decimal(18,2)")
+    zero_dec = F.lit(0).cast("decimal(28,2)")
     base_agg = base.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("b_n"), F.sum("value").alias("b_sum")
+        F.count(F.lit(1)).alias("b_n"), F.sum(dec).alias("b_sum")
     )
     ins_agg = inserts.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("i_n"), F.sum("value").alias("i_sum")
+        F.count(F.lit(1)).alias("i_n"), F.sum(dec).alias("i_sum")
     )
     del_agg = deleted.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("d_n"), F.sum("value").alias("d_sum")
+        F.count(F.lit(1)).alias("d_n"), F.sum(dec).alias("d_sum")
     )
     maintained = (
         base_agg.join(ins_agg, "event_type", "full_outer")
@@ -631,9 +645,11 @@ def cdc_aggregate_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.coalesce("d_n", F.lit(0))
             ).alias("n_rows"),
             F.round(
-                F.coalesce("b_sum", F.lit(0.0))
-                + F.coalesce("i_sum", F.lit(0.0))
-                - F.coalesce("d_sum", F.lit(0.0)),
+                (
+                    F.coalesce("b_sum", zero_dec)
+                    + F.coalesce("i_sum", zero_dec)
+                    - F.coalesce("d_sum", zero_dec)
+                ).cast("double"),
                 4,
             ).alias("total_value"),
             F.coalesce("i_n", F.lit(0)).alias("n_inserted"),

@@ -173,6 +173,69 @@ def test_minhash_lsh_finds_synthetic_neardups(spark):
     assert pairs[0]["jaccard_raw"] > 0.7
 
 
+def test_lsh_mega_bucket_cap_bounds_fanout_and_keeps_components(spark):
+    """The mega-cluster fan-out cap: a boilerplate cluster of N mutual
+    near-dups must emit O(N) star candidates, not O(N^2) pairs, while
+    the resulting connected component is IDENTICAL to the uncapped
+    run's (every member is near-dup to the hub, so the star keeps the
+    cluster connected); pairs among normal documents are untouched."""
+    from elt_data4transformation_spark.plans.dedup import (
+        _min_label_components,
+    )
+
+    boiler = (
+        "this website uses cookies to improve your experience please "
+        "accept our cookie policy to continue browsing the site today"
+    )
+    n_mega = 60
+    rows = [
+        # near-identical boilerplate: vary one trailing token so docs
+        # are near- (not exact-) dups, all mutually jaccard >= 0.5
+        (i, boiler + f" v{i % 3}")
+        for i in range(n_mega)
+    ]
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the spark engine shuffles partitions across the cluster"
+    )
+    rows += [(1000, base), (1001, base.replace("lazy", "sleepy"))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = dedup_ops.minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.5, max_bucket=16
+    )
+    uncapped = dedup_ops.minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.5
+    )
+    n_capped = capped.count()
+    n_uncapped = uncapped.count()
+    # fan-out bound: uncapped is quadratic in the mega cluster
+    # (~n_mega^2/2 pairs), capped is linear (star = n_mega-1 per band
+    # + the normal pair)
+    assert n_uncapped > n_mega * (n_mega - 1) / 4
+    assert n_capped <= 2 * n_mega + 5
+    # the normal near-dup pair survives the cap untouched
+    capped_pairs = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert (1000, 1001) in capped_pairs
+    # recall: components are IDENTICAL — the star keeps the mega
+    # cluster connected through the hub
+    comp_c = {
+        (r["doc_id"], r["component"])
+        for r in _min_label_components(
+            capped.select("doc_a", "doc_b")
+        ).collect()
+    }
+    comp_u = {
+        (r["doc_id"], r["component"])
+        for r in _min_label_components(
+            uncapped.select("doc_a", "doc_b")
+        ).collect()
+    }
+    assert comp_c == comp_u
+    mega_members = {d for d, c in comp_c if c == 0}
+    assert mega_members == set(range(n_mega))
+
+
 def test_jaccard_pairs_sparse_join(spark):
     sets = spark.createDataFrame(
         [
@@ -300,6 +363,21 @@ def test_greedy_cluster_order_dependence():
     assert _jaccard(a, b) == pytest.approx(3 / 5)
     assert _jaccard(a, frozenset()) == 0.0
     assert _jaccard(a, a) == 1.0
+
+
+def test_greedy_cluster_ceiling_enforced(spark, monkeypatch):
+    # The driver-side collect has a HARD guard, not just a documented
+    # ceiling: under the bound the query runs; above it, it raises and
+    # points at the distributed dedup_components path.
+    from elt_data4transformation_spark.plans import cluster as cl
+    from tests.conftest import SF_SMALL
+
+    out = cl.greedy_cluster(spark, SF_SMALL)
+    assert out.count() > 0  # under the ceiling: normal operation
+
+    monkeypatch.setattr(cl, "GREEDY_MAX_ROWS", 1)
+    with pytest.raises(ValueError, match="dedup_components"):
+        cl.greedy_cluster(spark, SF_SMALL)
 
 
 # --- export sink (S25) + identifier guard (P7) ----------------------------
