@@ -35,10 +35,21 @@ def jaccard_pairs(
     id_col: str,
     set_col: str,
     block_col: str | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Pairwise Jaccard over distinct-element array column ``set_col``,
     restricted to pairs sharing >= 1 element (sparse join), optionally
-    blocked by ``block_col``. Output: block, doc_a, doc_b, jac."""
+    blocked by ``block_col``. Output: block, doc_a, doc_b, jac (+
+    exact inter_size / n_a / n_b).
+
+    ``max_df`` is the HOT-TOKEN CAP for the inverted index (SCALE.md
+    joins section): tokens appearing in more than ``max_df`` documents
+    of a block are dropped from CANDIDATE GENERATION — they contribute
+    ~0 Jaccard discrimination but quadratic join fan-out. Candidates
+    then re-score EXACTLY on the full token sets (array_intersect), so
+    precision is unchanged; recall is lost only for pairs ALL of whose
+    shared tokens are hotter than the cap. ``None`` (default) keeps
+    the single-join count-based path with no rescore."""
     block = F.col(block_col) if block_col else F.lit("_all")
     base = sets_df.select(
         block.alias("_blk"),
@@ -54,32 +65,69 @@ def jaccard_pairs(
     tok = base.select(
         "_blk", "_id", "_n", F.explode("_set").alias("_tok")
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    a = tok.select(
+    join_tok = tok
+    if max_df is not None:
+        rare = (
+            tok.groupBy("_blk", "_tok")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("_blk", "_tok")
+        )
+        join_tok = tok.join(rare, ["_blk", "_tok"], "left_semi")
+    a = join_tok.select(
         F.col("_blk"),
         F.col("_id").alias("doc_a"),
         F.col("_n").alias("_na"),
         F.col("_tok"),
     )
-    b = tok.select(
+    b = join_tok.select(
         F.col("_blk").alias("_blk_b"),
         F.col("_id").alias("doc_b"),
         F.col("_n").alias("_nb"),
         F.col("_tok").alias("_tok_b"),
     )
-    inter = (
-        a.join(
-            b,
-            (F.col("_blk") == F.col("_blk_b"))
-            & (F.col("_tok") == F.col("_tok_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
-        )
-        .groupBy("_blk", "doc_a", "doc_b")
-        .agg(
+    joined = a.join(
+        b,
+        (F.col("_blk") == F.col("_blk_b"))
+        & (F.col("_tok") == F.col("_tok_b"))
+        & (F.col("doc_a") < F.col("doc_b")),
+    )
+    if max_df is None:
+        # no cap: every shared token survives the join, so the row
+        # count per pair IS the exact intersection size — no rescore
+        inter = joined.groupBy("_blk", "doc_a", "doc_b").agg(
             F.count(F.lit(1)).alias("_inter"),
             F.first("_na").alias("_na"),
             F.first("_nb").alias("_nb"),
         )
-    )
+    else:
+        # capped: the join undercounts (hot tokens removed), so it
+        # yields CANDIDATES only; re-score exactly on the full sets
+        cand = joined.select("_blk", "doc_a", "doc_b").distinct()
+        sa = base.select(
+            F.col("_id").alias("doc_a"),
+            F.col("_set").alias("_seta"),
+            F.col("_n").alias("_na"),
+        )
+        sb = base.select(
+            F.col("_id").alias("doc_b"),
+            F.col("_set").alias("_setb"),
+            F.col("_n").alias("_nb"),
+        )
+        inter = (
+            cand.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .select(
+                "_blk",
+                "doc_a",
+                "doc_b",
+                F.size(F.array_intersect("_seta", "_setb"))
+                .cast("long")
+                .alias("_inter"),
+                "_na",
+                "_nb",
+            )
+        )
     return inter.select(
         F.col("_blk").alias("block"),
         "doc_a",
@@ -306,6 +354,101 @@ def minhash_lsh_pairs(
         .withColumn("jaccard_raw", jac)
         .filter(F.col("jaccard_raw") >= threshold)
         .select("doc_a", "doc_b", "jaccard_raw")
+    )
+
+
+def write_band_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle: int = 5,
+    n_hashes: int = 8,
+    n_bands: int = 2,
+) -> None:
+    """Build and STORE the near-dup index as parquet artifacts — the
+    cross-run production shape: ``<path>/bands`` holds the long-form
+    (id, band_idx, band_key) LSH index, ``<path>/shingles`` the
+    (id, shingles, set size) needed for the exact re-score. A later
+    ingest probes these artifacts (probe_band_index) with work
+    proportional to the DELTA — the corpus is never re-shingled, not
+    even for matched rows, because the re-score reads stored shingles.
+
+    At cluster scale both artifacts would be bucketed by their join
+    key (band_key / id) so probes are shuffle-free; plain parquet here
+    (bucketed writes need a metastore table), partitioned by band_idx
+    so a probe that only generates some bands prunes the rest."""
+    sh = docs.select(
+        F.col(id_col).alias(id_col),
+        T.char_shingles_col(shingle, text_col).alias("shingles"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = minhash_signature(sh, id_col, "shingles", n_hashes, n_bands)
+    bands = band_table(sig, id_col, n_bands)
+    bands.write.mode("overwrite").partitionBy("band_idx").parquet(
+        f"{path}/bands"
+    )
+    sh.select(
+        id_col, "shingles", F.size("shingles").cast("long").alias("n_sh")
+    ).write.mode("overwrite").parquet(f"{path}/shingles")
+    sh.unpersist()
+
+
+def probe_band_index(
+    spark,
+    index_path: str,
+    delta: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle: int = 5,
+    n_hashes: int = 8,
+    n_bands: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Probe a STORED band index (write_band_index) with a new batch.
+    Returns (new_doc_id, matched_doc_id, jaccard_raw) for every stored
+    document whose exact shingle-Jaccard with a delta document clears
+    ``threshold``.
+
+    The corpus side is touched ONLY through the stored artifacts: band
+    rows join against the (small, broadcast) probe bands, and the
+    re-score reads stored shingles for matched ids — zero corpus
+    re-shingling across invocations, which is what makes per-ingest
+    dedup affordable at 100 TB (work ~ delta size + matches)."""
+    idx_bands = spark.read.parquet(f"{index_path}/bands")
+    idx_sh = spark.read.parquet(f"{index_path}/shingles")
+    dsh = delta.select(
+        F.col(id_col).alias("_nid"),
+        T.char_shingles_col(shingle, text_col).alias("_sa"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    dsig = minhash_signature(dsh, "_nid", "_sa", n_hashes, n_bands)
+    dbands = band_table(dsig, "_nid", n_bands).select(
+        F.col("_nid").alias("new_doc_id"), "band_idx", "band_key"
+    )
+    cand = (
+        idx_bands.join(F.broadcast(dbands), ["band_idx", "band_key"])
+        .select("new_doc_id", F.col(id_col).alias("matched_doc_id"))
+        .distinct()
+    )
+    hit_sh = idx_sh.join(
+        cand.select(F.col("matched_doc_id").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    ).select(
+        F.col(id_col).alias("matched_doc_id"),
+        F.col("shingles").alias("_sb"),
+        F.col("n_sh").alias("_nb"),
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
+    jac = inter / (F.size("_sa") + F.col("_nb") - inter)
+    return (
+        cand.join(
+            dsh.select(F.col("_nid").alias("new_doc_id"), "_sa"),
+            "new_doc_id",
+        )
+        .join(hit_sh, "matched_doc_id")
+        .withColumn("jaccard_raw", jac)
+        .filter(F.col("jaccard_raw") >= threshold)
+        .select("new_doc_id", "matched_doc_id", "jaccard_raw")
     )
 
 

@@ -25,5 +25,6 @@ from . import marts  # noqa: F401,E402
 from . import semantic  # noqa: F401,E402
 from . import fulltext  # noqa: F401,E402
 from . import io_formats  # noqa: F401,E402
+from . import dataquality  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "QuerySpec", "register"]

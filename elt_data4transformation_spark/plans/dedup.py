@@ -64,13 +64,24 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", T.char_shingles_col(SHINGLE).alias("shingles"))
 
 
-def _signatures_sql() -> tuple[str, str, str]:
-    """(sh, dg, sig) DuckDB CTE twins of _shingled/minhash_signature."""
+def _signatures_sql(
+    src: str = "documents",
+    text_col: str = "text",
+    shingle: int = SHINGLE,
+    n_minhash: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+    extra_cols: str = "lang, ",
+) -> tuple[str, str, str]:
+    """(sh, dg, sig) DuckDB CTE twins of _shingled/minhash_signature,
+    parameterized so any (id, text) source can be signed — the corpus
+    table by default, a derived title CTE for the levenshtein rescore
+    composition (cluster.py)."""
     sh = (
-        f"SELECT doc_id, lang, {T.char_shingles_sql(SHINGLE)} AS shingles "
-        f"FROM documents"
+        f"SELECT doc_id, {extra_cols}"
+        f"{T.char_shingles_sql(shingle, text_col)} AS shingles "
+        f"FROM {src}"
     )
-    n_groups = (N_MINHASH + 3) // 4
+    n_groups = (n_minhash + 3) // 4
     dcols = []
     for g in range(n_groups):
         salt = T._MH_SALTS[g]
@@ -79,14 +90,14 @@ def _signatures_sql() -> tuple[str, str, str]:
     dg = f"SELECT doc_id, shingles, {', '.join(dcols)} FROM sh"
     mh = [
         f"LIST_MIN(LIST_TRANSFORM(d{i // 4}, x -> SUBSTRING(x, {(i % 4) * 8 + 1}, 8)))"
-        for i in range(N_MINHASH)
+        for i in range(n_minhash)
     ]
-    per_band = N_MINHASH // N_BANDS
+    per_band = n_minhash // n_bands
     bands = ", ".join(
         "MD5("
         + " || ".join(mh[i] for i in range(b * per_band, (b + 1) * per_band))
         + f") AS band{b}"
-        for b in range(N_BANDS)
+        for b in range(n_bands)
     )
     mh_cols = ", ".join(f"{m} AS mh{i}" for i, m in enumerate(mh))
     sig = f"SELECT doc_id, shingles, {mh_cols}, {bands} FROM dg"
@@ -494,9 +505,12 @@ def _min_label_components(edges: DataFrame) -> DataFrame:
 DELTA_MOD = 5  # doc_id % 5 == 0 -> the incoming 20% batch; rest = corpus
 
 
-@register(
-    "dedup_incremental_index",
-    oracle=f"""
+def _incremental_probe_oracle() -> str:
+    """DuckDB twin of probing the corpus band index with the delta
+    batch — shared by dedup_incremental_index (in-query index) and
+    dedup_stored_index (parquet-stored index): the stored round-trip
+    does not change the semantics, only where the index lives."""
+    return f"""
         WITH sh AS ({_signatures_sql()[0]}),
         dg AS ({_signatures_sql()[1]}), sig AS ({_signatures_sql()[2]}),
         bands AS ({" UNION ALL ".join(
@@ -527,7 +541,12 @@ DELTA_MOD = 5  # doc_id % 5 == 0 -> the incoming 20% batch; rest = corpus
         SELECT new_doc_id, matched_doc_id, ROUND(jac, 6) AS jaccard
         FROM best WHERE rn = 1
         ORDER BY new_doc_id
-    """,
+    """
+
+
+@register(
+    "dedup_incremental_index",
+    oracle=_incremental_probe_oracle(),
     tags=("dedup", "incremental"),
     doc="Incremental near-dup detection: an incoming batch (doc_id % "
     f"{DELTA_MOD} == 0, ~20%) probed against the MinHash band index of "
@@ -605,6 +624,86 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select(
             "new_doc_id", "matched_doc_id", F.round("jac", 6).alias("jaccard")
+        )
+        .orderBy("new_doc_id")
+    )
+
+
+def _index_root() -> str:
+    """Repo-anchored artifact directory for stored dedup indexes
+    (inside the git-ignored spark-warehouse/)."""
+    import os
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    return os.path.join(repo, "spark-warehouse", "dedup_index")
+
+
+@register(
+    "dedup_stored_index",
+    oracle=_incremental_probe_oracle(),
+    tags=("dedup", "incremental"),
+    doc="Incremental near-dup probe against a STORED index — the "
+    "cross-invocation production shape dedup_incremental_index only "
+    "simulates: run 1 writes the corpus (id, band) LSH index AND the "
+    "(id, shingles) re-score table as parquet artifacts "
+    "(operators/dedup_ops.write_band_index); every later run probes "
+    "those artifacts with work proportional to the DELTA — the corpus "
+    "is never re-shingled again, not even for matched rows (the "
+    "re-score reads stored shingles). The artifact is fingerprinted "
+    "by corpus row count, so a changed corpus rebuilds and a stable "
+    "one reuses; tests prove the probe runs with the corpus file "
+    "DELETED after indexing. Same semantics (and oracle) as "
+    "dedup_incremental_index — only where the index lives differs. "
+    "Reference analog: SURVEY §2.11 known-ID diff, persisted.",
+)
+def dedup_stored_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    d = spread(table(spark, sf_dir, "documents"))
+    is_delta = F.col("doc_id") % DELTA_MOD == 0
+    corpus = d.filter(~is_delta)
+    delta = d.filter(is_delta)
+    # fingerprint: corpus cardinality — cheap (parquet metadata count),
+    # distinguishes scale factors and corpus edits; a production system
+    # would version by ingest watermark instead
+    n_corpus = corpus.count()
+    path = os.path.join(
+        _index_root(),
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{n_corpus}",
+    )
+    if not os.path.exists(os.path.join(path, "shingles", "_SUCCESS")):
+        dedup_ops.write_band_index(
+            corpus,
+            path,
+            id_col="doc_id",
+            text_col="text",
+            shingle=SHINGLE,
+            n_hashes=N_MINHASH,
+            n_bands=N_BANDS,
+        )
+    scored = dedup_ops.probe_band_index(
+        spark,
+        path,
+        delta,
+        id_col="doc_id",
+        text_col="text",
+        shingle=SHINGLE,
+        n_hashes=N_MINHASH,
+        n_bands=N_BANDS,
+        threshold=0.5,
+    )
+    best = Window.partitionBy("new_doc_id").orderBy(
+        F.desc("jaccard_raw"), F.asc("matched_doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(best))
+        .filter(F.col("rn") == 1)
+        .select(
+            "new_doc_id",
+            "matched_doc_id",
+            F.round("jaccard_raw", 6).alias("jaccard"),
         )
         .orderBy("new_doc_id")
     )

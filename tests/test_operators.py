@@ -236,6 +236,59 @@ def test_lsh_mega_bucket_cap_bounds_fanout_and_keeps_components(spark):
     assert mega_members == set(range(n_mega))
 
 
+def test_stored_band_index_probe_never_rereads_corpus(spark, tmp_path):
+    """Two-invocation stored-index dedup: invocation 1 builds the
+    parquet band+shingle index from the corpus; invocation 2 probes a
+    new batch against the STORED artifacts. The corpus parquet is
+    DELETED between the two — if the probe re-shingled (or even
+    re-read) the corpus it would fail; instead it matches purely from
+    the stored index, which is the delta-proportional production
+    shape."""
+    import shutil
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the spark engine shuffles partitions across the cluster"
+    )
+    corpus_rows = [
+        (1, base),
+        (2, "completely different words in this unrelated document here "
+            "nothing shared with any other text in the little corpus"),
+        (3, base.replace("quick", "rapid").replace("dog", "hound")),
+    ]
+    corpus_path = str(tmp_path / "corpus.parquet")
+    spark.createDataFrame(
+        corpus_rows, "doc_id long, text string"
+    ).write.parquet(corpus_path)
+
+    # invocation 1: build + store the index from the corpus file
+    idx_path = str(tmp_path / "idx")
+    dedup_ops.write_band_index(
+        spark.read.parquet(corpus_path), idx_path
+    )
+
+    # corpus gone: only the stored artifacts remain
+    shutil.rmtree(corpus_path)
+
+    # invocation 2: probe a new batch — near-dup of doc 1 + one novel
+    delta = spark.createDataFrame(
+        [
+            (100, base.replace("lazy", "sleepy")),
+            (101, "entirely novel content with no duplicate anywhere "
+                  "in the stored corpus at all whatsoever believe me"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["new_doc_id"], r["matched_doc_id"]): r["jaccard_raw"]
+        for r in dedup_ops.probe_band_index(
+            spark, idx_path, delta, threshold=0.5
+        ).collect()
+    }
+    assert set(out) == {(100, 1)}
+    assert out[(100, 1)] > 0.7
+
+
 def test_jaccard_pairs_sparse_join(spark):
     sets = spark.createDataFrame(
         [
@@ -251,6 +304,40 @@ def test_jaccard_pairs_sparse_join(spark):
         for r in dedup_ops.jaccard_pairs(sets, "id", "s", "blk").collect()
     }
     assert out == {(1, 2): 0.5}  # |{b,c}| / |{a,b,c,d}|
+
+
+def test_jaccard_pairs_hot_token_df_cap(spark):
+    """The inverted-index hot-token cap: a token present in every doc
+    is dropped from candidate generation (bounding join fan-out), but
+    candidates that remain re-score EXACTLY on their full sets — the
+    hot token still counts toward their intersection. Pairs sharing
+    ONLY the hot token disappear (the declared recall cost)."""
+    sets = spark.createDataFrame(
+        [
+            (1, ["hot", "a", "b", "c"]),
+            (2, ["hot", "a", "b", "d"]),
+            (3, ["hot", "x", "y", "z"]),  # shares only 'hot' with 1/2
+            (4, ["hot", "x", "y", "w"]),
+        ],
+        "id long, s array<string>",
+    )
+    uncapped = {
+        (r["doc_a"], r["doc_b"]): (r["jac"], r["inter_size"])
+        for r in dedup_ops.jaccard_pairs(sets, "id", "s").collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): (r["jac"], r["inter_size"])
+        for r in dedup_ops.jaccard_pairs(sets, "id", "s", max_df=3).collect()
+    }
+    # 'hot' has df 4 > 3 -> dropped from candidate generation: the
+    # only-hot pairs (1,3),(1,4),(2,3),(2,4) vanish
+    assert set(uncapped) == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+    assert set(capped) == {(1, 2), (3, 4)}
+    # surviving candidates re-score on FULL sets: intersection still
+    # includes the hot token, so jac is identical to the uncapped run
+    assert capped[(1, 2)] == uncapped[(1, 2)]
+    assert capped[(1, 2)][1] == 3  # {hot, a, b}
+    assert capped[(3, 4)] == uncapped[(3, 4)]
 
 
 def test_cosine_pairs_blocked(spark):
@@ -363,6 +450,49 @@ def test_greedy_cluster_order_dependence():
     assert _jaccard(a, b) == pytest.approx(3 / 5)
     assert _jaccard(a, frozenset()) == 0.0
     assert _jaccard(a, a) == 1.0
+
+
+def test_dq_report_detects_each_check_kind(spark):
+    """The declarative DQ runner on a constructed fixture: every check
+    kind (not_null, accepted_range numeric + date, unique,
+    unique_combination) finds exactly the planted violations, and the
+    sample is the min offending primary key."""
+    from elt_data4transformation_spark.operators.dq import (
+        DQCheck,
+        dq_report,
+    )
+
+    t = spark.createDataFrame(
+        [
+            (1, 10, 5.0, "2020-01-05", "a"),
+            (2, 10, 150.0, "2020-01-06", "a"),  # dup grp; range high
+            (3, None, -1.0, "2019-12-30", "b"),  # null; range low; date low
+            (4, 30, 50.0, "2020-01-07", "b"),
+            (5, 30, 50.0, "2020-01-07", "b"),  # dup (grp, tag) combo
+        ],
+        "pk long, grp int, val double, d string, tag string",
+    ).withColumn("d", F.col("d").cast("date"))
+    checks = (
+        DQCheck("t", "not_null", ("grp",)),
+        DQCheck("t", "accepted_range", ("val",), lo=0, hi=100),
+        DQCheck(
+            "t", "accepted_range", ("d",), lo="2020-01-01", hi="2020-12-31"
+        ),
+        DQCheck("t", "unique", ("pk",)),
+        DQCheck("t", "unique", ("grp",)),
+        DQCheck("t", "unique_combination", ("grp", "tag")),
+    )
+    rows = {
+        (r["check_name"], r["columns"]): (r["n_violations"], r["sample"])
+        for r in dq_report({"t": t}, {"t": "pk"}, checks).collect()
+    }
+    assert rows[("not_null", "grp")] == (1, "3")
+    assert rows[("accepted_range", "val")] == (2, "2")
+    assert rows[("accepted_range", "d")] == (1, "3")
+    assert rows[("unique", "pk")] == (0, None)
+    assert rows[("unique", "grp")] == (2, "10")  # two duplicated keys
+    # both (10,a) and (30,b) combos are duplicated; min sample wins
+    assert rows[("unique_combination", "grp+tag")] == (2, "10|a")
 
 
 def test_greedy_cluster_ceiling_enforced(spark, monkeypatch):
