@@ -212,6 +212,145 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_oracle() -> str:
+    """Shared DuckDB twin for ann_ivf_topk and ann_stored_ivf — the
+    stored round-trip changes where the index lives, not the math."""
+    return f"""
+        WITH e AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ), cent0 AS (
+            SELECT vec_id AS centroid_id, v AS cv FROM e
+            WHERE vec_id < {N_CENTROIDS}
+        ), assigned0 AS (
+            SELECT vec_id, v, centroid_id FROM (
+                SELECT e.vec_id, e.v, cent0.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY {cosine_sql('e.v', 'cent0.cv')} DESC,
+                                    cent0.centroid_id) AS crn
+                FROM e CROSS JOIN cent0
+            ) WHERE crn = 1
+        ), cent AS (
+            SELECT centroid_id, LIST(m ORDER BY dim) AS cv FROM (
+                SELECT centroid_id, dim, ROUND(AVG(val), 6) AS m
+                FROM (
+                    SELECT centroid_id, UNNEST(v) AS val,
+                           generate_subscripts(v, 1) AS dim
+                    FROM assigned0
+                )
+                GROUP BY centroid_id, dim
+            )
+            GROUP BY centroid_id
+        ), assigned AS (
+            SELECT vec_id, label, v, centroid_id FROM (
+                SELECT e.vec_id, e.label, e.v, cent.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY {cosine_sql('e.v', 'cent.cv')} DESC,
+                                    cent.centroid_id) AS crn
+                FROM e CROSS JOIN cent
+            ) WHERE crn = 1
+        ), q AS (
+            SELECT vec_id AS query_id, v AS qv, centroid_id AS qc
+            FROM assigned WHERE vec_id < {N_QUERIES}
+        ), scored AS (
+            SELECT q.query_id, a.vec_id AS neighbor_id,
+                   {cosine_sql('q.qv', 'a.v')} AS cos
+            FROM q JOIN assigned a
+              ON a.centroid_id = q.qc AND a.vec_id <> q.query_id
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cosine
+        FROM ranked WHERE rank <= {TOP_K}
+        ORDER BY query_id, rank
+    """
+
+
+@register(
+    "ann_stored_ivf",
+    oracle=_ivf_oracle(),
+    tags=("similarity", "incremental"),
+    doc="IVF ANN against a STORED index — the production vector-search "
+    "shape: run 1 writes the Lloyd-refined centroids and the vector "
+    "index PARTITIONED BY centroid_id as parquet artifacts; every "
+    "later run broadcasts the tiny centroid table, assigns the "
+    "queries, and scans ONLY the probed buckets — directory-level "
+    "partition pruning makes the probe read nprobe/n_centroids of the "
+    "index, the thing that keeps a 100 TB vector store queryable. "
+    "Artifacts are fingerprinted by corpus cardinality (rebuild on "
+    "change, reuse when stable). Same math and oracle as ann_ivf_topk "
+    "— only where the index lives differs; parallel to "
+    "dedup_stored_index for the dedup family.",
+)
+def ann_stored_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from .dedup import _index_root
+
+    e = _vectors(spark, sf_dir)
+    n = e.count()
+    path = os.path.join(
+        os.path.dirname(_index_root()),
+        "ann_ivf",
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{n}",
+    )
+    if not os.path.exists(os.path.join(path, "index", "_SUCCESS")):
+        cent0 = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+            F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+        )
+        assigned0 = assign_nearest(e.select("vec_id", "v"), cent0).drop(
+            "cos"
+        )
+        cent = (
+            assigned0.select(
+                "centroid_id", F.posexplode("v").alias("dim", "val")
+            )
+            .groupBy("centroid_id", "dim")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda x: x["m"],
+                ).alias("cv")
+            )
+        )
+        assigned = assign_nearest(e.select("vec_id", "v"), cent).drop("cos")
+        cent.write.mode("overwrite").parquet(f"{path}/centroids")
+        assigned.select("vec_id", "v", "centroid_id").write.mode(
+            "overwrite"
+        ).partitionBy("centroid_id").parquet(f"{path}/index")
+    idx = spark.read.parquet(f"{path}/index")
+    q = idx.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("centroid_id").alias("qc"),
+    )
+    scored = idx.join(
+        F.broadcast(q),
+        (F.col("centroid_id") == F.col("qc"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine_col(F.col("qv"), F.col("v")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 SEM_TAU = 0.4  # within-bucket cosine above which the larger id is pruned
 
 

@@ -289,6 +289,48 @@ def test_stored_band_index_probe_never_rereads_corpus(spark, tmp_path):
     assert out[(100, 1)] > 0.7
 
 
+def test_stored_artifact_queries_reuse_index_across_invocations(spark):
+    """The stored-artifact family (dedup_stored_index, ann_stored_ivf,
+    cdc_stored_state_maintain): invocation 2 must (a) return identical
+    rows and (b) REUSE the artifact — same files, same mtimes — not
+    rebuild it."""
+    import os
+
+    from elt_data4transformation_spark.plans import REGISTRY
+    from elt_data4transformation_spark.plans.dedup import _index_root
+    from tests.conftest import SF_SMALL
+
+    roots = {
+        "dedup_stored_index": _index_root(),
+        "ann_stored_ivf": os.path.join(
+            os.path.dirname(_index_root()), "ann_ivf"
+        ),
+        "cdc_stored_state_maintain": os.path.join(
+            os.path.dirname(_index_root()), "cdc_state"
+        ),
+    }
+
+    def snapshot(root):
+        out = {}
+        for dirpath, _, files in os.walk(root):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                out[p] = os.path.getmtime(p)
+        return out
+
+    for name, root in roots.items():
+        fn = REGISTRY[name].fn
+        first = [tuple(r) for r in fn(spark, SF_SMALL).collect()]
+        spark.catalog.clearCache()
+        before = snapshot(root)
+        assert before, f"{name}: no artifact written under {root}"
+        second = [tuple(r) for r in fn(spark, SF_SMALL).collect()]
+        assert first == second, f"{name}: rows changed across invocations"
+        assert snapshot(root) == before, (
+            f"{name}: artifact was rebuilt instead of reused"
+        )
+
+
 def test_jaccard_pairs_sparse_join(spark):
     sets = spark.createDataFrame(
         [
