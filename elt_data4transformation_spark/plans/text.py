@@ -663,6 +663,173 @@ def bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- per-document bigram-LM perplexity (CCNet-style quality filter) --------
+
+_PPL_K = 0.5  # add-k smoothing mass
+
+
+def _ppl_cte() -> str:
+    """CTE chain computing per-doc ``ppl (doc_id, lang, n_bigrams,
+    cross_entropy, perplexity)`` — shared by the doc_perplexity and
+    perplexity_tiers oracles."""
+    return f"""w AS (
+            SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS w
+            FROM documents
+        ), v AS (
+            SELECT COUNT(DISTINCT tok) AS vsz
+            FROM (SELECT UNNEST(w) AS tok FROM w)
+        ), b AS (
+            SELECT doc_id, lang,
+                   UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w)),
+                          i -> w[i] || ' ' || w[i + 1])) AS g
+            FROM w WHERE LEN(w) >= 2
+        ), p AS (
+            SELECT doc_id, lang,
+                   SPLIT_PART(g, ' ', 1) AS context,
+                   SPLIT_PART(g, ' ', 2) AS next_token
+            FROM b
+        ), pc AS (
+            SELECT context, next_token, COUNT(*) AS pair_n
+            FROM p GROUP BY context, next_token
+        ), cc AS (
+            SELECT context, SUM(pair_n) AS ctx_n FROM pc GROUP BY context
+        ), scored AS (
+            SELECT p.doc_id, p.lang,
+                   LN((COALESCE(pc.pair_n, 0) + {_PPL_K})
+                      / (COALESCE(cc.ctx_n, 0) + {_PPL_K} * v.vsz)) AS lp
+            FROM p
+            LEFT JOIN pc USING (context, next_token)
+            LEFT JOIN cc USING (context)
+            CROSS JOIN v
+        ), ppl AS (
+            SELECT doc_id, lang,
+                   COUNT(*) AS n_bigrams,
+                   ROUND(-AVG(lp), 6) AS cross_entropy,
+                   ROUND(EXP(ROUND(-AVG(lp), 6)), 4) AS perplexity
+            FROM scored
+            GROUP BY doc_id, lang
+        )"""
+
+
+@register(
+    "doc_perplexity",
+    oracle=f"""
+        WITH {_ppl_cte()}
+        SELECT doc_id, lang, n_bigrams, cross_entropy, perplexity
+        FROM ppl ORDER BY doc_id
+    """,
+    tags=("text", "lm", "quality"),
+    doc="Per-document perplexity under the corpus-trained add-k bigram "
+    "LM — the CCNet-style quality filter every LM-data pipeline runs "
+    "(low-perplexity = fluent/boilerplate, high = noise): "
+    f"P(next|ctx) = (pair_n + {_PPL_K}) / (ctx_n + {_PPL_K}·V), "
+    "cross-entropy = -mean ln P over the doc's bigrams, perplexity = "
+    "exp(H) computed from the 6dp-ROUNDED entropy on BOTH engines "
+    "(round-before-compare — the per-doc log-prob sum is "
+    "order-sensitive float arithmetic). Scale shape: the model tables "
+    "are vocabulary-bounded (pair counts ≤ V², context totals ≤ V), "
+    "so AQE broadcasts them to the doc-bigram probe join at any "
+    "corpus size where the vocab is capped; with an open vocab the "
+    "probe and the counts are co-partitioned on the same context key. "
+    "One corpus scan trains, one scan scores — no per-doc iteration.",
+)
+def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _doc_ppl(spark, sf_dir).orderBy("doc_id")
+
+
+def _doc_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents"))
+    w = d.select("doc_id", "lang", T.words_col().alias("w"))
+    v = w.select(F.explode("w").alias("tok")).agg(
+        F.countDistinct("tok").alias("vsz")
+    )
+    b = w.filter(F.size("w") >= 2).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("w", i), F.element_at("w", i + 1)
+                ),
+            )
+        ).alias("g"),
+    )
+    p = b.select(
+        "doc_id",
+        "lang",
+        F.substring_index("g", " ", 1).alias("context"),
+        F.substring_index("g", " ", -1).alias("next_token"),
+    )
+    pc = p.groupBy("context", "next_token").agg(
+        F.count(F.lit(1)).alias("pair_n")
+    )
+    cc = pc.groupBy("context").agg(F.sum("pair_n").alias("ctx_n"))
+    scored = (
+        p.join(pc, ["context", "next_token"], "left")
+        .join(cc, ["context"], "left")
+        .crossJoin(F.broadcast(v))
+        .withColumn(
+            "lp",
+            F.log(
+                (F.coalesce("pair_n", F.lit(0)) + F.lit(_PPL_K))
+                / (
+                    F.coalesce("ctx_n", F.lit(0))
+                    + F.lit(_PPL_K) * F.col("vsz")
+                )
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(-F.avg("lp"), 6).alias("cross_entropy"),
+        )
+        .withColumn("perplexity", F.round(F.exp("cross_entropy"), 4))
+    )
+
+
+@register(
+    "perplexity_tiers",
+    oracle=f"""
+        WITH {_ppl_cte()}, tiered AS (
+            SELECT doc_id, lang, perplexity,
+                   NTILE(3) OVER (PARTITION BY lang
+                                  ORDER BY perplexity, doc_id) AS t
+            FROM ppl
+        )
+        SELECT doc_id, lang, perplexity,
+               CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                      ELSE 'tail' END AS tier
+        FROM tiered ORDER BY doc_id
+    """,
+    tags=("text", "lm", "quality"),
+    doc="CCNet-style quality tiers: per-language NTILE(3) over the "
+    "bigram-LM perplexity (doc_id tie-break for determinism) labels "
+    "each document head / middle / tail — the bucketing CCNet uses to "
+    "pick training data (head = most fluent third). Composes "
+    "doc_perplexity; the window partitions by lang, so the sort is "
+    "per-language, not global — at 100 TB each language sorts "
+    "independently (and a quantile-sketch cut would replace the exact "
+    "NTILE, trading exactness for a fixed-depth plan; the exact form "
+    "is kept here because the oracle must agree row-for-row).",
+)
+def perplexity_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ppl = _doc_ppl(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy("perplexity", "doc_id")
+    t = F.ntile(3).over(w)
+    return ppl.select(
+        "doc_id",
+        "lang",
+        "perplexity",
+        F.when(t == 1, "head")
+        .when(t == 2, "middle")
+        .otherwise("tail")
+        .alias("tier"),
+    ).orderBy("doc_id")
+
+
 # --- distributed BPE merge training ---------------------------------------
 
 _BPE_MERGES = 8

@@ -2546,6 +2546,41 @@ def test_bigram_lm_counts_repeats_and_true_conditionals(spark):
     assert (pdf.ctx_n >= pdf.pair_n).all()
 
 
+def test_doc_perplexity_bounds_and_bigram_count(spark):
+    """Perplexity under the self-trained smoothed bigram LM is bounded
+    by the smoothed-uniform worst case, and n_bigrams == len(words)-1
+    for every scored doc."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from elt_data4transformation_spark.plans.text import doc_perplexity
+
+    sf = "/root/testdata/sf0.001"
+    pdf = doc_perplexity(spark, sf).toPandas()
+    docs = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .toPandas()
+        .set_index("doc_id")["n"]
+    )
+    assert (pdf.perplexity > 1.0).all()
+    assert (pdf.cross_entropy > 0).all()
+    # every pair the scorer sees came from the training corpus, so
+    # P >= (1 + k) / (max_ctx + k*V) — a crude but engine-free bound:
+    # perplexity can never exceed the unsmoothed-uniform vocab size
+    # times the smoothing inflation factor
+    vocab = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .distinct()
+        .count()
+    )
+    assert (pdf.perplexity < 4 * vocab).all()
+    assert np.allclose(pdf.perplexity, np.exp(pdf.cross_entropy).round(4))
+    for _, row in pdf.iterrows():
+        assert row.n_bigrams == docs[row.doc_id] - 1
+
+
 def test_chunk_documents_overlap_and_coverage(spark):
     from elt_data4transformation_spark.plans.corpus import (
         _CHUNK_SIZE,
