@@ -545,3 +545,59 @@ def global_rank(
         .withColumn(rank_name, (F.col("_lrn") + F.col("_off")).cast("int"))
         .drop("_pid", "_lrn", "_off")
     )
+
+
+def winnow_select(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 4,
+    m: int = 1 << 20,
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer et al. 2003): hash
+    every k-char gram (32-bit md5 prefix), keep each w-window's minimum
+    hash with rightmost tie-break, return the DISTINCT kept hashes as
+    ``(id, np, fp_hash)`` where np is the doc's gram count.
+
+    Guarantee: two documents sharing any substring of length
+    >= k + w - 1 share at least one fp_hash. The argmin-rightmost is a
+    single windowed MIN over the packed key hash*m + (m-1-pos) — pure
+    integer arithmetic (documents must be shorter than m chars), so a
+    SQL twin agrees exactly. See plans/dedup.winnow_fingerprints."""
+    pos = (
+        df.filter(F.length(text_col) >= k + w - 1)
+        .select(
+            F.col(id_col),
+            (F.length(text_col) - k + 1).cast("long").alias("np"),
+            F.explode(
+                F.sequence(F.lit(1), F.length(text_col) - k + 1)
+            ).alias("p"),
+            F.col(text_col).alias("_t"),
+        )
+        .select(
+            id_col,
+            "np",
+            F.col("p").cast("long").alias("p"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("_t").substr(F.col("p"), F.lit(k))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                * m
+                + (F.lit(m) - 1 - F.col("p"))
+            ).alias("key"),
+        )
+    )
+    frame = Window.partitionBy(id_col).orderBy("p").rowsBetween(0, w - 1)
+    return (
+        pos.withColumn("sk", F.min("key").over(frame))
+        .filter(F.col("p") <= F.col("np") - w + 1)
+        .select(id_col, "np", F.floor(F.col("sk") / m).alias("fp_hash"))
+        .distinct()
+    )

@@ -500,6 +500,61 @@ def _min_label_components(edges: DataFrame) -> DataFrame:
     return labels
 
 
+_SPLIT_TRAIN_MAX = "cc"  # md5-prefix thresholds — same ~80/10/10 cut
+_SPLIT_VAL_MAX = "e6"  # as dataset_split (plans/text.py)
+
+
+@register(
+    "leakage_safe_split",
+    oracle=f"""
+        WITH RECURSIVE {_components_cte()},
+        grp AS (
+            SELECT d.doc_id, COALESCE(l.component, d.doc_id) AS group_id
+            FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+        )
+        SELECT doc_id, group_id,
+               CASE WHEN SUBSTR(MD5(CAST(group_id AS VARCHAR)), 1, 2)
+                         < '{_SPLIT_TRAIN_MAX}' THEN 'train'
+                    WHEN SUBSTR(MD5(CAST(group_id AS VARCHAR)), 1, 2)
+                         < '{_SPLIT_VAL_MAX}' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM grp ORDER BY doc_id
+    """,
+    tags=("dedup", "split", "composite"),
+    doc="Leakage-safe train/val/test split: documents are hashed to "
+    "splits by their near-dup COMPONENT id (connected components over "
+    "the capped-LSH edge set; singletons group as themselves), so an "
+    "entire duplicate cluster always lands in ONE split — the "
+    "group-aware assignment C4/RedPajama-style pipelines use to stop "
+    "near-copies of a test document leaking into train, which "
+    "per-document hashing (dataset_split) cannot guarantee. Same "
+    "md5-prefix ~80/10/10 thresholds as dataset_split, applied to the "
+    "group id. Scale = dedup_components (2-4 shuffles of min-label "
+    "propagation) plus one broadcast-or-co-partitioned left join and "
+    "a projection; the invariant (no component spans two splits) "
+    "holds by construction and is pinned in tests.",
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents"))
+    labels = _min_label_components(_lsh_edges(spark, sf_dir))
+    grp = d.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("group_id"),
+    )
+    bucket = F.substring(F.md5(F.col("group_id").cast("string")), 1, 2)
+    return (
+        grp.select(
+            "doc_id",
+            "group_id",
+            F.when(bucket < _SPLIT_TRAIN_MAX, "train")
+            .when(bucket < _SPLIT_VAL_MAX, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --- incremental dedup: a new batch probed against the corpus index --------
 
 DELTA_MOD = 5  # doc_id % 5 == 0 -> the incoming 20% batch; rest = corpus
@@ -706,6 +761,192 @@ def dedup_stored_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("jaccard_raw", 6).alias("jaccard"),
         )
         .orderBy("new_doc_id")
+    )
+
+
+# --- exact substring-duplication spans (suffix-array-style dedup) ----------
+
+_SUB_K = 40  # anchor window (chars): a span must repeat >= this long
+
+
+@register(
+    "substring_dup_spans",
+    oracle=f"""
+        WITH pos AS (
+            SELECT doc_id, UNNEST(RANGE(1, LEN(text) - {_SUB_K} + 2)) AS p,
+                   text
+            FROM documents WHERE LEN(text) >= {_SUB_K}
+        ), sh AS (
+            SELECT doc_id, p, SUBSTRING(text, p, {_SUB_K}) AS g FROM pos
+        ), shared AS (
+            SELECT g FROM sh GROUP BY g
+            HAVING COUNT(DISTINCT doc_id) >= 2
+        ), dup AS (
+            SELECT s.doc_id, s.p FROM sh s JOIN shared USING (g)
+        ), mk AS (
+            SELECT doc_id, p,
+                   MAX(p + {_SUB_K} - 1) OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev_e
+            FROM dup
+        ), isl AS (
+            SELECT doc_id, p,
+                   SUM(CASE WHEN prev_e IS NULL OR p > prev_e + 1
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY p
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS island
+            FROM mk
+        )
+        SELECT doc_id,
+               MIN(p) AS span_start,
+               MAX(p) + {_SUB_K} - 1 AS span_end,
+               MAX(p) + {_SUB_K} - MIN(p) AS span_len,
+               CAST(COUNT(*) AS BIGINT) AS n_anchors
+        FROM isl GROUP BY doc_id, island
+        ORDER BY doc_id, span_start
+    """,
+    tags=("dedup", "substring"),
+    doc="Exact substring-duplication spans — the suffix-array-style "
+    "dedup of 'Deduplicating Training Data Makes Language Models "
+    f"Better' (Lee et al. 2022), Spark-first: every {_SUB_K}-char "
+    "window is an anchor; an anchor whose text occurs in >= 2 distinct "
+    "documents marks its positions duplicated; overlapping/adjacent "
+    "duplicated windows merge into maximal spans (gaps-and-islands via "
+    "a running MAX(window end) — pure integer arithmetic, so "
+    "cross-engine parity is exact). CRUCIALLY this plan is LINEAR — "
+    "anchor sharing is decided by a count-distinct hash aggregate, "
+    "never a pair join, so a boilerplate string repeated a million "
+    "times costs one partially-aggregated counter, not 10^12 pairs "
+    "(the failure mode the LSH family needs its fan-out cap for "
+    "does not exist here). At 100 TB the two standard volume "
+    "reducers apply: winnowing (keep only per-w-window min-hash "
+    "anchors, guaranteeing detection of any repeat >= K + w - 1) and "
+    "keying the aggregate on xxhash64(anchor) instead of the raw "
+    "string to cut shuffle bytes — kept as raw text here so the "
+    "DuckDB twin is bit-identical.",
+)
+def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K = _SUB_K
+    d = spread(table(spark, sf_dir, "documents"))
+    sh = (
+        d.filter(F.length("text") >= K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - K + 1)
+            ).alias("p"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.col("p").cast("long").alias("p"),
+            F.col("text").substr(F.col("p"), F.lit(K)).alias("g"),
+        )
+    )
+    shared = (
+        sh.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("g")
+    )
+    dup = sh.join(shared, "g", "left_semi").select("doc_id", "p")
+    prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_e = F.max(F.col("p") + K - 1).over(prev)
+    marked = dup.withColumn(
+        "_new",
+        F.when(prev_e.isNull() | (F.col("p") > prev_e + 1), 1).otherwise(0),
+    ).withColumn("_island", F.sum("_new").over(run))
+    return (
+        marked.groupBy("doc_id", "_island")
+        .agg(
+            F.min("p").alias("span_start"),
+            (F.max("p") + K - 1).alias("span_end"),
+            (F.max("p") + K - F.min("p")).alias("span_len"),
+            F.count(F.lit(1)).alias("n_anchors"),
+        )
+        .drop("_island")
+        .orderBy("doc_id", "span_start")
+    )
+
+
+_WIN_K = 8  # winnowing gram size (chars)
+_WIN_W = 4  # winnowing window (grams); detects repeats >= K + W - 1
+_WIN_M = 1 << 20  # position capacity of the packed (hash, pos) key
+
+
+@register(
+    "winnow_fingerprints",
+    oracle=f"""
+        WITH pos AS (
+            SELECT doc_id, LEN(text) - {_WIN_K} + 1 AS np,
+                   UNNEST(RANGE(1, LEN(text) - {_WIN_K} + 2)) AS p, text
+            FROM documents WHERE LEN(text) >= {_WIN_K + _WIN_W - 1}
+        ), keyed AS (
+            SELECT doc_id, np, p,
+                   CAST(('0x' || SUBSTR(MD5(SUBSTRING(text, p, {_WIN_K})),
+                        1, 8)) AS BIGINT) * {_WIN_M}
+                   + ({_WIN_M} - 1 - p) AS key
+            FROM pos
+        ), win AS (
+            SELECT doc_id, np, p,
+                   MIN(key) OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN CURRENT ROW
+                       AND {_WIN_W - 1} FOLLOWING) AS sk
+            FROM keyed
+        ), sel AS (
+            SELECT DISTINCT doc_id, np,
+                   sk // {_WIN_M} AS fp_hash
+            FROM win WHERE p <= np - {_WIN_W} + 1
+        )
+        SELECT doc_id, MIN(np) AS n_grams,
+               CAST(COUNT(*) AS BIGINT) AS n_fps,
+               ROUND(CAST(COUNT(*) AS DOUBLE) / MIN(np), 6) AS density,
+               MIN(fp_hash) AS min_fp
+        FROM sel GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("dedup", "fingerprint"),
+    doc="Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken "
+    f"2003, the MOSS algorithm): every {_WIN_K}-char gram gets a "
+    f"32-bit md5-prefix hash; each window of {_WIN_W} consecutive "
+    "hashes keeps its minimum (rightmost on ties), and the distinct "
+    "kept hashes are the document's fingerprint set — GUARANTEED to "
+    f"share a fingerprint for any repeat >= {_WIN_K + _WIN_W - 1} "
+    "chars while storing only ~2/(w+1) of the grams. This implements "
+    "the volume reducer substring_dup_spans' docstring names for "
+    "100 TB. The argmin-with-rightmost-tie is one windowed MIN over a "
+    "packed integer key (hash * 2^20 + (2^20-1-pos)) — pure integer "
+    "arithmetic, decoded after selection, so both engines agree "
+    "bit-for-bit with no argmin UDF. Per-doc windows mean the window "
+    "function partitions by doc_id — bounded partitions, no global "
+    "sort; output here is the per-doc summary (count, density, min "
+    "fingerprint), the index itself being the `sel` intermediate.",
+)
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents"))
+    sel = dedup_ops.winnow_select(
+        d, "doc_id", "text", _WIN_K, _WIN_W, _WIN_M
+    )
+    return (
+        sel.groupBy("doc_id")
+        .agg(
+            F.min("np").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_fps"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.min("np"), 6
+            ).alias("density"),
+            F.min("fp_hash").alias("min_fp"),
+        )
+        .orderBy("doc_id")
     )
 
 

@@ -2546,6 +2546,106 @@ def test_bigram_lm_counts_repeats_and_true_conditionals(spark):
     assert (pdf.ctx_n >= pdf.pair_n).all()
 
 
+def test_winnow_fingerprints_density_and_dup_invariance(spark):
+    """Winnowing density sits in its theoretical band (>= 1/w, around
+    2/(w+1)), and — the guarantee that matters — documents with
+    IDENTICAL text get identical fingerprint summaries."""
+    from pyspark.sql import functions as F
+
+    from elt_data4transformation_spark.plans.dedup import (
+        _WIN_W,
+        winnow_fingerprints,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pdf = winnow_fingerprints(spark, sf).toPandas()
+    assert (pdf.density >= 1.0 / _WIN_W - 1e-9).all()
+    assert (pdf.density <= 1.0).all()
+    assert abs(pdf.density.mean() - 2.0 / (_WIN_W + 1)) < 0.15
+    # the winnowing GUARANTEE: docs sharing a substring >= k + w - 1
+    # chars share at least one selected fingerprint — exercised on a
+    # crafted frame where only a 16-char span is common
+    from elt_data4transformation_spark.operators.dedup_ops import (
+        winnow_select,
+    )
+
+    shared = "the shared span!"  # 16 >= 8 + 4 - 1
+    crafted = spark.createDataFrame(
+        [
+            (1, "aaaa bbbb cccc " + shared + " dddd eeee"),
+            (2, "zzzz yyyy " + shared + " xxxx wwww vvvv uuuu"),
+            (3, "totally unrelated content with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    sel = winnow_select(crafted, "doc_id", "text").toPandas()
+    fps = {i: set(g.fp_hash) for i, g in sel.groupby("doc_id")}
+    assert fps[1] & fps[2], "shared span produced no shared fingerprint"
+    assert not (fps[1] & fps[3] and fps[2] & fps[3])
+
+
+def test_leakage_safe_split_keeps_components_together(spark):
+    """The group-aware split's whole point: every near-dup component
+    lands in exactly one split, the assignment covers all docs exactly
+    once, and grouped docs share their component's split."""
+    from elt_data4transformation_spark.plans.dedup import (
+        dedup_components,
+        leakage_safe_split,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    split = leakage_safe_split(spark, sf).toPandas()
+    comps = dedup_components(spark, sf).toPandas()
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert len(split) == n_docs
+    assert split.doc_id.is_unique
+    assert (split.groupby("group_id")["split"].nunique() == 1).all()
+    # docs that are in a component must be grouped under that component
+    merged = split.merge(comps, on="doc_id", how="inner")
+    assert len(merged) == len(comps)
+    assert (merged.group_id == merged.component).all()
+    assert set(split.split.unique()) <= {"train", "val", "test"}
+
+
+def test_substring_dup_spans_are_maximal_and_in_bounds(spark):
+    """Spans lie inside their document, are >= the anchor window, never
+    overlap, and truly maximal: consecutive spans of a doc are separated
+    by more than one char (else the island merge would have fused them).
+    Every span's text must occur in at least one OTHER document."""
+    from pyspark.sql import functions as F
+
+    from elt_data4transformation_spark.plans.dedup import (
+        _SUB_K,
+        substring_dup_spans,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pdf = substring_dup_spans(spark, sf).toPandas()
+    assert len(pdf) > 0
+    docs = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "text")
+        .toPandas()
+        .set_index("doc_id")["text"]
+    )
+    assert (pdf.span_len >= _SUB_K).all()
+    assert (pdf.span_len == pdf.span_end - pdf.span_start + 1).all()
+    assert (pdf.n_anchors >= 1).all()
+    assert (pdf.n_anchors <= pdf.span_len - _SUB_K + 1).all()
+    for doc_id, grp in pdf.groupby("doc_id"):
+        assert grp.span_end.max() <= len(docs[doc_id])
+        g = grp.sort_values("span_start")
+        gaps = g.span_start.iloc[1:].values - g.span_end.iloc[:-1].values
+        assert (gaps > 1).all(), f"doc {doc_id}: mergeable spans survived"
+    # cross-doc check on the smallest span: its anchor-window prefix
+    # must appear verbatim in some other document
+    row = pdf.sort_values("span_len").iloc[0]
+    frag = docs[row.doc_id][row.span_start - 1 : row.span_start - 1 + _SUB_K]
+    assert any(
+        frag in t for i, t in docs.items() if i != row.doc_id
+    ), "span fragment not found in any other doc"
+
+
 def test_doc_perplexity_bounds_and_bigram_count(spark):
     """Perplexity under the self-trained smoothed bigram LM is bounded
     by the smoothed-uniform worst case, and n_bigrams == len(words)-1
