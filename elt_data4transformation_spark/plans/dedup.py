@@ -319,7 +319,15 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "synthetic corpus) — exact all-pairs via the block-partitioned "
     "vectorized operator (operators/vectors.py): Arrow batches + one "
     "numpy matrix multiply per block pair, no driver collect, no "
-    "per-row Python.",
+    "per-row Python. This is the EXACT BASELINE of the family; the "
+    "100 TB shapes are in-repo: semantic_dedup (similarity.py) runs "
+    "the same within-bucket matmul after centroid bucketing "
+    "(quadratic only within buckets), and ann_ivf_topk/ann_stored_ivf "
+    "bound candidates to same-centroid buckets. Sign-random-"
+    "projection LSH was evaluated and rejected for THIS operating "
+    "point: at cosine 0.45 (≈63° between near-random 64-d vectors) "
+    "per-bit collision is ~0.65, so usable recall needs dozens of "
+    "hash tables — centroid bucketing dominates it here.",
 )
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").select(
