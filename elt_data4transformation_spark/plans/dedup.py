@@ -215,6 +215,104 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _source_overlap_oracle() -> str:
+    sh, dg, sig = _signatures_sql()
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, band{b} AS band_key FROM sig"
+        for b in range(N_BANDS)
+    )
+    return f"""
+        WITH sh AS ({sh}), dg AS ({dg}), sig AS ({sig}),
+        bands AS ({band_selects}),
+        {_capped_cand_sql()},
+        scored AS (
+            SELECT c.doc_a, c.doc_b,
+                   ROUND(CAST(LEN(LIST_INTERSECT(sa.shingles, sb.shingles))
+                              AS DOUBLE)
+                         / LEN(LIST_DISTINCT(
+                               LIST_CONCAT(sa.shingles, sb.shingles))), 6)
+                       AS jac
+            FROM cand c
+            JOIN sh sa ON c.doc_a = sa.doc_id
+            JOIN sh sb ON c.doc_b = sb.doc_id
+            WHERE CAST(LEN(LIST_INTERSECT(sa.shingles, sb.shingles)) AS DOUBLE)
+                  / LEN(LIST_DISTINCT(LIST_CONCAT(sa.shingles, sb.shingles)))
+                  >= 0.5
+        ),
+        lab AS (
+            SELECT LEAST(da.source, db.source) AS source_a,
+                   GREATEST(da.source, db.source) AS source_b, s.jac
+            FROM scored s
+            JOIN documents da ON s.doc_a = da.doc_id
+            JOIN documents db ON s.doc_b = db.doc_id
+        )
+        SELECT source_a, source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               ROUND(AVG(jac), 6) AS avg_jaccard
+        FROM lab GROUP BY source_a, source_b
+        ORDER BY source_a, source_b
+    """
+
+
+@register(
+    "source_overlap_matrix",
+    oracle=_source_overlap_oracle(),
+    tags=("dedup", "audit"),
+    doc="Cross-source duplication matrix — the curation audit a "
+    "multi-crawl corpus needs before mixing: every capped-LSH near-dup "
+    "pair (exact Jaccard >= 0.5, same candidates as dedup_minhash_lsh) "
+    "is attributed to its unordered (source, source) combination, with "
+    "pair counts and mean similarity. High off-diagonal cells mean two "
+    "crawls re-collected the same content and their mixture weights "
+    "double-count it. Cost over dedup_minhash_lsh: two dimension joins "
+    "(doc -> source, broadcast at any realistic source cardinality) "
+    "and one tiny aggregate; the jaccard is a ratio of exact set "
+    "sizes rounded before AVG on both engines.",
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents"))
+    pairs = dedup_ops.minhash_lsh_pairs(
+        d,
+        id_col="doc_id",
+        text_col="text",
+        shingle=SHINGLE,
+        n_hashes=N_MINHASH,
+        n_bands=N_BANDS,
+        threshold=0.5,
+        max_bucket=LSH_MAX_BUCKET,
+    ).select("doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jac"))
+    src = d.select("doc_id", "source")
+    lab = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("source").alias("_sa"),
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("source").alias("_sb"),
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+            "jac",
+        )
+    )
+    return (
+        lab.groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("jac"), 6).alias("avg_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
