@@ -249,6 +249,72 @@ def decode_png_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(fn, PNG_FEATURES_SCHEMA)
 
 
+PNG_RESIZE_SCHEMA = (
+    "doc_id long, width long, height long, out_w long, out_h long, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def decode_png_resize(
+    df: DataFrame, out_w: int = 6, out_h: int = 4
+) -> DataFrame:
+    """Decode real PNG payloads and RESIZE each to a fixed
+    (out_w, out_h) thumbnail by nearest-neighbor sampling — the
+    normalize-to-model-input step of an image training pipeline.
+
+    The sample grid is pure integer arithmetic (source pixel
+    sx = (x * width) // out_w, sy = (y * height) // out_h), applied as
+    one vectorized numpy fancy-index per image inside Arrow-batched
+    mapInPandas — so an SQL oracle can evaluate the identical mapping
+    and the per-channel means of the thumbnail hash-match exactly.
+    Corrupt payloads degrade to a NULL-features row (same policy as
+    decode_png_features)."""
+    import numpy as np
+
+    from . import pngcodec
+
+    _null = {
+        "width": None, "height": None, "out_w": None, "out_h": None,
+        "mean_r": None, "mean_g": None, "mean_b": None,
+    }
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                try:
+                    if meta["mime"] != "image/png":
+                        raise ValueError("non-PNG payload")
+                    w, h, px = pngcodec.read_png(bytes(payload))
+                    sx = (np.arange(out_w) * w) // out_w
+                    sy = (np.arange(out_h) * h) // out_h
+                    small = px[np.ix_(sy, sx)].astype(np.float64)
+                    means = small.reshape(-1, 3).mean(axis=0)
+                    feats = {
+                        "width": int(w),
+                        "height": int(h),
+                        "out_w": out_w,
+                        "out_h": out_h,
+                        "mean_r": float(means[0]),
+                        "mean_g": float(means[1]),
+                        "mean_b": float(means[2]),
+                    }
+                except (ValueError, zlib.error, struct.error):
+                    feats = dict(_null)
+                rows.append({"doc_id": doc_id, **feats})
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "out_w", "out_h",
+                    "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return df.mapInPandas(fn, PNG_RESIZE_SCHEMA)
+
+
 # --- real WAV audio pipeline (encode -> binary column -> decode) -----------
 
 WAV_RATE = 8000

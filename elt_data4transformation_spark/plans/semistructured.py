@@ -483,6 +483,64 @@ def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "image_resize_thumbnail",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id,
+                   8 + doc_id % 8 AS width,
+                   8 + doc_id % 5 AS height
+            FROM documents
+        ), grid AS (
+            SELECT d.doc_id, d.width, d.height,
+                   (x.x * d.width) // 6 AS sx,
+                   (y.y * d.height) // 4 AS sy
+            FROM dims d
+            CROSS JOIN (SELECT UNNEST(RANGE(0, 6)) AS x) x
+            CROSS JOIN (SELECT UNNEST(RANGE(0, 4)) AS y) y
+        )
+        SELECT doc_id, width, height,
+               CAST(6 AS BIGINT) AS out_w, CAST(4 AS BIGINT) AS out_h,
+               ROUND(AVG((doc_id * 7 + sx * 13 + sy * 31) % 256), 6)
+                   AS mean_r,
+               ROUND(AVG((doc_id * 11 + sx * 3 + sy * 17) % 256), 6)
+                   AS mean_g,
+               ROUND(AVG((doc_id * 5 + sx * 29 + sy * 7) % 256), 6)
+                   AS mean_b
+        FROM grid
+        GROUP BY doc_id, width, height
+        ORDER BY doc_id
+    """,
+    tags=("multimodal",),
+    doc="REAL image resize end-to-end — the normalize-to-model-input "
+    "step the multimodal contract was missing beside decode / "
+    "feature-extract / frame-sample: each synthetic image goes "
+    "through actual PNG bytes, is decoded by the stdlib codec, and "
+    "resized to a fixed 6x4 thumbnail by nearest-neighbor sampling "
+    "(one vectorized numpy fancy-index per image, Arrow-batched "
+    "mapInPandas — operators/multimodal.decode_png_resize). The "
+    "sample grid sx=(x*W)//6, sy=(y*H)//4 is pure integer "
+    "arithmetic, so the oracle evaluates the identical mapping over "
+    "the synthetic pixel formulas and the thumbnail channel means "
+    "hash-match exactly. Zero shuffle; each task resizes only its "
+    "partition's payloads.",
+)
+def image_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents")).select("doc_id")
+    encoded = multimodal.encode_png_payloads(d)
+    resized = multimodal.decode_png_resize(encoded, out_w=6, out_h=4)
+    return resized.select(
+        "doc_id",
+        "width",
+        "height",
+        "out_w",
+        "out_h",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    ).orderBy("doc_id")
+
+
+@register(
     "audio_decode_features",
     oracle="""
         WITH dims AS (

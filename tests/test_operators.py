@@ -2432,6 +2432,35 @@ def test_decode_png_features_quarantines_corrupt_payload(spark):
     assert out[2].width is None and out[2].mean_r is None
 
 
+def test_decode_png_resize_mapping_and_quarantine(spark):
+    """The NN resize picks exactly the pixels sx=(x*W)//out_w,
+    sy=(y*H)//out_h (checked against a hand-built 4x2 image), and a
+    corrupt payload degrades to a NULL row like the other decoders."""
+    import numpy as np
+
+    from elt_data4transformation_spark.operators import multimodal, pngcodec
+
+    px = np.arange(4 * 2 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    good = pngcodec.write_png(4, 2, px.tobytes())
+    df = spark.createDataFrame(
+        [(1, bytearray(good), {"mime": "image/png", "n_bytes": len(good)}),
+         (2, bytearray(b"junk"), {"mime": "image/png", "n_bytes": 4})],
+        multimodal.PNG_SCHEMA,
+    )
+    out = {
+        r.doc_id: r
+        for r in multimodal.decode_png_resize(df, out_w=2, out_h=1).collect()
+    }
+    # sx = (0*4)//2, (1*4)//2 = 0, 2 ; sy = (0*2)//1 = 0
+    expected = px[np.ix_([0], [0, 2])].reshape(-1, 3).mean(axis=0)
+    got = out[1]
+    assert (got.width, got.height, got.out_w, got.out_h) == (4, 2, 2, 1)
+    assert abs(got.mean_r - expected[0]) < 1e-9
+    assert abs(got.mean_g - expected[1]) < 1e-9
+    assert abs(got.mean_b - expected[2]) < 1e-9
+    assert out[2].width is None and out[2].mean_r is None
+
+
 def test_forward_fill_repairs_masked_values(spark):
     from elt_data4transformation_spark.plans.windows import forward_fill
     from elt_data4transformation_spark.sources import table
