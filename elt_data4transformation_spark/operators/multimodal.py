@@ -370,6 +370,68 @@ def encode_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(fn, WAV_SCHEMA)
 
 
+WAV_RESAMPLE_SCHEMA = (
+    "doc_id long, n_samples long, n_out long, out_rate long, "
+    "mean_abs double, peak long"
+)
+
+
+def decode_wav_resample(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Decode real WAV payloads and RESAMPLE by integer decimation
+    (keep every ``factor``-th sample) — the audio sibling of
+    decode_png_resize, normalizing signals to a lower model input
+    rate. Decimation is one numpy stride slice per signal; the kept
+    index set (i % factor == 0) is pure integer arithmetic, so an SQL
+    oracle evaluates the identical selection and the resampled
+    features hash-match exactly. (A production pipeline would low-pass
+    first; plain decimation is used so the oracle stays exact.)
+    Corrupt payloads degrade to NULL rows."""
+    import io
+    import wave
+
+    import numpy as np
+
+    _null_row = {
+        "n_samples": None, "n_out": None, "out_rate": None,
+        "mean_abs": None, "peak": None,
+    }
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    with wave.open(io.BytesIO(bytes(payload)), "rb") as wf:
+                        if wf.getnchannels() != 1 or wf.getsampwidth() != 2:
+                            raise ValueError("expected mono 16-bit PCM")
+                        rate = wf.getframerate()
+                        pcm = np.frombuffer(
+                            wf.readframes(wf.getnframes()), dtype="<i2"
+                        ).astype(np.int64)
+                    if rate <= 0 or len(pcm) == 0:
+                        raise ValueError("empty signal or zero framerate")
+                    out = pcm[::factor]
+                    feats = {
+                        "n_samples": len(pcm),
+                        "n_out": len(out),
+                        "out_rate": rate // factor,
+                        "mean_abs": float(np.abs(out).mean()),
+                        "peak": int(np.abs(out).max()),
+                    }
+                except (wave.Error, ValueError, EOFError, struct.error):
+                    feats = dict(_null_row)
+                rows.append({"doc_id": doc_id, **feats})
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "n_out", "out_rate",
+                    "mean_abs", "peak",
+                ],
+            )
+
+    return df.mapInPandas(fn, WAV_RESAMPLE_SCHEMA)
+
+
 def decode_wav_features(df: DataFrame) -> DataFrame:
     """Decode real WAV payloads (stdlib ``wave`` reader) to signal
     features — duration, mean absolute amplitude, peak."""

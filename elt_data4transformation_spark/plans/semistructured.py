@@ -541,6 +541,55 @@ def image_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "audio_resample_features",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id, 400 + (doc_id % 50) * 8 AS n_samples
+            FROM documents
+        ), samples AS (
+            SELECT d.doc_id, d.n_samples,
+                   (d.doc_id * 13 + i.i * i.i * 7) % 2001 - 1000 AS s
+            FROM dims d
+            CROSS JOIN (SELECT UNNEST(RANGE(0, 792)) AS i) i
+            WHERE i.i < d.n_samples AND i.i % 2 = 0
+        )
+        SELECT doc_id, n_samples,
+               CAST(COUNT(*) AS BIGINT) AS n_out,
+               CAST(4000 AS BIGINT) AS out_rate,
+               ROUND(AVG(ABS(s)), 6) AS mean_abs,
+               MAX(ABS(s)) AS peak
+        FROM samples
+        GROUP BY doc_id, n_samples
+        ORDER BY doc_id
+    """,
+    tags=("multimodal",),
+    doc="REAL audio resample end-to-end — the audio sibling of "
+    "image_resize_thumbnail: each synthetic signal goes through "
+    "actual mono 16-bit PCM WAV bytes, is decoded by the stdlib wave "
+    "reader, and decimated 2:1 (one numpy stride slice per signal, "
+    "Arrow-batched mapInPandas — operators/multimodal."
+    "decode_wav_resample), emitting the 4 kHz signal's features. The "
+    "kept index set (i % 2 == 0) is pure integer arithmetic, so the "
+    "oracle evaluates the identical selection over the synthetic "
+    "sample formula and the features hash-match exactly. Zero "
+    "shuffle; a production path adds a low-pass before decimation "
+    "(declared in the operator docstring).",
+)
+def audio_resample_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents")).select("doc_id")
+    encoded = multimodal.encode_wav_payloads(d)
+    res = multimodal.decode_wav_resample(encoded, factor=2)
+    return res.select(
+        "doc_id",
+        "n_samples",
+        "n_out",
+        "out_rate",
+        F.round("mean_abs", 6).alias("mean_abs"),
+        "peak",
+    ).orderBy("doc_id")
+
+
+@register(
     "audio_decode_features",
     oracle="""
         WITH dims AS (
