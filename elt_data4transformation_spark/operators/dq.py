@@ -30,8 +30,9 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-ROW_CHECKS = ("not_null", "accepted_range")
+ROW_CHECKS = ("not_null", "accepted_range", "accepted_values")
 KEY_CHECKS = ("unique", "unique_combination")
+REL_CHECKS = ("relationships",)
 
 
 @dataclass(frozen=True)
@@ -39,10 +40,14 @@ class DQCheck:
     """One declared constraint — mirrors a dbt schema-test entry."""
 
     table: str
-    check: str  # not_null | accepted_range | unique | unique_combination
+    check: str  # not_null | accepted_range | accepted_values |
+    #             unique | unique_combination | relationships
     columns: tuple[str, ...]
     lo: object = None  # accepted_range bounds: number, or ISO date str
     hi: object = None
+    values: tuple = ()  # accepted_values allow-list
+    to_table: str = ""  # relationships: parent table
+    to_column: str = ""  # relationships: parent key column
 
     def col_label(self) -> str:
         return "+".join(self.columns)
@@ -63,6 +68,10 @@ def _row_cond(c: DQCheck) -> F.Column:
     col = F.col(c.columns[0])
     if c.check == "not_null":
         return col.isNull()
+    if c.check == "accepted_values":
+        # dbt semantics: NULLs pass accepted_values (declare not_null
+        # separately); NULL NOT IN (...) is NULL, coalesced to false
+        return F.coalesce(~col.isin(*c.values), F.lit(False))
     # accepted_range: NULLs are not range violations (dbt semantics —
     # declare not_null separately); NULL comparisons fall out as NULL,
     # coalesced to false
@@ -78,6 +87,9 @@ def _row_cond_sql(c: DQCheck) -> str:
     col = c.columns[0]
     if c.check == "not_null":
         return f"{col} IS NULL"
+    if c.check == "accepted_values":
+        vals = ", ".join(f"'{v}'" for v in c.values)
+        return f"COALESCE({col} NOT IN ({vals}), FALSE)"
     parts = []
     if c.lo is not None:
         parts.append(f"{col} < {_lit_sql(c.lo)}")
@@ -157,6 +169,34 @@ def dq_report(
             )
         )
 
+    for c in checks:
+        if c.check not in REL_CHECKS:
+            continue
+        child, key = tables[c.table], keys[c.table]
+        parent = tables[c.to_table].select(
+            F.col(c.to_column).alias(c.columns[0])
+        )
+        # referential integrity: child rows whose (non-NULL) FK has no
+        # parent — an anti join on the key; at scale the parent side
+        # broadcasts when it is a dim, else both sides co-partition
+        orphans = child.filter(F.col(c.columns[0]).isNotNull()).join(
+            parent, c.columns[0], "left_anti"
+        )
+        parts.append(
+            orphans.agg(
+                F.count(F.lit(1)).alias("n_violations"),
+                F.min(F.col(key)).cast("string").alias("sample"),
+            ).select(
+                F.lit(c.table).alias("table_name"),
+                F.lit(c.check).alias("check_name"),
+                F.lit(f"{c.col_label()}->{c.to_table}.{c.to_column}").alias(
+                    "columns"
+                ),
+                "n_violations",
+                "sample",
+            )
+        )
+
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -180,6 +220,19 @@ def dq_report_sql(keys: dict[str, str], checks: tuple[DQCheck, ...]) -> str:
                 CAST(MIN(CASE WHEN {cond} THEN {keys[c.table]} END)
                      AS VARCHAR) AS sample
                 FROM {c.table}"""
+            )
+        elif c.check in REL_CHECKS:
+            col = c.columns[0]
+            selects.append(
+                f"""SELECT '{c.table}' AS table_name,
+                '{c.check}' AS check_name,
+                '{c.col_label()}->{c.to_table}.{c.to_column}' AS columns,
+                CAST(COUNT(*) AS BIGINT) AS n_violations,
+                CAST(MIN({keys[c.table]}) AS VARCHAR) AS sample
+                FROM {c.table} ch
+                WHERE ch.{col} IS NOT NULL AND NOT EXISTS (
+                    SELECT 1 FROM {c.to_table} pa
+                    WHERE pa.{c.to_column} = ch.{col})"""
             )
         else:
             key_str = ", ".join(

@@ -53,6 +53,34 @@ DQ_CHECKS = (
     DQCheck("events", "unique", ("event_id",)),
     DQCheck("events", "not_null", ("user_id",)),
     DQCheck("documents", "unique", ("doc_id",)),
+    # dbt-core's remaining two schema-test kinds:
+    DQCheck(
+        "orders", "accepted_values", ("o_orderstatus",), values=("F", "O", "P")
+    ),
+    DQCheck(
+        "lineitem", "accepted_values", ("l_returnflag",), values=("A", "N", "R")
+    ),
+    # fails: the corpus also contains 'es' documents — proves detection
+    DQCheck(
+        "documents",
+        "accepted_values",
+        ("lang",),
+        values=("en", "de", "zh", "fr"),
+    ),
+    DQCheck(
+        "orders",
+        "relationships",
+        ("o_custkey",),
+        to_table="customer",
+        to_column="c_custkey",
+    ),
+    DQCheck(
+        "lineitem",
+        "relationships",
+        ("l_orderkey",),
+        to_table="orders",
+        to_column="o_orderkey",
+    ),
 )
 
 
@@ -63,19 +91,22 @@ DQ_CHECKS = (
     doc="Declarative data-quality runner: the reference's dbt schema "
     "tests (unique, not_null, accepted_range, "
     "unique_combination_of_columns — models.yml:4-80, executed by "
-    "dags/dbt_transform_dag.py:264-311) as a spec tuple compiled to "
-    "ONE union-of-violations report. Row-level checks per table fold "
-    "into a single conditional-aggregate scan (N checks, one pass); "
+    "dags/dbt_transform_dag.py:264-311) PLUS dbt-core's other two "
+    "kinds (accepted_values, relationships referential-integrity) as "
+    "a spec tuple compiled to ONE union-of-violations report. "
+    "Row-level checks per table (incl. accepted_values) fold into a "
+    "single conditional-aggregate scan (N checks, one pass); "
     "uniqueness checks are one hash aggregate per declared key; "
+    "relationships are anti joins (parent broadcasts when a dim); "
     "samples are min offending PRIMARY KEYS so engine float "
     "formatting never leaks into the report. The oracle SQL is "
     "generated from the SAME spec list. Includes deliberately "
-    "failing checks (o_totalprice cap, o_custkey uniqueness) to prove "
-    "detection.",
+    "failing checks (o_totalprice cap, o_custkey uniqueness, the "
+    "lang allow-list missing 'es') to prove detection.",
 )
 def dq_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tables = {
-        t: table(spark, sf_dir, t)
-        for t in sorted({c.table for c in DQ_CHECKS})
+    names = {c.table for c in DQ_CHECKS} | {
+        c.to_table for c in DQ_CHECKS if c.to_table
     }
+    tables = {t: table(spark, sf_dir, t) for t in sorted(names)}
     return dq_report(tables, DQ_KEYS, DQ_CHECKS)

@@ -514,6 +514,7 @@ def test_dq_report_detects_each_check_kind(spark):
         ],
         "pk long, grp int, val double, d string, tag string",
     ).withColumn("d", F.col("d").cast("date"))
+    parent = spark.createDataFrame([(10,), (30,)], "gid int")
     checks = (
         DQCheck("t", "not_null", ("grp",)),
         DQCheck("t", "accepted_range", ("val",), lo=0, hi=100),
@@ -523,10 +524,24 @@ def test_dq_report_detects_each_check_kind(spark):
         DQCheck("t", "unique", ("pk",)),
         DQCheck("t", "unique", ("grp",)),
         DQCheck("t", "unique_combination", ("grp", "tag")),
+        # NULL tag would pass accepted_values (dbt semantics); 'b' fails
+        DQCheck("t", "accepted_values", ("tag",), values=("a", "c")),
+        # grp NULL is skipped; all non-NULL grp values exist in parent
+        DQCheck(
+            "t", "relationships", ("grp",), to_table="p", to_column="gid"
+        ),
+        # and against a parent missing 30: rows 4,5 are orphans
+        DQCheck(
+            "t", "relationships", ("grp",), to_table="p10", to_column="gid"
+        ),
     )
     rows = {
         (r["check_name"], r["columns"]): (r["n_violations"], r["sample"])
-        for r in dq_report({"t": t}, {"t": "pk"}, checks).collect()
+        for r in dq_report(
+            {"t": t, "p": parent, "p10": parent.filter("gid = 10")},
+            {"t": "pk"},
+            checks,
+        ).collect()
     }
     assert rows[("not_null", "grp")] == (1, "3")
     assert rows[("accepted_range", "val")] == (2, "2")
@@ -535,6 +550,9 @@ def test_dq_report_detects_each_check_kind(spark):
     assert rows[("unique", "grp")] == (2, "10")  # two duplicated keys
     # both (10,a) and (30,b) combos are duplicated; min sample wins
     assert rows[("unique_combination", "grp+tag")] == (2, "10|a")
+    assert rows[("accepted_values", "tag")] == (3, "3")  # the 'b' rows
+    assert rows[("relationships", "grp->p.gid")] == (0, None)
+    assert rows[("relationships", "grp->p10.gid")] == (2, "4")
 
 
 def test_greedy_cluster_ceiling_enforced(spark, monkeypatch):
