@@ -1,0 +1,135 @@
+"""Stored-artifact lifecycle: source fingerprints + atomic publication.
+
+The stored-artifact family (dedup_stored_index, ann_stored_ivf,
+cdc_stored_state_maintain and their maintenance twins) persists derived
+state — LSH band tables, IVF vector buckets, CDC aggregate state — as
+parquet artifacts reused across invocations. Reference analog: the
+always-current idempotent upsert store (study_scraper/storage/
+postgres.py:1160-1239). Two lifecycle hazards this module closes:
+
+1. **Staleness.** Keying an artifact by corpus row count alone lets a
+   cardinality-preserving corpus edit silently reuse a stale index —
+   a wrong-answer path. Every artifact therefore records the SOURCE
+   FINGERPRINT it was built from: a hash of the source parquet files'
+   (relative path, size, mtime_ns) plus a logical params string
+   (filters, shingle/band/centroid config, ingest history). Computing
+   the fingerprint is ``os.stat`` only — no data scan, not even a
+   metadata ``count()`` — so probe-only invocations cost zero corpus
+   I/O. Any edit rewrites a file, changing size/mtime_ns → mismatch →
+   rebuild. This is the single-node moral of versioning by table
+   snapshot id / ingest watermark (Delta, Iceberg), which is what a
+   cluster deployment keys on.
+
+2. **Partial / concurrent builds.** Builders write into a unique temp
+   directory beside the final path; the ``_ARTIFACT_META.json``
+   fingerprint file is written LAST, and the temp dir is renamed into
+   place only once complete. A directory without its meta file is
+   treated as absent, so a crashed build can never be trusted, and a
+   concurrent builder that loses the publish race simply discards its
+   temp dir.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import uuid
+from collections.abc import Callable
+
+META_NAME = "_ARTIFACT_META.json"
+
+
+def source_fingerprint(sources: list[str], params: str = "") -> str:
+    """Fingerprint of the artifact's inputs: file-level metadata of
+    every data file under each source path (file or directory), plus
+    the logical ``params`` string. Pure ``os.stat`` — O(#files), no
+    data read. Missing sources contribute a marker (so 'source was
+    deleted after indexing' still yields a STABLE fingerprint rather
+    than an error — the probe-only-after-delete flow)."""
+    h = hashlib.sha256()
+    h.update(params.encode())
+    for src in sorted(sources):
+        if os.path.isfile(src):
+            st = os.stat(src)
+            h.update(f"|{os.path.basename(src)}:{st.st_size}:{st.st_mtime_ns}".encode())
+        elif os.path.isdir(src):
+            for dirpath, dirnames, files in os.walk(src):
+                dirnames.sort()
+                rel = os.path.relpath(dirpath, src)
+                for f in sorted(files):
+                    if f.startswith((".", "_")) and f != "_SUCCESS":
+                        continue
+                    st = os.stat(os.path.join(dirpath, f))
+                    h.update(f"|{rel}/{f}:{st.st_size}:{st.st_mtime_ns}".encode())
+        else:
+            h.update(f"|missing:{src}".encode())
+    return h.hexdigest()[:32]
+
+
+def load_meta(path: str) -> dict | None:
+    """The artifact's recorded metadata, or None when absent/partial
+    (no meta file == the build never completed — never trust it)."""
+    try:
+        with open(os.path.join(path, META_NAME)) as fh:
+            return json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def is_current(path: str, fingerprint: str) -> bool:
+    meta = load_meta(path)
+    return meta is not None and meta.get("fingerprint") == fingerprint
+
+
+def publish(
+    path: str,
+    fingerprint: str,
+    builder: Callable[[str], None],
+    extra_meta: dict | None = None,
+) -> bool:
+    """Ensure ``path`` holds an artifact built from ``fingerprint``.
+
+    Returns True when a (re)build happened. Stale or partial artifacts
+    are replaced; current ones are reused untouched (mtimes preserved —
+    pinned by tests). The build goes to ``<path>.tmp.<uuid>``; the meta
+    file is written last; the swap is rename-based so readers never see
+    a half-built artifact as valid."""
+    if is_current(path, fingerprint):
+        return False
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    try:
+        builder(tmp)
+        meta = {"fingerprint": fingerprint}
+        if extra_meta:
+            meta.update(extra_meta)
+        with open(os.path.join(tmp, META_NAME), "w") as fh:
+            json.dump(meta, fh)
+        if is_current(path, fingerprint):  # concurrent builder won
+            shutil.rmtree(tmp, ignore_errors=True)
+            return False
+        old = None
+        if os.path.exists(path):
+            old = f"{path}.old.{uuid.uuid4().hex[:8]}"
+            os.rename(path, old)
+        os.rename(tmp, path)
+        if old:
+            shutil.rmtree(old, ignore_errors=True)
+        return True
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def update_meta(path: str, fingerprint: str, extra_meta: dict | None = None) -> None:
+    """Re-stamp a published artifact after in-place maintenance (delta
+    MERGE): the artifact now represents base + ingested deltas, so its
+    fingerprint advances to cover the new source set."""
+    meta = load_meta(path) or {}
+    meta["fingerprint"] = fingerprint
+    if extra_meta:
+        meta.update(extra_meta)
+    tmp = os.path.join(path, f".{META_NAME}.{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(path, META_NAME))

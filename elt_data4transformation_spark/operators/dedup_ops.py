@@ -102,21 +102,28 @@ def jaccard_pairs(
         )
     else:
         # capped: the join undercounts (hot tokens removed), so it
-        # yields CANDIDATES only; re-score exactly on the full sets
+        # yields CANDIDATES only; re-score exactly on the full sets.
+        # The rescore join carries _blk — ids are only guaranteed
+        # unique WITHIN a block (that's what block_col exists for), so
+        # joining on the bare id would fan out across blocks and
+        # mis-score pairs; (_blk, id) keeps the rescore block-scoped,
+        # exactly like the uncapped path's (_blk, doc_a, doc_b) group.
         cand = joined.select("_blk", "doc_a", "doc_b").distinct()
         sa = base.select(
+            "_blk",
             F.col("_id").alias("doc_a"),
             F.col("_set").alias("_seta"),
             F.col("_n").alias("_na"),
         )
         sb = base.select(
+            "_blk",
             F.col("_id").alias("doc_b"),
             F.col("_set").alias("_setb"),
             F.col("_n").alias("_nb"),
         )
         inter = (
-            cand.join(sa, "doc_a")
-            .join(sb, "doc_b")
+            cand.join(sa, ["_blk", "doc_a"])
+            .join(sb, ["_blk", "doc_b"])
             .select(
                 "_blk",
                 "doc_a",
@@ -393,6 +400,68 @@ def write_band_index(
     sh.unpersist()
 
 
+def _index_segments(index_path: str) -> tuple[list[str], list[str]]:
+    """Band/shingle parquet directories making up a stored index: the
+    base segment plus every MERGED ingest segment listed in the
+    artifact meta (operators/artifacts.py). Segments not listed in the
+    meta are orphans from a crashed merge and are ignored — the merge
+    protocol writes the segment first and stamps the meta LAST, so a
+    half-written segment can never be read."""
+    from . import artifacts
+
+    meta = artifacts.load_meta(index_path) or {}
+    tags = meta.get("ingests", [])
+    bands = [f"{index_path}/bands"] + [
+        f"{index_path}/bands_ingest_{t}" for t in tags
+    ]
+    shingles = [f"{index_path}/shingles"] + [
+        f"{index_path}/shingles_ingest_{t}" for t in tags
+    ]
+    return bands, shingles
+
+
+def _read_segments(spark, dirs: list[str]) -> DataFrame:
+    out = spark.read.parquet(dirs[0])
+    for d in dirs[1:]:
+        out = out.unionByName(spark.read.parquet(d))
+    return out
+
+
+def merge_band_index(
+    spark,
+    index_path: str,
+    delta: DataFrame,
+    tag: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle: int = 5,
+    n_hashes: int = 8,
+    n_bands: int = 2,
+) -> None:
+    """MERGE a probed batch into a stored band index so the NEXT ingest
+    dedups against everything before it — the always-extending store
+    shape (reference analog: the idempotent upsert loop,
+    study_scraper/storage/postgres.py:1160-1239). The batch's bands and
+    shingles are written as a fresh ``*_ingest_<tag>`` SEGMENT beside
+    the base artifacts (LSM-style: append a segment, never rewrite the
+    base — at 100 TB a compactor folds cold segments together). The
+    caller stamps the artifact meta (fingerprint + ingests list) AFTER
+    this returns; a crash in between leaves an unlisted orphan segment
+    that readers ignore, so the merge is atomic-or-absent."""
+    sh = delta.select(
+        F.col(id_col).alias(id_col),
+        T.char_shingles_col(shingle, text_col).alias("shingles"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = minhash_signature(sh, id_col, "shingles", n_hashes, n_bands)
+    band_table(sig, id_col, n_bands).write.mode("overwrite").partitionBy(
+        "band_idx"
+    ).parquet(f"{index_path}/bands_ingest_{tag}")
+    sh.select(
+        id_col, "shingles", F.size("shingles").cast("long").alias("n_sh")
+    ).write.mode("overwrite").parquet(f"{index_path}/shingles_ingest_{tag}")
+    sh.unpersist()
+
+
 def probe_band_index(
     spark,
     index_path: str,
@@ -404,18 +473,22 @@ def probe_band_index(
     n_bands: int = 2,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Probe a STORED band index (write_band_index) with a new batch.
-    Returns (new_doc_id, matched_doc_id, jaccard_raw) for every stored
-    document whose exact shingle-Jaccard with a delta document clears
-    ``threshold``.
+    """Probe a STORED band index (write_band_index, plus any merged
+    ingest segments) with a new batch. Returns (new_doc_id,
+    matched_doc_id, jaccard_raw) for every stored document whose exact
+    shingle-Jaccard with a delta document clears ``threshold``.
 
     The corpus side is touched ONLY through the stored artifacts: band
     rows join against the (small, broadcast) probe bands, and the
     re-score reads stored shingles for matched ids — zero corpus
     re-shingling across invocations, which is what makes per-ingest
     dedup affordable at 100 TB (work ~ delta size + matches)."""
-    idx_bands = spark.read.parquet(f"{index_path}/bands")
-    idx_sh = spark.read.parquet(f"{index_path}/shingles")
+    band_dirs, shingle_dirs = _index_segments(index_path)
+    # per-segment reads + unionByName: passing several partitioned
+    # roots to one read() call makes partition discovery guess a
+    # common base path — brittle; an explicit union is the same scan
+    idx_bands = _read_segments(spark, band_dirs)
+    idx_sh = _read_segments(spark, shingle_dirs)
     dsh = delta.select(
         F.col(id_col).alias("_nid"),
         T.char_shingles_col(shingle, text_col).alias("_sa"),

@@ -49,6 +49,33 @@ class DQCheck:
     to_table: str = ""  # relationships: parent table
     to_column: str = ""  # relationships: parent key column
 
+    def __post_init__(self) -> None:
+        """Reject malformed specs at declaration time — a bad check
+        must fail loudly when declared, not compile into invalid SQL
+        ('COALESCE( , FALSE)') or a silently-vacuous condition."""
+        kinds = ROW_CHECKS + KEY_CHECKS + REL_CHECKS
+        if self.check not in kinds:
+            raise ValueError(f"unknown DQ check kind: {self.check!r}")
+        if not self.columns:
+            raise ValueError(f"{self.check}: at least one column required")
+        if self.check == "accepted_range" and self.lo is None and self.hi is None:
+            raise ValueError(
+                f"accepted_range on {self.table}.{self.col_label()}: "
+                "at least one of lo/hi is required"
+            )
+        if self.check == "accepted_values" and not self.values:
+            raise ValueError(
+                f"accepted_values on {self.table}.{self.col_label()}: "
+                "empty allow-list would flag every row"
+            )
+        if self.check == "relationships" and not (
+            self.to_table and self.to_column
+        ):
+            raise ValueError(
+                f"relationships on {self.table}.{self.col_label()}: "
+                "to_table and to_column are required"
+            )
+
     def col_label(self) -> str:
         return "+".join(self.columns)
 
@@ -62,6 +89,13 @@ def _lit_col(v) -> F.Column:
 
 def _lit_sql(v) -> str:
     return f"DATE '{v}'" if isinstance(v, str) else str(v)
+
+
+def _val_sql(v) -> str:
+    """accepted_values literal: strings quoted, numerics bare — the
+    same typed comparison Spark's ``Column.isin`` performs (quoting a
+    numeric allow-list would make DuckDB compare through varchar)."""
+    return f"'{v}'" if isinstance(v, str) else str(v)
 
 
 def _row_cond(c: DQCheck) -> F.Column:
@@ -88,7 +122,7 @@ def _row_cond_sql(c: DQCheck) -> str:
     if c.check == "not_null":
         return f"{col} IS NULL"
     if c.check == "accepted_values":
-        vals = ", ".join(f"'{v}'" for v in c.values)
+        vals = ", ".join(_val_sql(v) for v in c.values)
         return f"COALESCE({col} NOT IN ({vals}), FALSE)"
     parts = []
     if c.lo is not None:
@@ -107,6 +141,8 @@ def dq_report(
     (table_name, check_name, columns, n_violations, sample, passed),
     one row per declared check, sample = min offending key (NULL when
     the check passes)."""
+    if not checks:
+        raise ValueError("dq_report: empty check list")
     parts: list[DataFrame] = []
     by_table: dict[str, list[DQCheck]] = {}
     for c in checks:

@@ -87,6 +87,36 @@ def cosine_sql(a: str, b: str) -> str:
     )
 
 
+def _quarantine_missized(
+    tagged: DataFrame, expected_dim: int | None
+) -> DataFrame:
+    """Drop rows whose ``_v`` doesn't have the expected dimensionality.
+
+    When the caller doesn't know the dimension, infer it as the MODE
+    (most frequent) vector size — NOT the max: a single oversized
+    corrupt vector would otherwise silently quarantine every
+    correctly-sized vector (inverted quarantine, empty output, no
+    error). Ties break to the smaller size for determinism. One tiny
+    two-level aggregate, broadcast back."""
+    if expected_dim is not None:
+        return tagged.filter(F.size("_v") == expected_dim)
+    dims = (
+        tagged.groupBy(F.size("_v").alias("_dim"))
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .groupBy()
+        .agg(
+            F.max_by(
+                "_dim", F.struct(F.col("_nd"), (-F.col("_dim")).cast("long"))
+            ).alias("_dim")
+        )
+    )
+    return (
+        tagged.join(F.broadcast(dims))
+        .filter(F.size("_v") == F.col("_dim"))
+        .drop("_dim")
+    )
+
+
 # --- Block-partitioned vectorized all-pairs -------------------------------
 
 
@@ -115,15 +145,7 @@ def cosine_pairs(
         F.col(vec_col).cast("array<double>").alias("_v"),
         *[F.col(c) for c in carry_cols],
     ).filter(F.col("_v").isNotNull())
-    if expected_dim is not None:
-        tagged = tagged.filter(F.size("_v") == expected_dim)
-    else:
-        dims = tagged.groupBy().agg(F.max(F.size("_v")).alias("_dim"))
-        tagged = (
-            tagged.join(F.broadcast(dims))
-            .filter(F.size("_v") == F.col("_dim"))
-            .drop("_dim")
-        )
+    tagged = _quarantine_missized(tagged, expected_dim)
     tagged = tagged.withColumn(
         "_g", F.floor(F.col("_id") / block_size).cast("long")
     )
@@ -237,15 +259,7 @@ def bucket_cosine_pairs(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     ).filter(F.col("_v").isNotNull())
-    if expected_dim is not None:
-        tagged = tagged.filter(F.size("_v") == expected_dim)
-    else:
-        dims = tagged.groupBy().agg(F.max(F.size("_v")).alias("_dim"))
-        tagged = (
-            tagged.join(F.broadcast(dims))
-            .filter(F.size("_v") == F.col("_dim"))
-            .drop("_dim")
-        )
+    tagged = _quarantine_missized(tagged, expected_dim)
     # bucket keys aren't always numeric (language blocks, band keys):
     # derive the output type from the input column instead of baking
     # one in, or Arrow coercion fails in every bucket task

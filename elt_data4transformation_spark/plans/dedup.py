@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import textfns as T
-from ..operators import dedup_ops, vectors
+from ..operators import artifacts, dedup_ops, vectors
 from ..sources import spread, table
 from .registry import register
 
@@ -666,19 +666,24 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 DELTA_MOD = 5  # doc_id % 5 == 0 -> the incoming 20% batch; rest = corpus
 
 
-def _incremental_probe_oracle() -> str:
+def _incremental_probe_oracle(
+    idx_pred: str = f"doc_id % {DELTA_MOD} <> 0",
+    probe_pred: str = f"doc_id % {DELTA_MOD} = 0",
+) -> str:
     """DuckDB twin of probing the corpus band index with the delta
-    batch — shared by dedup_incremental_index (in-query index) and
-    dedup_stored_index (parquet-stored index): the stored round-trip
-    does not change the semantics, only where the index lives."""
+    batch — shared by dedup_incremental_index (in-query index),
+    dedup_stored_index (parquet-stored index) and dedup_index_maintain
+    (stored index grown by merged ingests): the stored round-trip does
+    not change the semantics, only where the index lives; the
+    idx/probe predicates say which rows the index covers."""
     return f"""
         WITH sh AS ({_signatures_sql()[0]}),
         dg AS ({_signatures_sql()[1]}), sig AS ({_signatures_sql()[2]}),
         bands AS ({" UNION ALL ".join(
             f"SELECT doc_id, {b} AS band_idx, band{b} AS band_key FROM sig"
             for b in range(N_BANDS))}),
-        idx AS (SELECT * FROM bands WHERE doc_id % {DELTA_MOD} <> 0),
-        probe AS (SELECT * FROM bands WHERE doc_id % {DELTA_MOD} = 0),
+        idx AS (SELECT * FROM bands WHERE {idx_pred}),
+        probe AS (SELECT * FROM bands WHERE {probe_pred}),
         cand AS (
             SELECT DISTINCT p.doc_id AS new_doc_id, i.doc_id AS matched_doc_id
             FROM probe p JOIN idx i
@@ -812,12 +817,19 @@ def _index_root() -> str:
     "(operators/dedup_ops.write_band_index); every later run probes "
     "those artifacts with work proportional to the DELTA — the corpus "
     "is never re-shingled again, not even for matched rows (the "
-    "re-score reads stored shingles). The artifact is fingerprinted "
-    "by corpus row count, so a changed corpus rebuilds and a stable "
-    "one reuses; tests prove the probe runs with the corpus file "
-    "DELETED after indexing. Same semantics (and oracle) as "
-    "dedup_incremental_index — only where the index lives differs. "
-    "Reference analog: SURVEY §2.11 known-ID diff, persisted.",
+    "re-score reads stored shingles). The artifact records the SOURCE "
+    "FINGERPRINT it was built from — file-level (size, mtime_ns) "
+    "metadata of documents.parquet plus the index params (operators/"
+    "artifacts.py), so ANY corpus edit — even one preserving row "
+    "count — triggers a rebuild, a stable corpus reuses with ZERO "
+    "corpus I/O on the probe path (no count() scan), and a partial/"
+    "crashed build is never trusted (meta written last, atomic dir "
+    "swap). Tests prove the probe runs with the corpus file DELETED "
+    "after indexing and that a cardinality-preserving edit rebuilds. "
+    "Same semantics (and oracle) as dedup_incremental_index — only "
+    "where the index lives differs. Reference analog: SURVEY §2.11 "
+    "known-ID diff, persisted via the always-current upsert store "
+    "(study_scraper/storage/postgres.py:1160-1239).",
 )
 def dedup_stored_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -826,24 +838,27 @@ def dedup_stored_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_delta = F.col("doc_id") % DELTA_MOD == 0
     corpus = d.filter(~is_delta)
     delta = d.filter(is_delta)
-    # fingerprint: corpus cardinality — cheap (parquet metadata count),
-    # distinguishes scale factors and corpus edits; a production system
-    # would version by ingest watermark instead
-    n_corpus = corpus.count()
     path = os.path.join(
-        _index_root(),
-        f"{os.path.basename(os.path.normpath(sf_dir))}-{n_corpus}",
+        _index_root(), os.path.basename(os.path.normpath(sf_dir))
     )
-    if not os.path.exists(os.path.join(path, "shingles", "_SUCCESS")):
-        dedup_ops.write_band_index(
+    fp = artifacts.source_fingerprint(
+        [os.path.join(sf_dir, "documents.parquet")],
+        params=f"dedup_stored_index|corpus=doc_id%{DELTA_MOD}!=0"
+        f"|sh={SHINGLE}|mh={N_MINHASH}|bands={N_BANDS}",
+    )
+    artifacts.publish(
+        path,
+        fp,
+        lambda tmp: dedup_ops.write_band_index(
             corpus,
-            path,
+            tmp,
             id_col="doc_id",
             text_col="text",
             shingle=SHINGLE,
             n_hashes=N_MINHASH,
             n_bands=N_BANDS,
-        )
+        ),
+    )
     scored = dedup_ops.probe_band_index(
         spark,
         path,
@@ -854,6 +869,85 @@ def dedup_stored_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_hashes=N_MINHASH,
         n_bands=N_BANDS,
         threshold=0.5,
+    )
+    best = Window.partitionBy("new_doc_id").orderBy(
+        F.desc("jaccard_raw"), F.asc("matched_doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(best))
+        .filter(F.col("rn") == 1)
+        .select(
+            "new_doc_id",
+            "matched_doc_id",
+            F.round("jaccard_raw", 6).alias("jaccard"),
+        )
+        .orderBy("new_doc_id")
+    )
+
+
+@register(
+    "dedup_index_maintain",
+    oracle=_incremental_probe_oracle(
+        f"doc_id % {DELTA_MOD} <> 1", f"doc_id % {DELTA_MOD} = 1"
+    ),
+    tags=("dedup", "incremental"),
+    doc="Stored-index DELTA MAINTENANCE — the step dedup_stored_index "
+    "stops short of: after probing, each ingested batch is MERGED into "
+    "the stored artifacts (operators/dedup_ops.merge_band_index), so "
+    "ingest N+1 dedups against EVERYTHING before it, not just the "
+    "original corpus. Lifecycle demonstrated: base corpus (doc_id%5 in "
+    "{2,3,4}) is indexed; ingest A (doc_id%5==0) is probed then merged "
+    "as an LSM-style segment (bands_ingest_a / shingles_ingest_a "
+    "beside the base artifacts — append a segment, never rewrite the "
+    "base; a 100 TB compactor folds cold segments); ingest B "
+    "(doc_id%5==1) then probes the GROWN index and its matches can "
+    "land in A, proving the merge. Meta (fingerprint + ingests list) "
+    "is stamped LAST, so a crashed merge leaves an ignored orphan "
+    "segment, never a half-trusted one; a corpus edit rebuilds the "
+    "whole lifecycle (file-level source fingerprint). Work per ingest "
+    "is delta-proportional. Reference analog: the always-extending "
+    "idempotent upsert loop, study_scraper/storage/postgres.py:"
+    "1160-1239. Oracle: probe of B against an index over doc_id%5<>1 "
+    "— merged segments change where index rows live, not semantics.",
+)
+def dedup_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    d = spread(table(spark, sf_dir, "documents"))
+    corpus = d.filter(F.col("doc_id") % DELTA_MOD >= 2)
+    ingest_a = d.filter(F.col("doc_id") % DELTA_MOD == 0)
+    ingest_b = d.filter(F.col("doc_id") % DELTA_MOD == 1)
+    kw = dict(
+        id_col="doc_id",
+        text_col="text",
+        shingle=SHINGLE,
+        n_hashes=N_MINHASH,
+        n_bands=N_BANDS,
+    )
+    path = os.path.join(
+        f"{_index_root()}_maintain",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    src = [os.path.join(sf_dir, "documents.parquet")]
+    params = (
+        f"dedup_index_maintain|base=doc_id%{DELTA_MOD}>=2"
+        f"|sh={SHINGLE}|mh={N_MINHASH}|bands={N_BANDS}"
+    )
+    fp_base = artifacts.source_fingerprint(src, params + "|ingests=")
+    fp_a = artifacts.source_fingerprint(src, params + "|ingests=a")
+    if not artifacts.is_current(path, fp_a):
+        # invocation 1 of the lifecycle: index the base corpus...
+        artifacts.publish(
+            path,
+            fp_base,
+            lambda tmp: dedup_ops.write_band_index(corpus, tmp, **kw),
+        )
+        # ...then ingest A: probe (dedup decision for A's rows would be
+        # made here) and MERGE, so every later ingest sees A
+        dedup_ops.merge_band_index(spark, path, ingest_a, tag="a", **kw)
+        artifacts.update_meta(path, fp_a, {"ingests": ["a"]})
+    scored = dedup_ops.probe_band_index(
+        spark, path, ingest_b, threshold=0.5, **kw
     )
     best = Window.partitionBy("new_doc_id").orderBy(
         F.desc("jaccard_raw"), F.asc("matched_doc_id")

@@ -258,8 +258,11 @@ def _ivf_oracle() -> str:
             FROM q JOIN assigned a
               ON a.centroid_id = q.qc AND a.vec_id <> q.query_id
         ), ranked AS (
+            -- rank on the ROUNDED cosine (round-before-compare rule):
+            -- an unrounded near-tie could order differently between a
+            -- BLAS fold and DuckDB's list fold, flipping the top-k cut
             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                      ORDER BY cos DESC, neighbor_id) AS rank
+                      ORDER BY ROUND(cos, 6) DESC, neighbor_id) AS rank
             FROM scored
         )
         SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cosine
@@ -279,24 +282,32 @@ def _ivf_oracle() -> str:
     "queries, and scans ONLY the probed buckets — directory-level "
     "partition pruning makes the probe read nprobe/n_centroids of the "
     "index, the thing that keeps a 100 TB vector store queryable. "
-    "Artifacts are fingerprinted by corpus cardinality (rebuild on "
-    "change, reuse when stable). Same math and oracle as ann_ivf_topk "
-    "— only where the index lives differs; parallel to "
-    "dedup_stored_index for the dedup family.",
+    "Artifacts record the file-level SOURCE FINGERPRINT of "
+    "embeddings.parquet + index params (operators/artifacts.py): any "
+    "edit — even cardinality-preserving — rebuilds, a stable corpus "
+    "reuses with zero corpus I/O, partial builds are never trusted. "
+    "Same math and oracle as ann_ivf_topk — only where the index "
+    "lives differs; parallel to dedup_stored_index for the dedup "
+    "family.",
 )
 def ann_stored_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
+    from ..operators import artifacts
     from .dedup import _index_root
 
     e = _vectors(spark, sf_dir)
-    n = e.count()
     path = os.path.join(
         os.path.dirname(_index_root()),
         "ann_ivf",
-        f"{os.path.basename(os.path.normpath(sf_dir))}-{n}",
+        os.path.basename(os.path.normpath(sf_dir)),
     )
-    if not os.path.exists(os.path.join(path, "index", "_SUCCESS")):
+    fp = artifacts.source_fingerprint(
+        [os.path.join(sf_dir, "embeddings.parquet")],
+        params=f"ann_stored_ivf|k={N_CENTROIDS}|lloyd=1|round=6",
+    )
+
+    def build(tmp: str) -> None:
         cent0 = e.filter(F.col("vec_id") < N_CENTROIDS).select(
             F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
         )
@@ -318,10 +329,12 @@ def ann_stored_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         assigned = assign_nearest(e.select("vec_id", "v"), cent).drop("cos")
-        cent.write.mode("overwrite").parquet(f"{path}/centroids")
+        cent.write.mode("overwrite").parquet(f"{tmp}/centroids")
         assigned.select("vec_id", "v", "centroid_id").write.mode(
             "overwrite"
-        ).partitionBy("centroid_id").parquet(f"{path}/index")
+        ).partitionBy("centroid_id").parquet(f"{tmp}/index")
+
+    artifacts.publish(path, fp, build)
     idx = spark.read.parquet(f"{path}/index")
     q = idx.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -335,7 +348,10 @@ def ann_stored_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        cosine_col(F.col("qv"), F.col("v")).alias("cos"),
+        # round BEFORE the rank window (round-before-compare rule):
+        # ranking on the raw cosine here but a fold-order cosine in the
+        # oracle could flip a near-tie across the top-k cut
+        F.round(cosine_col(F.col("qv"), F.col("v")), 6).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (
@@ -345,7 +361,7 @@ def ann_stored_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "rank",
             "neighbor_id",
-            F.round("cos", 6).alias("cosine"),
+            F.col("cos").alias("cosine"),
         )
         .orderBy("query_id", "rank")
     )

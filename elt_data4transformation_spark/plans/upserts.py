@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as Ty
 
-from ..operators import upsert
+from ..operators import artifacts, upsert
 from ..sources import table
 from .registry import register
 
@@ -673,8 +673,11 @@ def cdc_aggregate_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="CDC aggregate maintenance against STORED state — the "
     "cross-invocation production shape cdc_aggregate_maintain only "
     "simulates: run 1 writes the per-type (count, DECIMAL sum) base "
-    "aggregate as a parquet artifact (fingerprinted by base row "
-    "count); every later run reads that state, aggregates only the "
+    "aggregate as a parquet artifact stamped with the file-level "
+    "SOURCE FINGERPRINT of events.parquet + the snapshot cut "
+    "(operators/artifacts.py — any base edit rebuilds, stable base "
+    "reuses with zero base I/O, partial builds never trusted); every "
+    "later run reads that state, aggregates only the "
     "DELTA op-log (inserts + key-join delete fetches), and combines "
     "— the base table is never re-aggregated across invocations. "
     "DECIMAL state round-trips parquet exactly, so maintained == "
@@ -695,17 +698,24 @@ def cdc_stored_state_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", "value"
     )
     dec = F.col("value").cast("decimal(18,2)")
-    n_base = base.count()
     path = os.path.join(
         os.path.dirname(_index_root()),
         "cdc_state",
-        f"{os.path.basename(os.path.normpath(sf_dir))}-{n_base}",
+        os.path.basename(os.path.normpath(sf_dir)),
     )
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        base.groupBy("event_type").agg(
-            F.count(F.lit(1)).alias("b_n"), F.sum(dec).alias("b_sum")
-        ).write.mode("overwrite").parquet(path)
-    base_agg = spark.read.parquet(path)
+    fp = artifacts.source_fingerprint(
+        [os.path.join(sf_dir, "events.parquet")],
+        params=f"cdc_stored_state|cut={T1}",
+    )
+    artifacts.publish(
+        path,
+        fp,
+        lambda tmp: base.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("b_n"), F.sum(dec).alias("b_sum"))
+        .write.mode("overwrite")
+        .parquet(f"{tmp}/state"),
+    )
+    base_agg = spark.read.parquet(f"{path}/state")
 
     inserts = post.filter(F.col("event_id") % 10 != 0)
     del_req = post.filter(F.col("event_id") % 10 == 0).select(

@@ -3068,3 +3068,145 @@ def test_media_decode_quarantines_all_failure_classes(spark):
     }
     assert wout[1]["n_samples"] is None
     assert wout[2]["n_samples"] == 2
+
+
+# --- round-4 ADVICE fixes -------------------------------------------------
+
+
+def test_jaccard_pairs_capped_rescore_is_block_scoped(spark):
+    """With max_df set, the exact rescore must join candidates back on
+    (block, id), not bare id: ids here repeat across blocks (the very
+    scenario block_col exists for), and an id-only join would fan out
+    and mis-score every pair."""
+    sets = spark.createDataFrame(
+        [
+            # block g: ids 1,2 similar; block h REUSES ids 1,2 with
+            # entirely different (and differently-sized) sets
+            (1, ["hot", "a", "b"], "g"),
+            (2, ["hot", "a", "c"], "g"),
+            (1, ["hot", "x", "y", "z", "w"], "h"),
+            (2, ["hot", "x", "q"], "h"),
+        ],
+        "id long, s array<string>, blk string",
+    )
+    uncapped = {
+        (r["block"], r["doc_a"], r["doc_b"]): (r["jac"], r["inter_size"])
+        for r in dedup_ops.jaccard_pairs(sets, "id", "s", "blk").collect()
+    }
+    capped = {
+        (r["block"], r["doc_a"], r["doc_b"]): (r["jac"], r["inter_size"])
+        for r in dedup_ops.jaccard_pairs(
+            sets, "id", "s", "blk", max_df=10
+        ).collect()
+    }
+    # cap above every df -> candidate sets identical; scores must be too
+    assert capped == uncapped
+    assert capped[("g", 1, 2)][1] == 2  # {hot, a}
+    assert capped[("h", 1, 2)][1] == 2  # {hot, x}
+
+
+def test_missized_vector_quarantine_uses_mode_dim(spark):
+    """A single oversized corrupt vector must be the row quarantined —
+    not (by defining the expected dim as max size) every valid row."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.001]),
+        (2, [0.9, 0.01]),
+        (3, [1.0, 0.0, 0.0, 0.0]),  # corrupt: one oversized outlier
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in vectors.cosine_pairs(
+            df, "vec_id", "v", threshold=0.9, expected_dim=None
+        ).collect()
+    }
+    assert got == {(0, 1), (0, 2), (1, 2)}
+    bucketed = df.withColumn("bk", F.lit("all"))
+    got_b = {
+        (r["id_a"], r["id_b"])
+        for r in vectors.bucket_cosine_pairs(
+            bucketed, "bk", "vec_id", "v", threshold=0.9
+        ).collect()
+    }
+    assert got_b == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_dqcheck_spec_validation():
+    from elt_data4transformation_spark.operators.dq import (
+        DQCheck,
+        _row_cond_sql,
+        dq_report,
+    )
+
+    with pytest.raises(ValueError, match="at least one of lo/hi"):
+        DQCheck("t", "accepted_range", ("v",))
+    with pytest.raises(ValueError, match="empty allow-list"):
+        DQCheck("t", "accepted_values", ("v",))
+    with pytest.raises(ValueError, match="to_table and to_column"):
+        DQCheck("t", "relationships", ("v",))
+    with pytest.raises(ValueError, match="unknown DQ check kind"):
+        DQCheck("t", "no_such_kind", ("v",))
+    with pytest.raises(ValueError, match="at least one column"):
+        DQCheck("t", "not_null", ())
+    with pytest.raises(ValueError, match="empty check list"):
+        dq_report({}, {}, ())
+    # numeric allow-lists render as typed literals, not varchar
+    sql = _row_cond_sql(DQCheck("t", "accepted_values", ("v",), values=(1, 2)))
+    assert "IN (1, 2)" in sql
+    sql = _row_cond_sql(
+        DQCheck("t", "accepted_values", ("v",), values=("a", "b"))
+    )
+    assert "IN ('a', 'b')" in sql
+
+
+def test_stored_artifact_rebuilds_on_cardinality_preserving_edit(
+    spark, tmp_path
+):
+    """The round-3 latent wrong-answer path, closed: an edit to the
+    corpus that PRESERVES row count must invalidate the stored index
+    (the old count-keyed fingerprint reused it). The artifact is
+    stamped with a file-level source fingerprint, so the edit triggers
+    a rebuild and the probe reflects the new corpus; an untouched
+    corpus still reuses the artifact byte-for-byte."""
+    import os
+    import shutil
+
+    from elt_data4transformation_spark.operators import artifacts
+    from elt_data4transformation_spark.plans import REGISTRY
+    from elt_data4transformation_spark.plans.dedup import _index_root
+    from tests.conftest import SF_SMALL
+
+    sf = str(tmp_path / "sfcopy")
+    os.makedirs(sf)
+    shutil.copy(os.path.join(SF_SMALL, "documents.parquet"), sf)
+    fn = REGISTRY["dedup_stored_index"].fn
+    first = [tuple(r) for r in fn(spark, sf).collect()]
+    spark.catalog.clearCache()
+    path = os.path.join(_index_root(), "sfcopy")
+    meta1 = artifacts.load_meta(path)
+    assert meta1 is not None
+
+    # same-cardinality edit: corpus doc 1 (doc_id % 5 != 0) becomes a
+    # near-copy of delta doc 5's text -> a NEW match must appear
+    d = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    t5 = d.filter(F.col("doc_id") == 5).head()["text"]
+    edited = d.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 1, F.lit(t5 + " tail")).otherwise(
+            F.col("text")
+        ),
+    )
+    edited.toPandas().to_parquet(os.path.join(sf, "documents.parquet"))
+    assert spark.read.parquet(
+        os.path.join(sf, "documents.parquet")
+    ).count() == d.count()
+
+    second = [tuple(r) for r in fn(spark, sf).collect()]
+    meta2 = artifacts.load_meta(path)
+    assert meta2["fingerprint"] != meta1["fingerprint"], (
+        "cardinality-preserving edit did not rebuild the stored index"
+    )
+    pairs2 = {(r[0], r[1]) for r in second}
+    assert (5, 1) in pairs2, "probe missed the post-edit near-dup"
+    assert first != second
