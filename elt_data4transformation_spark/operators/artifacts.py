@@ -83,6 +83,28 @@ def is_current(path: str, fingerprint: str) -> bool:
     return meta is not None and meta.get("fingerprint") == fingerprint
 
 
+def swap(path: str, builder: Callable[[str], None], meta: dict) -> None:
+    """Unconditionally replace the artifact at ``path`` with a freshly
+    built one: build into ``<path>.tmp.<uuid>``, write ``meta`` LAST,
+    rename into place. Readers never see a half-built artifact as
+    valid (no meta == absent); the previous artifact stays readable
+    until the rename."""
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    try:
+        builder(tmp)
+        with open(os.path.join(tmp, META_NAME), "w") as fh:
+            json.dump(meta, fh)
+        old = None
+        if os.path.exists(path):
+            old = f"{path}.old.{uuid.uuid4().hex[:8]}"
+            os.rename(path, old)
+        os.rename(tmp, path)
+        if old:
+            shutil.rmtree(old, ignore_errors=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def publish(
     path: str,
     fingerprint: str,

@@ -510,20 +510,21 @@ def greedy_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("first_seen"))
         .orderBy("first_seen")
     )
-    # ENFORCED ceiling (not just documented): count before collecting.
-    # Above the bound the sequential first-cluster-wins semantics this
+    # ENFORCED ceiling (not just documented), in ONE job: collect at
+    # most GREEDY_MAX_ROWS+1 ordered rows (TakeOrderedAndProject — no
+    # separate count() scan) and guard on the returned length. Above
+    # the bound the sequential first-cluster-wins semantics this
     # operator exists to reproduce is the wrong tool anyway — the
     # distributed transitive-closure variant (dedup_components) is the
     # declared 100 TB path.
-    n_questions = q.count()
-    if n_questions > GREEDY_MAX_ROWS:
+    rows = q.limit(GREEDY_MAX_ROWS + 1).collect()
+    if len(rows) > GREEDY_MAX_ROWS:
         raise ValueError(
-            f"greedy_cluster: {n_questions} distinct questions exceeds "
-            f"the driver-side ceiling of {GREEDY_MAX_ROWS}; use the "
-            "distributed connected-components path (dedup_components) "
-            "for corpora of this size"
+            f"greedy_cluster: over {GREEDY_MAX_ROWS} distinct questions "
+            "exceeds the driver-side ceiling; use the distributed "
+            "connected-components path (dedup_components) for corpora "
+            "of this size"
         )
-    rows = q.collect()  # bounded distinct-question set, by design (see doc)
     clusters: list[list[frozenset[str]]] = []
     assignment: dict[str, int] = {}
     for r in rows:

@@ -35,26 +35,26 @@ SHINGLE = 5
 LSH_MAX_BUCKET = 64
 
 
-def _capped_cand_sql(cap: int = LSH_MAX_BUCKET) -> str:
+def _capped_cand_sql(cap: int = LSH_MAX_BUCKET, id_col: str = "doc_id") -> str:
     """DuckDB twin of operators/dedup_ops.capped_band_candidates: the
     ``widths`` + ``cand`` CTE pair over an existing ``bands`` CTE."""
     return f"""widths AS (
-            SELECT band_idx, band_key, COUNT(*) AS w, MIN(doc_id) AS hub
+            SELECT band_idx, band_key, COUNT(*) AS w, MIN({id_col}) AS hub
             FROM bands GROUP BY band_idx, band_key
         ),
         cand AS (
             SELECT DISTINCT doc_a, doc_b FROM (
-                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b
                 FROM bands a
                 JOIN bands b ON a.band_idx = b.band_idx
-                 AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+                 AND a.band_key = b.band_key AND a.{id_col} < b.{id_col}
                 JOIN widths w ON w.band_idx = a.band_idx
                  AND w.band_key = a.band_key AND w.w <= {cap}
                 UNION ALL
-                SELECT w.hub AS doc_a, b.doc_id AS doc_b
+                SELECT w.hub AS doc_a, b.{id_col} AS doc_b
                 FROM bands b JOIN widths w
                   ON w.band_idx = b.band_idx AND w.band_key = b.band_key
-                 AND w.w > {cap} AND b.doc_id > w.hub
+                 AND w.w > {cap} AND b.{id_col} > w.hub
             )
         )"""
 
@@ -452,6 +452,172 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- signed-random-projection LSH for cosine near-dup ----------------------
+
+_SRP_PLANES = 24  # hyperplanes -> 24 sign bits
+_SRP_BANDS = 4  # 4 bands x 6 bits
+_SRP_BITS = 6
+_SRP_TWIN_N = 80  # vec_id < 80 get a deterministic perturbed twin
+_SRP_TAU = 0.9  # exact-cosine rescore gate (SRP's valid regime)
+_SRP_MAX_BUCKET = 64
+_SRP_DIM = 64
+
+
+def _srp_signs() -> list[list[float]]:
+    """Deterministic ±1 hyperplane components: the parity of the first
+    md5 byte of 'srp|plane|dim' — a fixed public hash, so both engines
+    (and every invocation) share the same planes without any runtime
+    randomness. Rademacher (±1) projections are a standard SRP choice
+    (distance-preserving like Gaussian planes, Achlioptas 2003)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"srp|{i}|{d}".encode()).digest()[0] & 1
+            else -1.0
+            for d in range(_SRP_DIM)
+        ]
+        for i in range(_SRP_PLANES)
+    ]
+
+
+_SRP_SIGNS = _srp_signs()
+
+
+def _srp_oracle() -> str:
+    twin_v = (
+        f"LIST_TRANSFORM(RANGE(0, {_SRP_DIM}), d -> "
+        f"ROUND(0.9 * v[d + 1] + 0.1 * v[((d + 1) % {_SRP_DIM}) + 1], 6))"
+    )
+    bit_cols = ", ".join(
+        "CASE WHEN ROUND("
+        + " + ".join(
+            f"v[{d + 1}] * ({_SRP_SIGNS[i][d]})" for d in range(_SRP_DIM)
+        )
+        + f", 6) >= 0 THEN 1 ELSE 0 END AS b{i}"
+        for i in range(_SRP_PLANES)
+    )
+    band_cols = ", ".join(
+        " + ".join(
+            f"{1 << t} * b{j * _SRP_BITS + t}" for t in range(_SRP_BITS)
+        )
+        + f" AS band{j}"
+        for j in range(_SRP_BANDS)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT vec_id, {j} AS band_idx, band{j} AS band_key FROM sigb"
+        for j in range(_SRP_BANDS)
+    )
+    cos = vectors.cosine_sql("ea.v", "eb.v")
+    return f"""
+        WITH e0 AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), tw AS (
+            SELECT vec_id + 100000 AS vec_id, {twin_v} AS v
+            FROM e0 WHERE vec_id < {_SRP_TWIN_N}
+        ), e AS (
+            SELECT * FROM e0 UNION ALL SELECT * FROM tw
+        ), bits AS (
+            SELECT vec_id, v, {bit_cols} FROM e
+        ), sigb AS (
+            SELECT vec_id, {band_cols} FROM bits
+        ), bands AS ({band_selects}),
+        {_capped_cand_sql(_SRP_MAX_BUCKET, "vec_id")}
+        SELECT c.doc_a AS vec_a, c.doc_b AS vec_b,
+               ROUND({cos}, 6) AS cosine
+        FROM cand c
+        JOIN e ea ON c.doc_a = ea.vec_id
+        JOIN e eb ON c.doc_b = eb.vec_id
+        WHERE ROUND({cos}, 6) >= {_SRP_TAU}
+        ORDER BY vec_a, vec_b
+    """
+
+
+@register(
+    "embedding_neardup_srp",
+    oracle=_srp_oracle(),
+    tags=("dedup", "similarity"),
+    doc="Signed-random-projection LSH for cosine near-dup — the "
+    "hash-bucketed scale route that closes the family's last declared "
+    "all-pairs exception, at the operating point where SRP is valid: "
+    f"cosine >= {_SRP_TAU} (per-bit collision 1-θ/π ≈ 0.96, so "
+    f"{_SRP_BANDS} bands x {_SRP_BITS} bits give ~99.9% pair recall — "
+    "asserted in tests; at embedding_neardup's τ=0.45 the bit "
+    "signal is too weak, which is why that query documents rejecting "
+    "SRP there). The corpus has no natural pairs this similar, so the "
+    "query forges ground truth BOTH engines share: each vec_id < "
+    f"{_SRP_TWIN_N} gets a deterministic perturbed twin (90/10 mix of "
+    "adjacent dims, 6dp-rounded — pure arithmetic, no randomness). "
+    "Hyperplanes are ±1 Rademacher components from md5 parity "
+    "(runtime-constant, engine-identical); each projection is a "
+    "same-order left fold, 6dp-rounded BEFORE the sign so both "
+    "engines agree on every bit; 6-bit band keys are integer sums; "
+    "candidates are a band equi-join under the standard mega-bucket "
+    f"hub-star cap ({_SRP_MAX_BUCKET}); the exact-cosine rescore "
+    "gates on the 6dp-rounded value (round-before-compare). Scale: "
+    "no all-pairs anywhere — candidate volume ~ n * bucket_width, "
+    "bits are one scan, and at 100 TB you add planes/bands instead "
+    "of widening buckets.",
+)
+def embedding_neardup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e0 = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    twin = e0.filter(F.col("vec_id") < _SRP_TWIN_N).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "v",
+            lambda x, i: F.round(
+                x * 0.9 + F.get(F.col("v"), (i + 1) % _SRP_DIM) * 0.1, 6
+            ),
+        ).alias("v"),
+    )
+    e = e0.unionByName(twin)
+
+    def bit(i: int):
+        arr = F.array(*[F.lit(s) for s in _SRP_SIGNS[i]])
+        proj = F.aggregate(
+            F.zip_with("v", arr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (F.round(proj, 6) >= 0).cast("int")
+
+    bits = e.select(
+        "vec_id", "v", *[bit(i).alias(f"b{i}") for i in range(_SRP_PLANES)]
+    )
+    sigb = bits.select(
+        "vec_id",
+        *[
+            sum(
+                (F.col(f"b{j * _SRP_BITS + t}") * (1 << t))
+                for t in range(_SRP_BITS)
+            ).alias(f"band{j}")
+            for j in range(_SRP_BANDS)
+        ],
+    )
+    bands = dedup_ops.band_table(sigb, "vec_id", _SRP_BANDS)
+    cand = dedup_ops.capped_band_candidates(
+        bands, "vec_id", _SRP_MAX_BUCKET
+    )
+    ea = e.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("_va"))
+    eb = e.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("_vb"))
+    cos = F.round(vectors.cosine_col(F.col("_va"), F.col("_vb")), 6)
+    return (
+        cand.join(ea, "doc_a")
+        .join(eb, "doc_b")
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= _SRP_TAU)
+        .select(
+            F.col("doc_a").alias("vec_a"),
+            F.col("doc_b").alias("vec_b"),
+            "cosine",
+        )
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 # --- connected components over near-dup edges ------------------------------
 
 
@@ -731,10 +897,12 @@ def _incremental_probe_oracle(
     "best-match order.",
 )
 def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread(table(spark, sf_dir, "documents"))
+    # filter before spread() — see dedup_stored_index: don't shuffle
+    # rows a side doesn't need through the repartition barrier
+    d = table(spark, sf_dir, "documents")
     is_delta = F.col("doc_id") % DELTA_MOD == 0
-    corpus = d.filter(~is_delta)
-    delta = d.filter(is_delta)
+    corpus = spread(d.filter(~is_delta))
+    delta = spread(d.filter(is_delta))
 
     def bands_of(docs: DataFrame) -> DataFrame:
         sh = docs.select(
@@ -774,13 +942,26 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.char_shingles_col(SHINGLE).alias("_sb"),
         )
     )
-    inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
-    jac = inter / (F.size("_sa") + F.size("_sb") - inter)
-    scored = (
-        cand.join(sh_new, "new_doc_id")
+    # narrow projection + exact integer gate (see operators/dedup_ops.
+    # probe_band_index): intersect evaluated once per candidate, wide
+    # arrays dropped before the filter, delta side broadcast
+    narrow = (
+        cand.join(F.broadcast(sh_new), "new_doc_id")
         .join(sh_hit, "matched_doc_id")
-        .withColumn("jac", jac)
-        .filter(F.col("jac") >= 0.5)
+        .select(
+            "new_doc_id",
+            "matched_doc_id",
+            F.size(F.array_intersect("_sa", "_sb")).cast("long").alias("_i"),
+            F.size("_sa").cast("long").alias("_na"),
+            F.size("_sb").cast("long").alias("_nb"),
+        )
+    )
+    scored = narrow.filter(
+        F.col("_i") * 2 >= F.col("_na") + F.col("_nb") - F.col("_i")
+    ).withColumn(
+        "jac",
+        F.col("_i").cast("double")
+        / (F.col("_na") + F.col("_nb") - F.col("_i")),
     )
     best = Window.partitionBy("new_doc_id").orderBy(
         F.desc("jac"), F.asc("matched_doc_id")
@@ -834,10 +1015,14 @@ def _index_root() -> str:
 def dedup_stored_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
-    d = spread(table(spark, sf_dir, "documents"))
+    # filter BEFORE spread(): the repartition is a barrier Catalyst
+    # won't push the filter through, so spreading first would shuffle
+    # 100% of the corpus text on a probe-only run that needs only the
+    # 20% delta
+    d = table(spark, sf_dir, "documents")
     is_delta = F.col("doc_id") % DELTA_MOD == 0
-    corpus = d.filter(~is_delta)
-    delta = d.filter(is_delta)
+    corpus = spread(d.filter(~is_delta))
+    delta = spread(d.filter(is_delta))
     path = os.path.join(
         _index_root(), os.path.basename(os.path.normpath(sf_dir))
     )
@@ -913,10 +1098,11 @@ def dedup_stored_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
-    d = spread(table(spark, sf_dir, "documents"))
-    corpus = d.filter(F.col("doc_id") % DELTA_MOD >= 2)
-    ingest_a = d.filter(F.col("doc_id") % DELTA_MOD == 0)
-    ingest_b = d.filter(F.col("doc_id") % DELTA_MOD == 1)
+    # filter before spread() — see dedup_stored_index
+    d = table(spark, sf_dir, "documents")
+    corpus = spread(d.filter(F.col("doc_id") % DELTA_MOD >= 2))
+    ingest_a = spread(d.filter(F.col("doc_id") % DELTA_MOD == 0))
+    ingest_b = spread(d.filter(F.col("doc_id") % DELTA_MOD == 1))
     kw = dict(
         id_col="doc_id",
         text_col="text",
@@ -1051,6 +1237,126 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("g")
     )
     dup = sh.join(shared, "g", "left_semi").select("doc_id", "p")
+    prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_e = F.max(F.col("p") + K - 1).over(prev)
+    marked = dup.withColumn(
+        "_new",
+        F.when(prev_e.isNull() | (F.col("p") > prev_e + 1), 1).otherwise(0),
+    ).withColumn("_island", F.sum("_new").over(run))
+    return (
+        marked.groupBy("doc_id", "_island")
+        .agg(
+            F.min("p").alias("span_start"),
+            (F.max("p") + K - 1).alias("span_end"),
+            (F.max("p") + K - F.min("p")).alias("span_len"),
+            F.count(F.lit(1)).alias("n_anchors"),
+        )
+        .drop("_island")
+        .orderBy("doc_id", "span_start")
+    )
+
+
+_WSUB_K = 32  # winnowed-span gram size (chars)
+_WSUB_W = 9  # winnowing window (grams): detects repeats >= 32+9-1 = 40
+_WSUB_M = 1 << 20
+
+
+@register(
+    "substring_dup_spans_winnowed",
+    oracle=f"""
+        WITH pos AS (
+            SELECT doc_id, LEN(text) - {_WSUB_K} + 1 AS np,
+                   UNNEST(RANGE(1, LEN(text) - {_WSUB_K} + 2)) AS p, text
+            FROM documents WHERE LEN(text) >= {_WSUB_K + _WSUB_W - 1}
+        ), keyed AS (
+            SELECT doc_id, np, p,
+                   CAST(('0x' || SUBSTR(MD5(SUBSTRING(text, p, {_WSUB_K})),
+                        1, 8)) AS BIGINT) * {_WSUB_M}
+                   + ({_WSUB_M} - 1 - p) AS key
+            FROM pos
+        ), win AS (
+            SELECT doc_id, np, p,
+                   MIN(key) OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN CURRENT ROW
+                       AND {_WSUB_W - 1} FOLLOWING) AS sk
+            FROM keyed
+        ), sel AS (
+            SELECT DISTINCT doc_id, sk FROM win
+            WHERE p <= np - {_WSUB_W} + 1
+        ), anchors AS (
+            SELECT doc_id, {_WSUB_M} - 1 - (sk % {_WSUB_M}) AS p,
+                   sk // {_WSUB_M} AS fp_hash
+            FROM sel
+        ), shared AS (
+            SELECT fp_hash FROM anchors GROUP BY fp_hash
+            HAVING COUNT(DISTINCT doc_id) >= 2
+        ), dup AS (
+            SELECT a.doc_id, a.p FROM anchors a JOIN shared USING (fp_hash)
+        ), mk AS (
+            SELECT doc_id, p,
+                   MAX(p + {_WSUB_K} - 1) OVER (PARTITION BY doc_id
+                       ORDER BY p
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev_e
+            FROM dup
+        ), isl AS (
+            SELECT doc_id, p,
+                   SUM(CASE WHEN prev_e IS NULL OR p > prev_e + 1
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY p
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS island
+            FROM mk
+        )
+        SELECT doc_id,
+               MIN(p) AS span_start,
+               MAX(p) + {_WSUB_K} - 1 AS span_end,
+               MAX(p) + {_WSUB_K} - MIN(p) AS span_len,
+               CAST(COUNT(*) AS BIGINT) AS n_anchors
+        FROM isl GROUP BY doc_id, island
+        ORDER BY doc_id, span_start
+    """,
+    tags=("dedup", "substring"),
+    doc="Substring-duplication spans over WINNOWED anchors — the "
+    "100 TB composition substring_dup_spans' own docstring names, "
+    "wired: instead of aggregating every raw 40-char gram (~40 "
+    f"shuffled bytes per corpus char), only winnow-SELECTED {_WSUB_K}"
+    f"-char anchors (Schleimer et al. 2003; window {_WSUB_W}, so any "
+    f"repeat >= {_WSUB_K + _WSUB_W - 1} chars is guaranteed detected) "
+    "enter the sharing aggregate, and the aggregate keys on the "
+    "anchor's 32-bit integer hash, not the gram text — ~2/(w+1) of "
+    "the positions, 8 shuffle bytes each, a ~45x shuffle-volume "
+    "reduction at identical detection floor. Sharing = fp_hash seen "
+    "in >= 2 distinct docs (hash collisions can over-link — mirrored "
+    "exactly in the oracle, rate ~n_grams^2/2^33); islands merge "
+    "selected anchors into maximal spans with the same integer "
+    "gaps-and-islands as the raw variant. Spans are tighter than raw "
+    "(anchors start up to w-1 grams into a repeat) — this is the "
+    "declared scale twin, not a bit-identical replacement. Per-doc "
+    "windows only; no global sort; linear like the raw plan.",
+)
+def substring_dup_spans_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K = _WSUB_K
+    d = spread(table(spark, sf_dir, "documents"))
+    anchors = dedup_ops.winnow_positions(
+        d, "doc_id", "text", K, _WSUB_W, _WSUB_M
+    )
+    shared = (
+        anchors.groupBy("fp_hash")
+        .agg(F.countDistinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("fp_hash")
+    )
+    dup = anchors.join(shared, "fp_hash", "left_semi").select("doc_id", "p")
     prev = (
         Window.partitionBy("doc_id")
         .orderBy("p")

@@ -367,6 +367,323 @@ def ann_stored_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NPROBE = 2  # buckets searched per query in the multi-probe variant
+
+
+def _refined_centroids(e: DataFrame) -> DataFrame:
+    """Seed centroids (vec_id < N_CENTROIDS) refined by one
+    deterministic Lloyd iteration — the same math as ann_ivf_topk's
+    inline pipeline (elementwise member mean rounded to 6dp, vector
+    rebuilt in dim order)."""
+    cent0 = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    assigned0 = assign_nearest(e.select("vec_id", "v"), cent0).drop("cos")
+    return (
+        assigned0.select("centroid_id", F.posexplode("v").alias("dim", "val"))
+        .groupBy("centroid_id", "dim")
+        .agg(F.round(F.avg("val"), 6).alias("m"))
+        .groupBy("centroid_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda x: x["m"],
+            ).alias("cv")
+        )
+    )
+
+
+def _ivf_nprobe_oracle() -> str:
+    return f"""
+        WITH e AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ), cent0 AS (
+            SELECT vec_id AS centroid_id, v AS cv FROM e
+            WHERE vec_id < {N_CENTROIDS}
+        ), assigned0 AS (
+            SELECT vec_id, v, centroid_id FROM (
+                SELECT e.vec_id, e.v, cent0.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY {cosine_sql('e.v', 'cent0.cv')} DESC,
+                                    cent0.centroid_id) AS crn
+                FROM e CROSS JOIN cent0
+            ) WHERE crn = 1
+        ), cent AS (
+            SELECT centroid_id, LIST(m ORDER BY dim) AS cv FROM (
+                SELECT centroid_id, dim, ROUND(AVG(val), 6) AS m
+                FROM (
+                    SELECT centroid_id, UNNEST(v) AS val,
+                           generate_subscripts(v, 1) AS dim
+                    FROM assigned0
+                )
+                GROUP BY centroid_id, dim
+            )
+            GROUP BY centroid_id
+        ), assigned AS (
+            SELECT vec_id, v, centroid_id FROM (
+                SELECT e.vec_id, e.v, cent.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY {cosine_sql('e.v', 'cent.cv')} DESC,
+                                    cent.centroid_id) AS crn
+                FROM e CROSS JOIN cent
+            ) WHERE crn = 1
+        ), q AS (
+            -- multi-probe: each query keeps its NPROBE nearest
+            -- centroids (rank on the ROUNDED cosine so the probe cut
+            -- can't flip on a fold-order near-tie)
+            SELECT query_id, qv, centroid_id AS qc FROM (
+                SELECT e.vec_id AS query_id, e.v AS qv, cent.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY ROUND({cosine_sql('e.v', 'cent.cv')}, 6)
+                                    DESC, cent.centroid_id) AS crn
+                FROM e CROSS JOIN cent
+                WHERE e.vec_id < {N_QUERIES}
+            ) WHERE crn <= {NPROBE}
+        ), scored AS (
+            SELECT q.query_id, a.vec_id AS neighbor_id,
+                   {cosine_sql('q.qv', 'a.v')} AS cos
+            FROM q JOIN assigned a
+              ON a.centroid_id = q.qc AND a.vec_id <> q.query_id
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY ROUND(cos, 6) DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cosine
+        FROM ranked WHERE rank <= {TOP_K}
+        ORDER BY query_id, rank
+    """
+
+
+@register(
+    "ann_ivf_nprobe",
+    oracle=_ivf_nprobe_oracle(),
+    tags=("similarity",),
+    doc=f"Multi-probe IVF ANN (nprobe={NPROBE}) — the standard recall "
+    "knob every production IVF store exposes: a query whose true "
+    "neighbors straddle a bucket boundary misses them at nprobe=1 "
+    "(ann_ivf_topk's declared approximation), so each query searches "
+    f"its {NPROBE} nearest centroid buckets instead of one. Cost is "
+    "nprobe/n_centroids of the index per query — still partition-"
+    "pruned reads at scale, just a larger constant; recall vs the "
+    "brute-force baseline is asserted >= the nprobe=1 recall in "
+    "tests. The probe list is a per-query top-NPROBE over the "
+    "broadcast centroid table (rank on the 6dp-rounded cosine on "
+    "both engines — round-before-compare); neighbors can't "
+    "duplicate across probes because a vector lives in exactly one "
+    "bucket. Same Lloyd-refined centroids as ann_ivf_topk.",
+)
+def ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _vectors(spark, sf_dir).select("vec_id", "v")
+    cent = _refined_centroids(e)
+    assigned = assign_nearest(e, cent).drop("cos")
+    qv = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pw = Window.partitionBy("query_id").orderBy(
+        F.desc("_qcos"), F.asc("centroid_id")
+    )
+    probes = (
+        qv.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "_qcos", F.round(cosine_col(F.col("qv"), F.col("cv")), 6)
+        )
+        .withColumn("_pr", F.row_number().over(pw))
+        .filter(F.col("_pr") <= NPROBE)
+        .select("query_id", "qv", F.col("centroid_id").alias("qc"))
+    )
+    scored = assigned.join(
+        F.broadcast(probes),
+        (F.col("centroid_id") == F.col("qc"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine_col(F.col("qv"), F.col("v")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "rank", "neighbor_id", F.col("cos").alias("cosine")
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _ivf_maintain_oracle() -> str:
+    """Twin of ann_ivf_maintain: centroids are trained on the BASE
+    vectors only (vec_id % 5 != 0); the ingested batch (vec_id % 5 ==
+    0) is assigned to those FROZEN centroids and appended — so the
+    final searched set is assign(all, cent_from_base), which is
+    exactly what this SQL computes."""
+    return f"""
+        WITH e AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ), base AS (
+            SELECT * FROM e WHERE vec_id % 5 <> 0
+        ), cent0 AS (
+            SELECT vec_id AS centroid_id, v AS cv FROM base
+            WHERE vec_id < {N_CENTROIDS}
+        ), assigned0 AS (
+            SELECT vec_id, v, centroid_id FROM (
+                SELECT b.vec_id, b.v, cent0.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                           ORDER BY {cosine_sql('b.v', 'cent0.cv')} DESC,
+                                    cent0.centroid_id) AS crn
+                FROM base b CROSS JOIN cent0
+            ) WHERE crn = 1
+        ), cent AS (
+            SELECT centroid_id, LIST(m ORDER BY dim) AS cv FROM (
+                SELECT centroid_id, dim, ROUND(AVG(val), 6) AS m
+                FROM (
+                    SELECT centroid_id, UNNEST(v) AS val,
+                           generate_subscripts(v, 1) AS dim
+                    FROM assigned0
+                )
+                GROUP BY centroid_id, dim
+            )
+            GROUP BY centroid_id
+        ), assigned AS (
+            SELECT vec_id, v, centroid_id FROM (
+                SELECT e.vec_id, e.v, cent.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY {cosine_sql('e.v', 'cent.cv')} DESC,
+                                    cent.centroid_id) AS crn
+                FROM e CROSS JOIN cent
+            ) WHERE crn = 1
+        ), q AS (
+            SELECT vec_id AS query_id, v AS qv, centroid_id AS qc
+            FROM assigned WHERE vec_id < {N_QUERIES}
+        ), scored AS (
+            SELECT q.query_id, a.vec_id AS neighbor_id,
+                   {cosine_sql('q.qv', 'a.v')} AS cos
+            FROM q JOIN assigned a
+              ON a.centroid_id = q.qc AND a.vec_id <> q.query_id
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY ROUND(cos, 6) DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cosine
+        FROM ranked WHERE rank <= {TOP_K}
+        ORDER BY query_id, rank
+    """
+
+
+@register(
+    "ann_ivf_maintain",
+    oracle=_ivf_maintain_oracle(),
+    tags=("similarity", "incremental"),
+    doc="Stored-IVF DELTA MAINTENANCE — the vector-store mirror of "
+    "dedup_index_maintain: the base vector set (vec_id % 5 != 0) "
+    "trains the centroids and fills the partitioned index; an "
+    "ingested batch (vec_id % 5 == 0) is then assigned to the FROZEN "
+    "stored centroids — no re-clustering, the production ingest path "
+    "of every IVF store (re-training moves bucket boundaries and "
+    "would force a full re-index) — and appended as an LSM-style "
+    "segment (index_ingest_a beside index/, both partitioned by "
+    "centroid_id for pruned probes). Queries then search the GROWN "
+    "index, so neighbors can come from the ingested batch. Meta "
+    "(fingerprint + ingests) stamped last — crashed merges leave "
+    "ignored orphans; source-fingerprint versioning as the rest of "
+    "the stored family (operators/artifacts.py). Work per ingest is "
+    "delta-proportional: assign is a broadcast of the tiny centroid "
+    "table against only the new vectors.",
+)
+def ann_ivf_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..operators import artifacts
+    from .dedup import _index_root
+
+    e = _vectors(spark, sf_dir)
+    base = e.filter(F.col("vec_id") % 5 != 0)
+    ingest = e.filter(F.col("vec_id") % 5 == 0)
+    path = os.path.join(
+        os.path.dirname(_index_root()),
+        "ann_ivf_maintain",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    params = f"ann_ivf_maintain|k={N_CENTROIDS}|lloyd=1|round=6|mod=5"
+    src = [os.path.join(sf_dir, "embeddings.parquet")]
+    fp_base = artifacts.source_fingerprint(src, params + "|ingests=")
+    fp_a = artifacts.source_fingerprint(src, params + "|ingests=a")
+
+    def build(tmp: str) -> None:
+        cent0 = base.filter(F.col("vec_id") < N_CENTROIDS).select(
+            F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+        )
+        assigned0 = assign_nearest(
+            base.select("vec_id", "v"), cent0
+        ).drop("cos")
+        cent = (
+            assigned0.select(
+                "centroid_id", F.posexplode("v").alias("dim", "val")
+            )
+            .groupBy("centroid_id", "dim")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda x: x["m"],
+                ).alias("cv")
+            )
+        )
+        assigned = assign_nearest(base.select("vec_id", "v"), cent).drop(
+            "cos"
+        )
+        cent.write.mode("overwrite").parquet(f"{tmp}/centroids")
+        assigned.select("vec_id", "v", "centroid_id").write.mode(
+            "overwrite"
+        ).partitionBy("centroid_id").parquet(f"{tmp}/index")
+
+    if not artifacts.is_current(path, fp_a):
+        artifacts.publish(path, fp_base, build)
+        # ingest: assign new vectors to the FROZEN stored centroids,
+        # append as a segment, stamp meta last
+        cent = spark.read.parquet(f"{path}/centroids")
+        assign_nearest(ingest.select("vec_id", "v"), cent).drop(
+            "cos"
+        ).select("vec_id", "v", "centroid_id").write.mode(
+            "overwrite"
+        ).partitionBy("centroid_id").parquet(f"{path}/index_ingest_a")
+        artifacts.update_meta(path, fp_a, {"ingests": ["a"]})
+    meta = artifacts.load_meta(path) or {}
+    idx = spark.read.parquet(f"{path}/index")
+    for t in meta.get("ingests", []):
+        idx = idx.unionByName(
+            spark.read.parquet(f"{path}/index_ingest_{t}")
+        )
+    q = idx.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("centroid_id").alias("qc"),
+    )
+    scored = idx.join(
+        F.broadcast(q),
+        (F.col("centroid_id") == F.col("qc"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine_col(F.col("qv"), F.col("v")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "rank", "neighbor_id", F.col("cos").alias("cosine")
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 SEM_TAU = 0.4  # within-bucket cosine above which the larger id is pruned
 
 

@@ -3210,3 +3210,259 @@ def test_stored_artifact_rebuilds_on_cardinality_preserving_edit(
     pairs2 = {(r[0], r[1]) for r in second}
     assert (5, 1) in pairs2, "probe missed the post-edit near-dup"
     assert first != second
+
+
+def test_merge_band_index_three_invocation_lifecycle(spark, tmp_path):
+    """Ingest lifecycle across three invocations: (1) index the base
+    corpus, (2) probe ingest A then MERGE it, (3) probe ingest B —
+    B must match against A's documents (the merge is what makes that
+    possible), purely from stored artifacts (corpus deleted), with the
+    base segment untouched and a new ingest segment beside it."""
+    import json
+    import os
+    import shutil
+
+    from elt_data4transformation_spark.operators import artifacts
+
+    base_text = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the spark engine shuffles partitions across the cluster"
+    )
+    a_text = (
+        "completely fresh material arriving in ingest batch a with "
+        "distinctive vocabulary shared by nothing in the base corpus"
+    )
+    corpus_path = str(tmp_path / "corpus.parquet")
+    spark.createDataFrame(
+        [(1, base_text), (2, "unrelated words only here nothing shared")],
+        "doc_id long, text string",
+    ).write.parquet(corpus_path)
+
+    idx = str(tmp_path / "idx")
+    dedup_ops.write_band_index(spark.read.parquet(corpus_path), idx)
+    with open(os.path.join(idx, artifacts.META_NAME), "w") as fh:
+        json.dump({"fingerprint": "base", "ingests": []}, fh)
+    shutil.rmtree(corpus_path)  # stored artifacts are all that remain
+
+    def snapshot(p):
+        return {
+            os.path.join(dp, f): os.path.getmtime(os.path.join(dp, f))
+            for dp, _, fs in os.walk(p)
+            for f in fs
+        }
+
+    base_files = {
+        k: v for k, v in snapshot(idx).items() if "_ingest_" not in k
+    }
+
+    # invocation 2: probe A (near-dup of base doc 1 + novel doc), merge
+    ingest_a = spark.createDataFrame(
+        [(100, base_text.replace("lazy", "sleepy")), (101, a_text)],
+        "doc_id long, text string",
+    )
+    got_a = {
+        (r["new_doc_id"], r["matched_doc_id"])
+        for r in dedup_ops.probe_band_index(
+            spark, idx, ingest_a, threshold=0.5
+        ).collect()
+    }
+    assert got_a == {(100, 1)}  # novel doc 101 matches nothing yet
+    dedup_ops.merge_band_index(spark, idx, ingest_a, tag="a")
+    artifacts.update_meta(idx, "base+a", {"ingests": ["a"]})
+
+    # artifact GREW: base segment byte-identical, new segment added
+    after = snapshot(idx)
+    assert {
+        k: v for k, v in after.items()
+        if "_ingest_" not in k and artifacts.META_NAME not in k
+    } == {k: v for k, v in base_files.items() if artifacts.META_NAME not in k}
+    assert any("bands_ingest_a" in k for k in after)
+    assert any("shingles_ingest_a" in k for k in after)
+
+    # invocation 3: ingest B near-dups A's novel doc — only the merge
+    # makes this match possible
+    ingest_b = spark.createDataFrame(
+        [(200, a_text.replace("distinctive", "distinct"))],
+        "doc_id long, text string",
+    )
+    got_b = {
+        (r["new_doc_id"], r["matched_doc_id"])
+        for r in dedup_ops.probe_band_index(
+            spark, idx, ingest_b, threshold=0.5
+        ).collect()
+    }
+    assert got_b == {(200, 101)}, "ingest B did not see merged ingest A"
+
+    # orphan segment from a crashed merge (not in meta) is ignored
+    dedup_ops.merge_band_index(spark, idx, ingest_b, tag="crashed")
+    got_b2 = {
+        (r["new_doc_id"], r["matched_doc_id"])
+        for r in dedup_ops.probe_band_index(
+            spark, idx, ingest_b, threshold=0.5
+        ).collect()
+    }
+    assert got_b2 == got_b
+
+
+def test_winnowed_spans_detection_guarantee(spark, tmp_path):
+    """Winnowing guarantee wired into span dedup: a repeat of exactly
+    K + W - 1 = 40 chars MUST be detected (>= 1 shared selected
+    anchor), and every reported span must lie inside the true shared
+    region of its document."""
+    import os
+    import random
+
+    from elt_data4transformation_spark.plans import REGISTRY
+
+    rng = random.Random(7)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+
+    def rnd(n):
+        return "".join(rng.choice(alpha) for _ in range(n))
+
+    shared = rnd(40)
+    pre1, pre2 = rnd(60), rnd(35)
+    docs = [
+        (1, pre1 + shared + rnd(50)),
+        (2, pre2 + shared + rnd(70)),
+        (3, rnd(120)),  # no repeat: must produce no span
+    ]
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    spark.createDataFrame(docs, "doc_id long, text string").toPandas(
+    ).to_parquet(os.path.join(sf, "documents.parquet"))
+
+    spans = REGISTRY["substring_dup_spans_winnowed"].fn(spark, sf).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 1 in by_doc and 2 in by_doc and 3 not in by_doc
+    regions = {1: (len(pre1) + 1, len(pre1) + 40), 2: (len(pre2) + 1, len(pre2) + 40)}
+    for doc, (lo, hi) in regions.items():
+        for r in by_doc[doc]:
+            assert lo <= r["span_start"] <= r["span_end"] <= hi, (
+                f"doc {doc}: span [{r['span_start']},{r['span_end']}] "
+                f"outside shared region [{lo},{hi}]"
+            )
+
+
+def test_srp_recall_vs_exact(spark):
+    """embedding_neardup_srp must recover nearly all TRUE pairs at its
+    operating point: ground truth = exact all-pairs cosine >= 0.9 over
+    base + deterministic twins (numpy), recall asserted >= 0.95, zero
+    false positives (the exact rescore guarantees precision 1.0)."""
+    import numpy as np
+    import pandas as pd
+
+    from elt_data4transformation_spark.plans import REGISTRY
+    from elt_data4transformation_spark.plans.dedup import (
+        _SRP_DIM,
+        _SRP_TAU,
+        _SRP_TWIN_N,
+    )
+    from tests.conftest import SF_SMALL
+
+    emb = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet")
+    ids = emb["vec_id"].to_numpy()
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    tw_mask = ids < _SRP_TWIN_N
+    tw = np.round(
+        0.9 * m[tw_mask] + 0.1 * np.roll(m[tw_mask], -1, axis=1), 6
+    )
+    all_ids = np.concatenate([ids, ids[tw_mask] + 100000])
+    all_v = np.vstack([m, tw])
+    nrm = all_v / np.linalg.norm(all_v, axis=1, keepdims=True)
+    sims = np.round(nrm @ nrm.T, 6)
+    ia, ib = np.triu_indices(len(all_ids), k=1)
+    hit = sims[ia, ib] >= _SRP_TAU
+    truth = {
+        (min(a, b), max(a, b))
+        for a, b in zip(all_ids[ia[hit]], all_ids[ib[hit]])
+    }
+    assert len(truth) >= 50  # the twins create a real positive set
+
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in REGISTRY["embedding_neardup_srp"].fn(
+            spark, SF_SMALL
+        ).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.95, f"SRP recall {recall:.3f} < 0.95"
+    assert got <= truth, f"false positives: {sorted(got - truth)[:5]}"
+    assert _SRP_DIM == 64
+
+
+def test_compact_band_index_folds_segments(spark, tmp_path):
+    """Compaction folds base + ingest segments into one new base:
+    probe results are IDENTICAL before and after, the ingests list
+    clears, the fingerprint is untouched (same logical content), and
+    the segment directories are gone. Compacting a segment-free index
+    is a no-op."""
+    import json
+    import os
+
+    from elt_data4transformation_spark.operators import artifacts
+
+    t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    t2 = "one two three four five six seven eight nine ten eleven " * 3
+    idx = str(tmp_path / "idx")
+    dedup_ops.write_band_index(
+        spark.createDataFrame([(1, t1)], "doc_id long, text string"), idx
+    )
+    with open(os.path.join(idx, artifacts.META_NAME), "w") as fh:
+        json.dump({"fingerprint": "fp0", "ingests": []}, fh)
+    assert dedup_ops.compact_band_index(spark, idx) is False  # no-op
+
+    dedup_ops.merge_band_index(
+        spark,
+        idx,
+        spark.createDataFrame([(2, t2)], "doc_id long, text string"),
+        tag="a",
+    )
+    artifacts.update_meta(idx, "fp0", {"ingests": ["a"]})
+
+    probe = spark.createDataFrame(
+        [(10, t1.replace("beta", "betb")), (11, t2.replace("two", "twa"))],
+        "doc_id long, text string",
+    )
+    before = sorted(
+        tuple(r)
+        for r in dedup_ops.probe_band_index(spark, idx, probe).collect()
+    )
+    assert {p[:2] for p in before} == {(10, 1), (11, 2)}
+
+    assert dedup_ops.compact_band_index(spark, idx) is True
+    meta = artifacts.load_meta(idx)
+    assert meta["ingests"] == [] and meta["fingerprint"] == "fp0"
+    assert not any("_ingest_" in d for d in os.listdir(idx))
+    after = sorted(
+        tuple(r)
+        for r in dedup_ops.probe_band_index(spark, idx, probe).collect()
+    )
+    assert after == before
+
+
+def test_ann_nprobe_recall_at_least_single_probe(spark):
+    """nprobe=2 must dominate nprobe=1: every nprobe=1 bucket is also
+    searched, so recall vs brute force can only go up — the knob's
+    whole point."""
+    from elt_data4transformation_spark.plans import REGISTRY
+    from tests.conftest import SF_SMALL
+
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["ann_cosine_topk"].fn(spark, SF_SMALL).collect()
+    }
+    one = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["ann_ivf_topk"].fn(spark, SF_SMALL).collect()
+    }
+    two = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["ann_ivf_nprobe"].fn(spark, SF_SMALL).collect()
+    }
+    r1 = len(bf & one) / len(bf)
+    r2 = len(bf & two) / len(bf)
+    assert r2 >= r1, f"nprobe=2 recall {r2:.3f} < nprobe=1 {r1:.3f}"
+    assert r2 >= 0.8
