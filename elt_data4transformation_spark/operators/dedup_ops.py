@@ -496,6 +496,58 @@ def compact_band_index(spark, index_path: str) -> bool:
     return True
 
 
+def ingest_band_index(
+    spark,
+    index_path: str,
+    delta: DataFrame,
+    tag: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle: int = 5,
+    n_hashes: int = 8,
+    n_bands: int = 2,
+    threshold: float = 0.5,
+):
+    """Probe + merge sharing ONE shingle/signature pass — the fused
+    form of probe_band_index followed by merge_band_index, which would
+    otherwise re-shingle and re-hash the same batch twice (the exact
+    waste the stored-index family exists to avoid). Returns
+    ``(scored, merge)``: ``scored`` is the probe result plan;
+    ``merge()`` writes the batch's already-computed bands+shingles as
+    the ``tag`` segment. The caller MUST materialize ``scored``
+    before calling ``merge()`` (and stamps the meta after), keeping
+    the probe-sees-only-prior-state ordering."""
+    dsh = delta.select(
+        F.col(id_col).alias("_nid"),
+        T.char_shingles_col(shingle, text_col).alias("_sa"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    dsig = minhash_signature(dsh, "_nid", "_sa", n_hashes, n_bands)
+    dbands = band_table(dsig, "_nid", n_bands).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    scored = _probe_with_signatures(
+        spark, index_path, dsh, dbands, id_col, threshold
+    )
+
+    def merge() -> None:
+        dbands.select(
+            F.col("_nid").alias(id_col), "band_idx", "band_key"
+        ).write.mode("overwrite").partitionBy("band_idx").parquet(
+            f"{index_path}/bands_ingest_{tag}"
+        )
+        dsh.select(
+            F.col("_nid").alias(id_col),
+            F.col("_sa").alias("shingles"),
+            F.size("_sa").cast("long").alias("n_sh"),
+        ).write.mode("overwrite").parquet(
+            f"{index_path}/shingles_ingest_{tag}"
+        )
+        dsh.unpersist()
+        dbands.unpersist()
+
+    return scored, merge
+
+
 def probe_band_index(
     spark,
     index_path: str,
@@ -517,22 +569,39 @@ def probe_band_index(
     re-score reads stored shingles for matched ids — zero corpus
     re-shingling across invocations, which is what makes per-ingest
     dedup affordable at 100 TB (work ~ delta size + matches)."""
+    dsh = delta.select(
+        F.col(id_col).alias("_nid"),
+        T.char_shingles_col(shingle, text_col).alias("_sa"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    dsig = minhash_signature(dsh, "_nid", "_sa", n_hashes, n_bands)
+    dbands = band_table(dsig, "_nid", n_bands)
+    return _probe_with_signatures(
+        spark, index_path, dsh, dbands, id_col, threshold
+    )
+
+
+def _probe_with_signatures(
+    spark,
+    index_path: str,
+    dsh: DataFrame,
+    dbands: DataFrame,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Probe body shared by probe_band_index and ingest_band_index:
+    ``dsh`` is (_nid, _sa shingles), ``dbands`` is the long-form
+    (_nid, band_idx, band_key) signature of the batch."""
     band_dirs, shingle_dirs = _index_segments(index_path)
     # per-segment reads + unionByName: passing several partitioned
     # roots to one read() call makes partition discovery guess a
     # common base path — brittle; an explicit union is the same scan
     idx_bands = _read_segments(spark, band_dirs)
     idx_sh = _read_segments(spark, shingle_dirs)
-    dsh = delta.select(
-        F.col(id_col).alias("_nid"),
-        T.char_shingles_col(shingle, text_col).alias("_sa"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    dsig = minhash_signature(dsh, "_nid", "_sa", n_hashes, n_bands)
-    dbands = band_table(dsig, "_nid", n_bands).select(
+    probe_bands = dbands.select(
         F.col("_nid").alias("new_doc_id"), "band_idx", "band_key"
     )
     cand = (
-        idx_bands.join(F.broadcast(dbands), ["band_idx", "band_key"])
+        idx_bands.join(F.broadcast(probe_bands), ["band_idx", "band_key"])
         .select("new_doc_id", F.col(id_col).alias("matched_doc_id"))
         .distinct()
     )

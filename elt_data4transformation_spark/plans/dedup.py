@@ -1261,9 +1261,34 @@ def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = spread(d.filter(F.col("doc_id") % DELTA_MOD >= 2))
     work = tempfile.mkdtemp(prefix="stream_index_ingest_")
     try:
+        # the base corpus index is an IMMUTABLE stored artifact
+        # (fingerprinted, built once per corpus state — the run never
+        # mutates it); each run gets a private index root with the
+        # base segments SYMLINKED in and its own ingest segments
+        # written beside them, so concurrent runs share one base and
+        # a run's merges stay run-scoped. At cluster scale the same
+        # split is base-index table + run-namespaced segment dirs.
+        base_idx = os.path.join(
+            f"{_index_root()}_stream_base",
+            os.path.basename(os.path.normpath(sf_dir)),
+        )
+        fp = artifacts.source_fingerprint(
+            [os.path.join(sf_dir, "documents.parquet")],
+            params=f"stream_index_ingest|base=doc_id%{DELTA_MOD}>=2"
+            f"|sh={SHINGLE}|mh={N_MINHASH}|bands={N_BANDS}",
+        )
+        artifacts.publish(
+            base_idx,
+            fp,
+            lambda tmp: dedup_ops.write_band_index(corpus, tmp, **kw),
+        )
         idx = os.path.join(work, "idx")
-        dedup_ops.write_band_index(corpus, idx, **kw)
-        artifacts.update_meta(idx, "base", {"ingests": []})
+        os.makedirs(idx)
+        for seg in ("bands", "shingles"):
+            os.symlink(
+                os.path.join(base_idx, seg), os.path.join(idx, seg)
+            )
+        artifacts.update_meta(idx, "run", {"ingests": []})
 
         # fixture plumbing: the two ingest batches become files of the
         # streaming source (tag = doc_id % 5 in {0, 1}); tag 1 is
@@ -1294,8 +1319,11 @@ def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def drain(tag: int) -> None:
             delta = spark.read.parquet(os.path.join(spill, str(tag)))
-            probed = dedup_ops.probe_band_index(
-                spark, idx, delta, threshold=0.5, **kw
+            # fused probe+merge: one shingle/signature pass serves both
+            # (the probe-results write below materializes the probe
+            # BEFORE merge() adds the segment — order preserved)
+            probed, merge = dedup_ops.ingest_band_index(
+                spark, idx, delta, tag=str(tag), threshold=0.5, **kw
             )
             (
                 probed.withColumn("rn", F.row_number().over(best))
@@ -1309,7 +1337,7 @@ def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .write.mode("append")
                 .parquet(results)
             )
-            dedup_ops.merge_band_index(spark, idx, delta, tag=str(tag), **kw)
+            merge()
             meta = artifacts.load_meta(idx)
             artifacts.update_meta(
                 idx, "base", {"ingests": meta["ingests"] + [str(tag)]}
