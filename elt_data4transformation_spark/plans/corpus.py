@@ -1266,3 +1266,75 @@ def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- heavy hitters (Misra-Gries candidates + exact recount) ----------------
+
+_HH_K = 200  # report tokens with global count > n / _HH_K
+
+
+@register(
+    "heavy_hitters",
+    oracle=f"""
+        WITH tok AS (
+            SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token
+            FROM documents WHERE LEN(text) > 0
+        ), t2 AS (
+            SELECT token FROM tok WHERE token <> ''
+        ), n AS (
+            SELECT COUNT(*) AS n FROM t2
+        )
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM t2, n
+        GROUP BY token, n.n
+        HAVING COUNT(*) > n.n / {_HH_K}
+        ORDER BY cnt DESC, token
+    """,
+    tags=("corpus", "sketch"),
+    doc=f"Exact heavy hitters (tokens with count > n/{_HH_K}) via a "
+    "MERGEABLE sketch prefilter: phase 1 runs Misra-Gries(k) per "
+    "partition inside Arrow-batched mapInPandas — bounded k-entry "
+    "state per task, emitting only surviving candidate tokens. "
+    "Pigeonhole + the MG guarantee prove the candidate UNION is a "
+    "SUPERSET of every global heavy hitter (if count_p <= n_p/k in "
+    "every partition, the global count <= n/k — contradiction), so "
+    "phase 2's exact recount (semi-join on the bounded candidate "
+    "set, one hash aggregate) loses nothing and restores exactness — "
+    "which is why this sketch query IS oracle-checkable while "
+    "hll/quantile are rows-only. The 100 TB story: the full token "
+    "aggregate touches every distinct token (billions); the MG pass "
+    "caps per-task state at k entries and the recount aggregates "
+    "only |candidates| <= k * n_partitions tokens. Property test "
+    "fuzzes the superset guarantee on skewed synthetic streams. "
+    "Reference analog: A8 frequency histograms (SURVEY §2.5) made "
+    "sub-linear in distinct-token space.",
+)
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..operators.sketches import misra_gries_batches
+
+    d = spread(table(spark, sf_dir, "documents")).filter(
+        F.length("text") > 0
+    )
+    tok = d.select(F.explode(T.words_col()).alias("token")).filter(
+        F.col("token") != ""
+    )
+    n_total = tok.count()  # scalar dimension, one job (vocab_build style)
+
+    def mg(batches):
+        for out in misra_gries_batches(batches, "token", _HH_K):
+            yield out
+
+    cand = tok.mapInPandas(mg, "token string").distinct()
+    counts = (
+        tok.join(F.broadcast(cand), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counts.filter(
+            F.col("cnt") > F.lit(n_total) / F.lit(_HH_K)
+        )
+        .orderBy(F.desc("cnt"), "token")
+    )

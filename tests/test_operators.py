@@ -3466,3 +3466,46 @@ def test_ann_nprobe_recall_at_least_single_probe(spark):
     r2 = len(bf & two) / len(bf)
     assert r2 >= r1, f"nprobe=2 recall {r2:.3f} < nprobe=1 {r1:.3f}"
     assert r2 >= 0.8
+
+
+def test_artifacts_publish_protocol(tmp_path):
+    """publish(): a meta-less directory is a partial build and never
+    trusted; current artifacts are reused untouched; a concurrent
+    winner makes the loser discard its temp build; stale artifacts are
+    atomically replaced with no temp/old residue."""
+    import os
+
+    from elt_data4transformation_spark.operators import artifacts
+
+    path = str(tmp_path / "art")
+    os.makedirs(path)
+    with open(os.path.join(path, "data"), "w") as fh:
+        fh.write("partial")
+    assert artifacts.load_meta(path) is None  # no meta == absent
+
+    def builder(content):
+        def b(tmp):
+            os.makedirs(tmp, exist_ok=True)
+            with open(os.path.join(tmp, "data"), "w") as fh:
+                fh.write(content)
+        return b
+
+    assert artifacts.publish(path, "fp1", builder("v1")) is True
+    assert artifacts.is_current(path, "fp1")
+    assert open(os.path.join(path, "data")).read() == "v1"
+    assert artifacts.publish(path, "fp1", builder("BOOM")) is False
+    assert open(os.path.join(path, "data")).read() == "v1"  # reused
+
+    def racing(tmp):
+        builder("loser")(tmp)
+        artifacts.update_meta(path, "fp2")  # another builder finishes
+
+    assert artifacts.publish(path, "fp2", racing) is False
+    assert open(os.path.join(path, "data")).read() == "v1"
+
+    assert artifacts.publish(path, "fp3", builder("v3")) is True
+    assert open(os.path.join(path, "data")).read() == "v3"
+    residue = [
+        d for d in os.listdir(str(tmp_path)) if ".tmp." in d or ".old." in d
+    ]
+    assert residue == []

@@ -282,3 +282,50 @@ def test_pdf_extractor_never_raises_on_garbage(data):
     out = P.extract_pdf_text(data)
     assert isinstance(out, str)
     assert isinstance(P.count_pdf_pages(data), int)
+
+
+@given(
+    st.lists(st.integers(0, 15), min_size=1, max_size=400),
+    st.integers(2, 8),
+)
+@settings(max_examples=200, deadline=None)
+def test_misra_gries_superset_guarantee(xs, k):
+    """Any item with count > n/k must survive a single MG(k) pass."""
+    from collections import Counter
+
+    from elt_data4transformation_spark.operators.sketches import misra_gries
+
+    surv = misra_gries(iter(xs), k)
+    assert len(surv) <= k
+    for item, c in Counter(xs).items():
+        if c > len(xs) / k:
+            assert item in surv, (item, c, len(xs), k, surv)
+
+
+@given(
+    st.lists(st.integers(0, 15), min_size=1, max_size=400),
+    st.integers(2, 8),
+    st.lists(st.integers(1, 50), min_size=1, max_size=6),
+)
+@settings(max_examples=200, deadline=None)
+def test_partitioned_misra_gries_union_is_superset(xs, k, cuts):
+    """The heavy_hitters query's two-phase correctness: the UNION of
+    per-partition MG(k) survivors contains every GLOBAL item with
+    count > n/k, for ANY partitioning (pigeonhole + per-pass
+    guarantee) — so the exact recount restricted to candidates loses
+    nothing."""
+    from collections import Counter
+
+    from elt_data4transformation_spark.operators.sketches import misra_gries
+
+    parts, rest = [], xs
+    for c in cuts:
+        parts.append(rest[:c])
+        rest = rest[c:]
+    parts.append(rest)
+    cand = set()
+    for p in parts:
+        cand |= set(misra_gries(iter(p), k))
+    for item, c in Counter(xs).items():
+        if c > len(xs) / k:
+            assert item in cand, (item, c, len(xs), k)
