@@ -758,3 +758,203 @@ def cdc_stored_state_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return maintained.filter(F.col("n_rows") > 0).orderBy("event_type")
+
+
+def _cdc_advance_oracle() -> str:
+    """Twin of cdc_state_advance: TWO-EPOCH maintenance with
+    checkpoint semantics — an epoch's deletes can only target rows
+    live AT THAT CUT (base ∪ inserts arrived so far), exactly as a
+    checkpointed applier sees them; n_rows/total_value fold base +
+    inserts − deletes across both epochs."""
+    return f"""
+        WITH base AS (
+            SELECT event_id, event_type, value FROM events
+            WHERE ts < TIMESTAMP '{T1}'
+        ), e1 AS (
+            SELECT event_id, event_type, value FROM events
+            WHERE ts >= TIMESTAMP '{T1}' AND ts < TIMESTAMP '{T2}'
+        ), e2 AS (
+            SELECT event_id, event_type, value FROM events
+            WHERE ts >= TIMESTAMP '{T2}'
+        ), ins1 AS (SELECT * FROM e1 WHERE event_id % 10 <> 0),
+        del1 AS (SELECT event_id - 10 AS target_id FROM e1
+                 WHERE event_id % 10 = 0),
+        ins2 AS (SELECT * FROM e2 WHERE event_id % 10 <> 0),
+        del2 AS (SELECT event_id - 10 AS target_id FROM e2
+                 WHERE event_id % 10 = 0),
+        live1 AS (
+            SELECT event_id, event_type, value FROM base
+            UNION ALL SELECT event_id, event_type, value FROM ins1
+        ), deleted1 AS (
+            SELECT l.event_type, l.value
+            FROM live1 l JOIN del1 d ON l.event_id = d.target_id
+        ), live2 AS (
+            SELECT event_id, event_type, value FROM live1
+            UNION ALL SELECT event_id, event_type, value FROM ins2
+        ), deleted2 AS (
+            SELECT l.event_type, l.value
+            FROM live2 l JOIN del2 d ON l.event_id = d.target_id
+        ), eff AS (
+            SELECT event_type, 1 AS n, CAST(value AS DECIMAL(18,2)) AS v,
+                   0 AS ins, 0 AS del FROM base
+            UNION ALL
+            SELECT event_type, 1, CAST(value AS DECIMAL(18,2)), 1, 0
+            FROM ins1
+            UNION ALL
+            SELECT event_type, 1, CAST(value AS DECIMAL(18,2)), 1, 0
+            FROM ins2
+            UNION ALL
+            SELECT event_type, -1, -CAST(value AS DECIMAL(18,2)), 0, 1
+            FROM deleted1
+            UNION ALL
+            SELECT event_type, -1, -CAST(value AS DECIMAL(18,2)), 0, 1
+            FROM deleted2
+        )
+        SELECT event_type,
+               CAST(SUM(n) AS BIGINT) AS n_rows,
+               ROUND(CAST(SUM(v) AS DOUBLE), 4) AS total_value,
+               CAST(SUM(ins) AS BIGINT) AS n_inserted,
+               CAST(SUM(del) AS BIGINT) AS n_deleted_applied
+        FROM eff GROUP BY event_type
+        HAVING SUM(n) > 0
+        ORDER BY event_type
+    """
+
+
+@register(
+    "cdc_state_advance",
+    oracle=_cdc_advance_oracle(),
+    tags=("upsert", "cdc", "incremental"),
+    doc="CDC stored state with an ADVANCING checkpoint — the step "
+    "beyond cdc_stored_state_maintain, whose stored state is frozen "
+    f"at one cut: here the state artifact moves from cut {T1[:10]} "
+    f"(v1 = base aggregate) to cut {T2[:10]} (v2 = v1 + epoch-1 "
+    "inserts − epoch-1 deletes, persisted), and every later run "
+    "starts from the HIGHEST stored cut, applying only the ops since "
+    "— epoch-1's op-log is never re-read once folded, which is what "
+    "bounds per-run work as history grows (dbt-incremental / Flink "
+    "checkpoint semantics). Deletes are epoch-scoped: they join the "
+    "rows live AT THEIR CUT, so a delete whose target arrives later "
+    "misses — exactly what a real checkpointed applier does (the "
+    "oracle encodes the same two-epoch application, NOT a one-shot "
+    "replay). DECIMAL(18,2) partial sums round-trip parquet exactly, "
+    "so folded state == recompute. Source-fingerprinted like the "
+    "rest of the stored family (any events edit rebuilds the whole "
+    "advance chain); reuse across invocations tested by mtime "
+    "snapshot. Reference analog: the high-watermark ingest loop "
+    "(SURVEY §2.11) with its watermark actually moving.",
+)
+def cdc_state_advance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from .dedup import _index_root
+
+    e = table(spark, sf_dir, "events")
+    base = e.filter(F.col("ts") < F.lit(T1).cast("timestamp")).select(
+        "event_id", "event_type", "value"
+    )
+    e1 = e.filter(
+        (F.col("ts") >= F.lit(T1).cast("timestamp"))
+        & (F.col("ts") < F.lit(T2).cast("timestamp"))
+    ).select("event_id", "event_type", "value")
+    e2 = e.filter(F.col("ts") >= F.lit(T2).cast("timestamp")).select(
+        "event_id", "event_type", "value"
+    )
+    dec = F.col("value").cast("decimal(18,2)")
+    zero_dec = F.lit(0).cast("decimal(28,2)")
+
+    def split_ops(epoch: DataFrame) -> tuple[DataFrame, DataFrame]:
+        return (
+            epoch.filter(F.col("event_id") % 10 != 0),
+            epoch.filter(F.col("event_id") % 10 == 0).select(
+                (F.col("event_id") - 10).alias("target_id")
+            ),
+        )
+
+    def agg(df: DataFrame, n: str, s: str) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias(n), F.sum(dec).alias(s)
+        )
+
+    path = os.path.join(
+        os.path.dirname(_index_root()),
+        "cdc_advance",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    src = [os.path.join(sf_dir, "events.parquet")]
+    fp_v2 = artifacts.source_fingerprint(
+        src, params=f"cdc_state_advance|cut={T2}"
+    )
+    ins1, del1 = split_ops(e1)
+    if not artifacts.is_current(path, fp_v2):
+        # fold epoch 1 into the stored state and ADVANCE the cut:
+        # v2 = base_agg + ins1 - del1, where del1 targets rows live
+        # at cut T2 (base ∪ ins1)
+        live1 = base.unionByName(ins1)
+        deleted1 = live1.join(
+            del1, live1["event_id"] == del1["target_id"]
+        ).select("event_type", "value")
+        v2 = (
+            agg(base, "b_n", "b_sum")
+            .join(agg(ins1, "i_n", "i_sum"), "event_type", "full_outer")
+            .join(agg(deleted1, "d_n", "d_sum"), "event_type", "full_outer")
+            .select(
+                "event_type",
+                (
+                    F.coalesce("b_n", F.lit(0))
+                    + F.coalesce("i_n", F.lit(0))
+                    - F.coalesce("d_n", F.lit(0))
+                ).alias("s_n"),
+                (
+                    F.coalesce("b_sum", zero_dec)
+                    + F.coalesce("i_sum", zero_dec)
+                    - F.coalesce("d_sum", zero_dec)
+                ).alias("s_sum"),
+                F.coalesce("i_n", F.lit(0)).alias("s_ins"),
+                F.coalesce("d_n", F.lit(0)).alias("s_del"),
+            )
+        )
+        artifacts.publish(
+            path,
+            fp_v2,
+            lambda tmp: v2.write.mode("overwrite").parquet(f"{tmp}/state"),
+            extra_meta={"cut": T2},
+        )
+    state = spark.read.parquet(f"{path}/state")
+
+    # steady state: only the ops SINCE the stored cut are applied; the
+    # delete fetch joins live2 (base ∪ ins1 ∪ ins2) — a point lookup
+    # against the keyed store at scale, the only pre-cut row access
+    ins2, del2 = split_ops(e2)
+    live2 = base.unionByName(ins1).unionByName(ins2)
+    deleted2 = live2.join(
+        del2, live2["event_id"] == del2["target_id"]
+    ).select("event_type", "value")
+    return (
+        state.join(agg(ins2, "i_n", "i_sum"), "event_type", "full_outer")
+        .join(agg(deleted2, "d_n", "d_sum"), "event_type", "full_outer")
+        .select(
+            "event_type",
+            (
+                F.coalesce("s_n", F.lit(0))
+                + F.coalesce("i_n", F.lit(0))
+                - F.coalesce("d_n", F.lit(0))
+            ).alias("n_rows"),
+            F.round(
+                (
+                    F.coalesce("s_sum", zero_dec)
+                    + F.coalesce("i_sum", zero_dec)
+                    - F.coalesce("d_sum", zero_dec)
+                ).cast("double"),
+                4,
+            ).alias("total_value"),
+            (
+                F.coalesce("s_ins", F.lit(0)) + F.coalesce("i_n", F.lit(0))
+            ).alias("n_inserted"),
+            (
+                F.coalesce("s_del", F.lit(0)) + F.coalesce("d_n", F.lit(0))
+            ).alias("n_deleted_applied"),
+        )
+        .filter(F.col("n_rows") > 0)
+        .orderBy("event_type")
+    )

@@ -308,6 +308,13 @@ def test_stored_artifact_queries_reuse_index_across_invocations(spark):
         "cdc_stored_state_maintain": os.path.join(
             os.path.dirname(_index_root()), "cdc_state"
         ),
+        "cdc_state_advance": os.path.join(
+            os.path.dirname(_index_root()), "cdc_advance"
+        ),
+        "ann_ivf_maintain": os.path.join(
+            os.path.dirname(_index_root()), "ann_ivf_maintain"
+        ),
+        "dedup_index_maintain": f"{_index_root()}_maintain",
     }
 
     def snapshot(root):
