@@ -83,6 +83,41 @@ def is_current(path: str, fingerprint: str) -> bool:
     return meta is not None and meta.get("fingerprint") == fingerprint
 
 
+ORPHAN_AGE_S = 3600  # temp/old dirs older than this are crash debris
+
+
+def sweep_orphans(path: str) -> int:
+    """Remove crash debris around an artifact: ``<path>.tmp.*`` /
+    ``<path>.old.*`` directories whose mtime is older than
+    ORPHAN_AGE_S. The age gate is what makes this safe to run
+    opportunistically on every publish — a CONCURRENT builder's live
+    temp dir is recent by definition, while a hard-crashed build's
+    leftovers only get older. Returns the number removed."""
+    import time
+
+    parent = os.path.dirname(path) or "."
+    base = os.path.basename(path)
+    removed = 0
+    try:
+        entries = os.listdir(parent)
+    except OSError:
+        return 0
+    now = time.time()
+    for entry in entries:
+        if not (
+            entry.startswith(f"{base}.tmp.") or entry.startswith(f"{base}.old.")
+        ):
+            continue
+        full = os.path.join(parent, entry)
+        try:
+            if now - os.stat(full).st_mtime > ORPHAN_AGE_S:
+                shutil.rmtree(full, ignore_errors=True)
+                removed += 1
+        except OSError:
+            continue
+    return removed
+
+
 def swap(path: str, builder: Callable[[str], None], meta: dict) -> None:
     """Unconditionally replace the artifact at ``path`` with a freshly
     built one: build into ``<path>.tmp.<uuid>``, write ``meta`` LAST,
@@ -117,7 +152,9 @@ def publish(
     are replaced; current ones are reused untouched (mtimes preserved —
     pinned by tests). The build goes to ``<path>.tmp.<uuid>``; the meta
     file is written last; the swap is rename-based so readers never see
-    a half-built artifact as valid."""
+    a half-built artifact as valid. Crash debris from earlier builds
+    (age-gated — see sweep_orphans) is collected on the way."""
+    sweep_orphans(path)
     if is_current(path, fingerprint):
         return False
     tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"

@@ -425,7 +425,9 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "projection LSH was evaluated and rejected for THIS operating "
     "point: at cosine 0.45 (≈63° between near-random 64-d vectors) "
     "per-bit collision is ~0.65, so usable recall needs dozens of "
-    "hash tables — centroid bucketing dominates it here.",
+    "hash tables — centroid bucketing dominates it here; SRP ships "
+    "at its valid high-similarity regime as embedding_neardup_srp "
+    "(τ=0.9, 3x8-bit bands).",
 )
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").select(

@@ -3516,3 +3516,39 @@ def test_artifacts_publish_protocol(tmp_path):
         d for d in os.listdir(str(tmp_path)) if ".tmp." in d or ".old." in d
     ]
     assert residue == []
+
+
+def test_artifacts_sweep_orphans_age_gated(tmp_path):
+    """Crash debris (.tmp./.old. dirs) is collected only past the age
+    gate — a concurrent builder's LIVE temp dir (recent mtime) is
+    never touched."""
+    import os
+    import time
+
+    from elt_data4transformation_spark.operators import artifacts
+
+    path = str(tmp_path / "art")
+    old_tmp = str(tmp_path / "art.tmp.deadbeef")
+    old_old = str(tmp_path / "art.old.cafebabe")
+    live_tmp = str(tmp_path / "art.tmp.12345678")
+    for d in (old_tmp, old_old, live_tmp):
+        os.makedirs(d)
+    stale = time.time() - artifacts.ORPHAN_AGE_S - 60
+    os.utime(old_tmp, (stale, stale))
+    os.utime(old_old, (stale, stale))
+
+    assert artifacts.sweep_orphans(path) == 2
+    assert not os.path.exists(old_tmp) and not os.path.exists(old_old)
+    assert os.path.exists(live_tmp)  # recent == possibly live, kept
+
+    # publish sweeps opportunistically and still builds correctly
+    os.utime(live_tmp, (stale, stale))
+
+    def b(tmp):
+        os.makedirs(tmp, exist_ok=True)
+        with open(os.path.join(tmp, "data"), "w") as fh:
+            fh.write("v1")
+
+    assert artifacts.publish(path, "fp", b) is True
+    assert not os.path.exists(live_tmp)
+    assert artifacts.is_current(path, "fp")
