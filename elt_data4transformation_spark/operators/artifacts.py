@@ -53,7 +53,11 @@ def source_fingerprint(sources: list[str], params: str = "") -> str:
     for src in sorted(sources):
         if os.path.isfile(src):
             st = os.stat(src)
-            h.update(f"|{os.path.basename(src)}:{st.st_size}:{st.st_mtime_ns}".encode())
+            # full normalized path, not the basename: two distinct
+            # sources with the same filename + size + mtime must not
+            # collide (matches the dir branch's path sensitivity)
+            key = os.path.normpath(os.path.abspath(src))
+            h.update(f"|{key}:{st.st_size}:{st.st_mtime_ns}".encode())
         elif os.path.isdir(src):
             for dirpath, dirnames, files in os.walk(src):
                 dirnames.sort()
@@ -86,13 +90,38 @@ def is_current(path: str, fingerprint: str) -> bool:
 ORPHAN_AGE_S = 3600  # temp/old dirs older than this are crash debris
 
 
+def _tree_max_mtime(root: str) -> float:
+    """Most recent mtime anywhere under ``root`` (the root itself
+    included). A live build writing into nested subdirs (Spark parquet
+    under bands/band_idx=*/) never refreshes the ROOT's mtime, so
+    age-gating on the root alone would misclassify a long-running
+    build as crash debris — the freshest file in the tree is the real
+    liveness signal."""
+    newest = 0.0
+    try:
+        newest = os.stat(root).st_mtime
+    except OSError:
+        return newest
+    for dirpath, _dirs, files in os.walk(root):
+        for name in [""] + files:
+            try:
+                mt = os.stat(os.path.join(dirpath, name) if name else dirpath).st_mtime
+            except OSError:
+                continue
+            if mt > newest:
+                newest = mt
+    return newest
+
+
 def sweep_orphans(path: str) -> int:
     """Remove crash debris around an artifact: ``<path>.tmp.*`` /
-    ``<path>.old.*`` directories whose mtime is older than
+    ``<path>.old.*`` directories whose NEWEST tree mtime is older than
     ORPHAN_AGE_S. The age gate is what makes this safe to run
     opportunistically on every publish — a CONCURRENT builder's live
-    temp dir is recent by definition, while a hard-crashed build's
-    leftovers only get older. Returns the number removed."""
+    temp dir contains a recently-written file by definition (the max
+    mtime walks the whole tree, so nested Spark part-file writes count
+    as liveness), while a hard-crashed build's leftovers only get
+    older. Returns the number removed."""
     import time
 
     parent = os.path.dirname(path) or "."
@@ -109,33 +138,53 @@ def sweep_orphans(path: str) -> int:
         ):
             continue
         full = os.path.join(parent, entry)
-        try:
-            if now - os.stat(full).st_mtime > ORPHAN_AGE_S:
-                shutil.rmtree(full, ignore_errors=True)
-                removed += 1
-        except OSError:
-            continue
+        if now - _tree_max_mtime(full) > ORPHAN_AGE_S:
+            shutil.rmtree(full, ignore_errors=True)
+            removed += 1
     return removed
+
+
+def _install(tmp: str, path: str) -> bool:
+    """Move a complete temp build into place. Directories can't be
+    atomically exchanged portably, so this is NEAR-atomic: the previous
+    artifact is renamed aside, then the temp dir renamed in — a reader
+    can observe ``path`` briefly absent between the two renames, which
+    the reader contract already treats as 'no artifact' (missing ==
+    rebuild/retry, same as a missing meta). A concurrent installer that
+    wins either rename first simply makes ours fail with OSError —
+    treated as a LOST RACE: the losing temp dir is discarded and False
+    returned, never an exception (the winner's artifact is complete by
+    construction, meta-last)."""
+    old = None
+    try:
+        if os.path.exists(path):
+            old = f"{path}.old.{uuid.uuid4().hex[:8]}"
+            os.rename(path, old)
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if old:
+            shutil.rmtree(old, ignore_errors=True)
+        return False
+    if old:
+        shutil.rmtree(old, ignore_errors=True)
+    return True
 
 
 def swap(path: str, builder: Callable[[str], None], meta: dict) -> None:
     """Unconditionally replace the artifact at ``path`` with a freshly
     built one: build into ``<path>.tmp.<uuid>``, write ``meta`` LAST,
-    rename into place. Readers never see a half-built artifact as
-    valid (no meta == absent); the previous artifact stays readable
-    until the rename."""
+    rename into place (near-atomic — see _install; readers treat the
+    brief absence window like a missing artifact). Readers never see a
+    half-built artifact as valid (no meta == absent); the previous
+    artifact stays readable until the install; a lost install race
+    discards the temp build."""
     tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
     try:
         builder(tmp)
         with open(os.path.join(tmp, META_NAME), "w") as fh:
             json.dump(meta, fh)
-        old = None
-        if os.path.exists(path):
-            old = f"{path}.old.{uuid.uuid4().hex[:8]}"
-            os.rename(path, old)
-        os.rename(tmp, path)
-        if old:
-            shutil.rmtree(old, ignore_errors=True)
+        _install(tmp, path)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -151,9 +200,13 @@ def publish(
     Returns True when a (re)build happened. Stale or partial artifacts
     are replaced; current ones are reused untouched (mtimes preserved —
     pinned by tests). The build goes to ``<path>.tmp.<uuid>``; the meta
-    file is written last; the swap is rename-based so readers never see
-    a half-built artifact as valid. Crash debris from earlier builds
-    (age-gated — see sweep_orphans) is collected on the way."""
+    file is written last; the install is rename-based and NEAR-atomic
+    (see _install — readers treat the brief absence window as 'no
+    artifact'), so a half-built artifact is never valid. A publisher
+    that loses a concurrent race — at the recheck or on the rename
+    itself — discards its temp build and returns False. Crash debris
+    from earlier builds (age-gated — see sweep_orphans) is collected
+    on the way."""
     sweep_orphans(path)
     if is_current(path, fingerprint):
         return False
@@ -168,14 +221,7 @@ def publish(
         if is_current(path, fingerprint):  # concurrent builder won
             shutil.rmtree(tmp, ignore_errors=True)
             return False
-        old = None
-        if os.path.exists(path):
-            old = f"{path}.old.{uuid.uuid4().hex[:8]}"
-            os.rename(path, old)
-        os.rename(tmp, path)
-        if old:
-            shutil.rmtree(old, ignore_errors=True)
-        return True
+        return _install(tmp, path)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
