@@ -427,6 +427,46 @@ def _read_segments(spark, dirs: list[str]) -> DataFrame:
     return out
 
 
+def _delete_segments(index_path: str) -> list[str]:
+    """Tombstone parquet directories of a stored index: one per DELETE
+    listed in the artifact meta. Same orphan rule as data segments — a
+    tombstone not listed in the meta is a crashed delete and is
+    ignored (segment written first, meta stamped last)."""
+    from . import artifacts
+
+    meta = artifacts.load_meta(index_path) or {}
+    return [
+        f"{index_path}/deletes_{t}" for t in meta.get("deletes", [])
+    ]
+
+
+def delete_from_band_index(
+    spark,
+    index_path: str,
+    doc_ids: DataFrame,
+    tag: str,
+    id_col: str = "doc_id",
+) -> None:
+    """DELETE documents from a stored band index by TOMBSTONE — the
+    removal half of the LSM lifecycle (takedown / GDPR erasure /
+    retraction; reference analog: the delete-then-insert upsert,
+    elt/loader_clickhouse.py:530-573, and the rejected-status machine,
+    study_scraper/storage/postgres.py:345-378). Base and ingest
+    segments are append-only, so removal follows the same rule as
+    addition: write a ``deletes_<tag>`` segment holding the deleted
+    ids; probes ANTI-JOIN matched ids against the union of tombstones
+    (probe output can never surface a deleted doc), and compaction
+    (compact_band_index) applies tombstones PHYSICALLY — the folded
+    base drops the rows and the meta's deletes list resets. The caller
+    stamps the meta (deletes list + fingerprint) AFTER this returns; a
+    crash in between leaves an unlisted orphan the readers ignore, so
+    the delete is atomic-or-absent. Cost: tombstones are tiny (ids
+    only) and broadcast into the probe — no index rewrite per delete."""
+    doc_ids.select(F.col(id_col)).distinct().write.mode(
+        "overwrite"
+    ).parquet(f"{index_path}/deletes_{tag}")
+
+
 def merge_band_index(
     spark,
     index_path: str,
@@ -468,7 +508,11 @@ def compact_band_index(spark, index_path: str) -> bool:
     merges keep probes delta-proportional, but each adds a segment and
     probe cost grows with segment count, so a periodic compactor
     rewrites (base + segments) as one new base and clears the meta's
-    ingests list. The rewrite goes through the same temp-dir +
+    ingests list. TOMBSTONES (delete_from_band_index) are applied
+    PHYSICALLY here: the folded base anti-joins the deleted ids out of
+    both the band and shingle tables and the meta's deletes list
+    resets — the logical delete probes already honored becomes real
+    reclaimed space. The rewrite goes through the same temp-dir +
     meta-last + atomic-rename protocol as any build
     (operators/artifacts.swap), so a crashed compaction leaves the
     OLD artifact fully intact — compaction is repeatable, never
@@ -478,11 +522,17 @@ def compact_band_index(spark, index_path: str) -> bool:
     from . import artifacts
 
     meta = artifacts.load_meta(index_path)
-    if not meta or not meta.get("ingests"):
+    if not meta or not (meta.get("ingests") or meta.get("deletes")):
         return False
     band_dirs, shingle_dirs = _index_segments(index_path)
     bands = _read_segments(spark, band_dirs)
     sh = _read_segments(spark, shingle_dirs)
+    del_dirs = _delete_segments(index_path)
+    if del_dirs:
+        id_col = sh.columns[0]  # write order: (id, shingles, n_sh)
+        dels = _read_segments(spark, del_dirs).select(id_col).distinct()
+        bands = bands.join(F.broadcast(dels), id_col, "left_anti")
+        sh = sh.join(F.broadcast(dels), id_col, "left_anti")
 
     def build(tmp: str) -> None:
         # the writes read the old artifact while it still exists; the
@@ -492,7 +542,7 @@ def compact_band_index(spark, index_path: str) -> bool:
         )
         sh.write.mode("overwrite").parquet(f"{tmp}/shingles")
 
-    artifacts.swap(index_path, build, {**meta, "ingests": []})
+    artifacts.swap(index_path, build, {**meta, "ingests": [], "deletes": []})
     return True
 
 
@@ -507,16 +557,26 @@ def ingest_band_index(
     n_hashes: int = 8,
     n_bands: int = 2,
     threshold: float = 0.5,
+    idx_bands: DataFrame | None = None,
+    idx_sh: DataFrame | None = None,
 ):
     """Probe + merge sharing ONE shingle/signature pass — the fused
     form of probe_band_index followed by merge_band_index, which would
     otherwise re-shingle and re-hash the same batch twice (the exact
     waste the stored-index family exists to avoid). Returns
-    ``(scored, merge)``: ``scored`` is the probe result plan;
-    ``merge()`` writes the batch's already-computed bands+shingles as
-    the ``tag`` segment. The caller MUST materialize ``scored``
-    before calling ``merge()`` (and stamps the meta after), keeping
-    the probe-sees-only-prior-state ordering."""
+    ``(scored, merge, seg_bands, seg_sh)``: ``scored`` is the probe
+    result plan; ``merge()`` writes the batch's already-computed
+    bands+shingles as the ``tag`` segment; ``seg_bands``/``seg_sh``
+    are those same frames in stored-segment column shape, still
+    persisted — a caller running an ingest LOOP unions them into its
+    in-memory index view so the next probe reads nothing back from
+    the segment it just wrote (write once, reference twice). The
+    caller MUST materialize ``scored`` before calling ``merge()``
+    (and stamps the meta after), keeping the
+    probe-sees-only-prior-state ordering. ``idx_bands``/``idx_sh``
+    override the artifact read with caller-held index frames (e.g.
+    the base read once + prior in-memory segments) — same rows, one
+    disk scan per artifact per loop instead of per batch."""
     dsh = delta.select(
         F.col(id_col).alias("_nid"),
         T.char_shingles_col(shingle, text_col).alias("_sa"),
@@ -526,26 +586,27 @@ def ingest_band_index(
         StorageLevel.MEMORY_AND_DISK
     )
     scored = _probe_with_signatures(
-        spark, index_path, dsh, dbands, id_col, threshold
+        spark, index_path, dsh, dbands, id_col, threshold,
+        idx_bands=idx_bands, idx_sh=idx_sh,
+    )
+    seg_bands = dbands.select(
+        F.col("_nid").alias(id_col), "band_idx", "band_key"
+    )
+    seg_sh = dsh.select(
+        F.col("_nid").alias(id_col),
+        F.col("_sa").alias("shingles"),
+        F.size("_sa").cast("long").alias("n_sh"),
     )
 
     def merge() -> None:
-        dbands.select(
-            F.col("_nid").alias(id_col), "band_idx", "band_key"
-        ).write.mode("overwrite").partitionBy("band_idx").parquet(
+        seg_bands.write.mode("overwrite").partitionBy("band_idx").parquet(
             f"{index_path}/bands_ingest_{tag}"
         )
-        dsh.select(
-            F.col("_nid").alias(id_col),
-            F.col("_sa").alias("shingles"),
-            F.size("_sa").cast("long").alias("n_sh"),
-        ).write.mode("overwrite").parquet(
+        seg_sh.write.mode("overwrite").parquet(
             f"{index_path}/shingles_ingest_{tag}"
         )
-        dsh.unpersist()
-        dbands.unpersist()
 
-    return scored, merge
+    return scored, merge, seg_bands, seg_sh
 
 
 def probe_band_index(
@@ -587,16 +648,22 @@ def _probe_with_signatures(
     dbands: DataFrame,
     id_col: str,
     threshold: float,
+    idx_bands: DataFrame | None = None,
+    idx_sh: DataFrame | None = None,
 ) -> DataFrame:
     """Probe body shared by probe_band_index and ingest_band_index:
     ``dsh`` is (_nid, _sa shingles), ``dbands`` is the long-form
-    (_nid, band_idx, band_key) signature of the batch."""
-    band_dirs, shingle_dirs = _index_segments(index_path)
-    # per-segment reads + unionByName: passing several partitioned
-    # roots to one read() call makes partition discovery guess a
-    # common base path — brittle; an explicit union is the same scan
-    idx_bands = _read_segments(spark, band_dirs)
-    idx_sh = _read_segments(spark, shingle_dirs)
+    (_nid, band_idx, band_key) signature of the batch. ``idx_bands``/
+    ``idx_sh`` let an ingest loop substitute caller-held frames (base
+    read once + in-memory segments) for the artifact read; tombstones
+    still come from the artifact meta either way."""
+    if idx_bands is None or idx_sh is None:
+        band_dirs, shingle_dirs = _index_segments(index_path)
+        # per-segment reads + unionByName: passing several partitioned
+        # roots to one read() call makes partition discovery guess a
+        # common base path — brittle; an explicit union is the same scan
+        idx_bands = _read_segments(spark, band_dirs)
+        idx_sh = _read_segments(spark, shingle_dirs)
     probe_bands = dbands.select(
         F.col("_nid").alias("new_doc_id"), "band_idx", "band_key"
     )
@@ -605,6 +672,15 @@ def _probe_with_signatures(
         .select("new_doc_id", F.col(id_col).alias("matched_doc_id"))
         .distinct()
     )
+    # tombstoned docs must never surface from a probe: anti-join the
+    # matched side against the union of delete segments (tiny id
+    # lists — broadcast; zero cost when no deletes are registered)
+    del_dirs = _delete_segments(index_path)
+    if del_dirs:
+        dels = _read_segments(spark, del_dirs).select(
+            F.col(id_col).alias("matched_doc_id")
+        )
+        cand = cand.join(F.broadcast(dels), "matched_doc_id", "left_anti")
     hit_sh = idx_sh.join(
         cand.select(F.col("matched_doc_id").alias(id_col)).distinct(),
         id_col,
@@ -765,10 +841,15 @@ def winnow_select(
     >= k + w - 1 share at least one fp_hash. The argmin-rightmost is a
     single windowed MIN over the packed key hash*m + (m-1-pos) — pure
     integer arithmetic (documents must be shorter than m chars), so a
-    SQL twin agrees exactly. See plans/dedup.winnow_fingerprints."""
+    SQL twin agrees exactly. See plans/dedup.winnow_fingerprints.
+
+    Cost shape: the hash is decoded (floor-div — the position bits
+    drop) BEFORE the distinct, so the whole selection is ONE exchange;
+    distincting the packed key first and re-distincting the decoded
+    hash after would pay a second exchange for the same rows."""
     return (
-        winnow_positions(df, id_col, text_col, k, w, m)
-        .select(id_col, "np", "fp_hash")
+        _winnow_keys(df, id_col, text_col, k, w, m)
+        .select(id_col, "np", F.floor(F.col("sk") / m).alias("fp_hash"))
         .distinct()
     )
 
@@ -788,6 +869,31 @@ def winnow_positions(
     instance keeps where it sits). Same guarantee: any repeat of
     length >= k + w - 1 has at least one selected anchor inside it in
     BOTH copies, with the same fp_hash."""
+    return (
+        _winnow_keys(df, id_col, text_col, k, w, m)
+        .distinct()
+        .select(
+            id_col,
+            "np",
+            (F.lit(m) - 1 - F.col("sk") % m).alias("p"),
+            F.floor(F.col("sk") / m).alias("fp_hash"),
+        )
+    )
+
+
+def _winnow_keys(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    w: int,
+    m: int,
+) -> DataFrame:
+    """Shared winnowing core: per-window minimum packed keys
+    ``(id, np, sk)`` BEFORE any distinct — consecutive windows usually
+    select the same anchor, so callers dedupe, each at its own grain
+    (winnow_select on the decoded hash, winnow_positions on the full
+    packed key) in a single exchange."""
     pos = (
         df.filter(F.length(text_col) >= k + w - 1)
         .select(
@@ -822,11 +928,4 @@ def winnow_positions(
         pos.withColumn("sk", F.min("key").over(frame))
         .filter(F.col("p") <= F.col("np") - w + 1)
         .select(id_col, "np", "sk")
-        .distinct()
-        .select(
-            id_col,
-            "np",
-            (F.lit(m) - 1 - F.col("sk") % m).alias("p"),
-            F.floor(F.col("sk") / m).alias("fp_hash"),
-        )
     )

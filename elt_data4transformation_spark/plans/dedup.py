@@ -556,7 +556,8 @@ def _srp_oracle() -> str:
     "Hyperplanes are ±1 Rademacher components from md5 parity "
     "(runtime-constant, engine-identical); each projection is a "
     "same-order left fold, 6dp-rounded BEFORE the sign so both "
-    "engines agree on every bit; 6-bit band keys are integer sums; "
+    f"engines agree on every bit; {_SRP_BITS}-bit band keys are "
+    "integer sums; "
     "candidates are a band equi-join under the standard mega-bucket "
     f"hub-star cap ({_SRP_MAX_BUCKET}); the exact-cosine rescore "
     "gates on the 6dp-rounded value (round-before-compare). Scale: "
@@ -567,6 +568,16 @@ def _srp_oracle() -> str:
 def embedding_neardup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     e0 = spread(table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # the forged-twin id space starts at 100000 (a constant BOTH
+    # engines bake into their twin ids); a real vec_id at or above it
+    # would collide with a twin and silently corrupt the shared ground
+    # truth in a way parity checking cannot see — guard it (one
+    # single-column min/max scan of the small embeddings table)
+    max_id = e0.agg(F.max("vec_id")).first()[0]
+    assert max_id is None or max_id < 100000, (
+        f"embedding_neardup_srp: vec_id {max_id} collides with the "
+        "forged twin id space (>= 100000) — raise the twin offset"
     )
     twin = e0.filter(F.col("vec_id") < _SRP_TWIN_N).select(
         (F.col("vec_id") + 100000).alias("vec_id"),
@@ -1170,6 +1181,90 @@ def dedup_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_index_delete",
+    oracle=_incremental_probe_oracle(
+        f"doc_id % {DELTA_MOD} <> 0 AND doc_id % 10 <> 7",
+        f"doc_id % {DELTA_MOD} = 0",
+    ),
+    tags=("dedup", "incremental"),
+    doc="Stored-index DELETE by TOMBSTONE — the removal half of the "
+    "index lifecycle (takedown / GDPR erasure / retraction; reference "
+    "analog: the delete-then-insert upsert S7, elt/loader_clickhouse."
+    "py:530-573, and the rejected-status machine, study_scraper/"
+    "storage/postgres.py:345-378). Lifecycle demonstrated: the corpus "
+    f"(doc_id%{DELTA_MOD}!=0) is indexed; docs with doc_id%10==7 are "
+    "DELETED via a tombstone segment (operators/dedup_ops."
+    "delete_from_band_index — ids only, written beside the base, "
+    "meta stamped last so a crashed delete is an ignored orphan); the "
+    f"delta batch (doc_id%{DELTA_MOD}==0) then probes the index and "
+    "every match against a deleted doc is suppressed by a broadcast "
+    "ANTI-JOIN on the tombstones — where the deleted doc was a new "
+    "doc's best match, the second-best surfaces instead, exactly as "
+    "the oracle's index-minus-deleted semantics require. Compaction "
+    "(compact_band_index) later applies tombstones physically and "
+    "resets the list — probe-identical, pinned by the lifecycle test. "
+    "Cost: a delete writes ids only (no index rewrite); probes pay "
+    "one broadcast anti-join, zero when no deletes exist.",
+)
+def dedup_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    # filter before spread() — see dedup_stored_index
+    d = table(spark, sf_dir, "documents")
+    corpus = spread(d.filter(F.col("doc_id") % DELTA_MOD != 0))
+    delta = spread(d.filter(F.col("doc_id") % DELTA_MOD == 0))
+    kw = dict(
+        id_col="doc_id",
+        text_col="text",
+        shingle=SHINGLE,
+        n_hashes=N_MINHASH,
+        n_bands=N_BANDS,
+    )
+    path = os.path.join(
+        f"{_index_root()}_delete",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    src = [os.path.join(sf_dir, "documents.parquet")]
+    params = (
+        f"dedup_index_delete|corpus=doc_id%{DELTA_MOD}!=0"
+        f"|sh={SHINGLE}|mh={N_MINHASH}|bands={N_BANDS}"
+    )
+    fp_base = artifacts.source_fingerprint(src, params + "|deletes=")
+    fp_del = artifacts.source_fingerprint(src, params + "|deletes=d7")
+    if not artifacts.is_current(path, fp_del):
+        # invocation 1: index the full corpus...
+        artifacts.publish(
+            path,
+            fp_base,
+            lambda tmp: dedup_ops.write_band_index(corpus, tmp, **kw),
+        )
+        # ...then the takedown arrives: tombstone doc_id%10==7
+        dedup_ops.delete_from_band_index(
+            spark,
+            path,
+            d.filter(F.col("doc_id") % 10 == 7).select("doc_id"),
+            tag="d7",
+        )
+        artifacts.update_meta(path, fp_del, {"deletes": ["d7"]})
+    scored = dedup_ops.probe_band_index(
+        spark, path, delta, threshold=0.5, **kw
+    )
+    best = Window.partitionBy("new_doc_id").orderBy(
+        F.desc("jaccard_raw"), F.asc("matched_doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(best))
+        .filter(F.col("rn") == 1)
+        .select(
+            "new_doc_id",
+            "matched_doc_id",
+            F.round("jaccard_raw", 6).alias("jaccard"),
+        )
+        .orderBy("new_doc_id")
+    )
+
+
 def _stream_ingest_oracle() -> str:
     """Twin of stream_index_ingest: per ingest tag t, the best match of
     each tag-t document against corpus ∪ {tags < t} — the sequential
@@ -1305,29 +1400,53 @@ def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         results = os.path.join(work, "probes")
         spill = os.path.join(work, "spill")
         os.makedirs(spill)
-        state = {"expected": 0}
+        # base index frames read from disk ONCE for the whole loop and
+        # cached; each merged batch's already-persisted segment frames
+        # are unioned in (write once, reference twice — the probe for
+        # batch N+1 never reads back the parquet segment batch N just
+        # wrote, and the base artifacts are scanned once, not per
+        # batch). The disk segments still exist and the meta still
+        # lists them — any LATER process probes the identical rows.
+        from pyspark import StorageLevel
+
+        base_bands = spark.read.parquet(f"{idx}/bands").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        base_sh = spark.read.parquet(f"{idx}/shingles").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        state = {
+            "expected": 0,
+            "rows": [],
+            "bands": base_bands,
+            "sh": base_sh,
+        }
         out_schema = (
             "batch_tag int, new_doc_id long, matched_doc_id long, "
             "jaccard double"
         )
-        # seed the append log so an all-miss run still has a schema
-        spark.createDataFrame([], out_schema).write.mode(
-            "overwrite"
-        ).parquet(results)
 
         best = Window.partitionBy("new_doc_id").orderBy(
             F.desc("jaccard_raw"), F.asc("matched_doc_id")
         )
 
-        def drain(tag: int) -> None:
-            delta = spark.read.parquet(os.path.join(spill, str(tag)))
+        def drain(tag: int, delta: DataFrame) -> None:
             # fused probe+merge: one shingle/signature pass serves both
-            # (the probe-results write below materializes the probe
-            # BEFORE merge() adds the segment — order preserved)
-            probed, merge = dedup_ops.ingest_band_index(
-                spark, idx, delta, tag=str(tag), threshold=0.5, **kw
+            # (the bounded collect below materializes the probe BEFORE
+            # merge() adds the segment — order preserved; probe rows
+            # are ~the near-dup fraction of one batch, the audit log
+            # is flushed once after the stream)
+            probed, merge, seg_bands, seg_sh = dedup_ops.ingest_band_index(
+                spark,
+                idx,
+                delta,
+                tag=str(tag),
+                threshold=0.5,
+                idx_bands=state["bands"],
+                idx_sh=state["sh"],
+                **kw,
             )
-            (
+            state["rows"].extend(
                 probed.withColumn("rn", F.row_number().over(best))
                 .filter(F.col("rn") == 1)
                 .select(
@@ -1336,14 +1455,15 @@ def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "matched_doc_id",
                     F.round("jaccard_raw", 6).alias("jaccard"),
                 )
-                .write.mode("append")
-                .parquet(results)
+                .collect()
             )
             merge()
             meta = artifacts.load_meta(idx)
             artifacts.update_meta(
                 idx, "base", {"ingests": meta["ingests"] + [str(tag)]}
             )
+            state["bands"] = state["bands"].unionByName(seg_bands)
+            state["sh"] = state["sh"].unionByName(seg_sh)
 
         def sink(batch_df: DataFrame, _batch_id: int) -> None:
             tags = [
@@ -1355,13 +1475,25 @@ def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .collect()
             ]
             for t in tags:
-                batch_df.filter(F.col("doc_id") % DELTA_MOD == t).write.mode(
-                    "overwrite"
-                ).parquet(os.path.join(spill, str(t)))
+                part = batch_df.filter(F.col("doc_id") % DELTA_MOD == t)
+                if t == state["expected"]:
+                    # in-order arrival: drain straight from the live
+                    # micro-batch — no spill round-trip
+                    drain(t, part.select("doc_id", "text"))
+                    state["expected"] += 1
+                else:
+                    part.write.mode("overwrite").parquet(
+                        os.path.join(spill, str(t))
+                    )
             while os.path.exists(
                 os.path.join(spill, str(state["expected"]), "_SUCCESS")
             ):
-                drain(state["expected"])
+                drain(
+                    state["expected"],
+                    spark.read.parquet(
+                        os.path.join(spill, str(state["expected"]))
+                    ),
+                )
                 state["expected"] += 1
 
         stream = (
@@ -1377,11 +1509,15 @@ def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
         assert state["expected"] == 2, "sequencer did not drain all tags"
-        return (
-            spark.read.parquet(results)
-            .orderBy("new_doc_id")
-            .localCheckpoint(eager=True)
-        )
+        out = spark.createDataFrame(state["rows"], out_schema)
+        # flush the audit log once (the per-batch append was 2 write
+        # jobs for rows a bounded collect already holds)
+        out.write.mode("overwrite").parquet(results)
+        base_bands.unpersist()
+        base_sh.unpersist()
+        # no localCheckpoint needed: `out` is built from driver-local
+        # rows, so it survives the workdir cleanup below
+        return out.orderBy("new_doc_id")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
