@@ -292,3 +292,136 @@ def bucket_cosine_pairs(
         )
 
     return tagged.groupBy("_bk").applyInPandas(bucket_fn, out_schema)
+
+
+# --- stored-IVF lifecycle: segments, compaction, drift-guarded retrain -----
+
+
+def ivf_index_dirs(index_path: str) -> list[str]:
+    """Vector parquet directories of a stored IVF index: the base
+    ``index/`` plus every MERGED ingest segment listed in the artifact
+    meta (same orphan rule as the dedup family — segment written
+    first, meta stamped last, unlisted segments are crash debris and
+    ignored)."""
+    from . import artifacts
+
+    meta = artifacts.load_meta(index_path) or {}
+    return [f"{index_path}/index"] + [
+        f"{index_path}/index_ingest_{t}" for t in meta.get("ingests", [])
+    ]
+
+
+def read_ivf_index(spark, index_path: str) -> DataFrame:
+    """The full indexed vector set (vec_id, v, centroid_id): base +
+    listed ingest segments unioned. Per-segment reads + unionByName —
+    one multi-root read() call makes partition discovery guess a
+    common base path."""
+    dirs = ivf_index_dirs(index_path)
+    out = spark.read.parquet(dirs[0])
+    for d in dirs[1:]:
+        out = out.unionByName(spark.read.parquet(d))
+    return out
+
+
+def ivf_segment_fraction(spark, index_path: str) -> float:
+    """Fraction of indexed vectors living in ingest segments — the
+    DRIFT-GUARD signal: frozen-centroid appends are cheap but every
+    appended vector was bucketed by centroids that never saw it, so as
+    the segment share grows, bucket skew grows and nprobe recall
+    decays silently. Row counts come from parquet metadata (footer
+    row-group counts — no data scan)."""
+    dirs = ivf_index_dirs(index_path)
+    base = spark.read.parquet(dirs[0]).count()
+    seg = sum(spark.read.parquet(d).count() for d in dirs[1:])
+    total = base + seg
+    return (seg / total) if total else 0.0
+
+
+def compact_ivf_index(spark, index_path: str) -> bool:
+    """Fold every ingest segment back into the base IVF index — the
+    compaction half of the lifecycle ann_ivf_maintain starts, mirror
+    of dedup's compact_band_index: assignments are FROZEN-centroid
+    facts, so folding is a pure file-layout change and probes return
+    identical rows before and after (tested). Goes through the
+    temp-dir + meta-last + near-atomic-rename protocol
+    (operators/artifacts.swap) — a crashed compaction leaves the old
+    artifact fully intact. Returns False when segment-free."""
+    from . import artifacts
+
+    meta = artifacts.load_meta(index_path)
+    if not meta or not meta.get("ingests"):
+        return False
+    idx = read_ivf_index(spark, index_path)
+    cent = spark.read.parquet(f"{index_path}/centroids")
+
+    def build(tmp: str) -> None:
+        cent.write.mode("overwrite").parquet(f"{tmp}/centroids")
+        idx.write.mode("overwrite").partitionBy("centroid_id").parquet(
+            f"{tmp}/index"
+        )
+
+    artifacts.swap(index_path, build, {**meta, "ingests": []})
+    return True
+
+
+def retrain_ivf_index(spark, index_path: str, iters: int = 3) -> None:
+    """RE-TRAIN the centroids over the full current vector set and
+    re-index — what the drift guard triggers when frozen-centroid
+    ingests have drifted too far from the training distribution. Seeds
+    from the CURRENT stored centroids (deterministic — no sampling),
+    runs ``iters`` Lloyd steps (elementwise member mean, 6dp-rounded,
+    vector rebuilt in dim order — the same refinement math the
+    builders use; a drifted cluster sitting between two stale
+    centroids migrates over 2-3 steps, so one step is not enough),
+    reassigns every vector, and swaps the rebuilt artifact in
+    (ingests folded and cleared). Cost is ``iters`` passes over the
+    index — which is the point of the guard: pay it only when the
+    segment fraction says recall is at risk, not per ingest."""
+    from . import artifacts
+
+    meta = artifacts.load_meta(index_path) or {}
+    vecs = read_ivf_index(spark, index_path).select(
+        "vec_id", "v"
+    ).localCheckpoint(eager=True)  # iterated consumer: cut re-reads
+    cent = spark.read.parquet(f"{index_path}/centroids")
+    for _ in range(iters):
+        assigned = assign_nearest(vecs, cent).drop("cos")
+        cent = (
+            assigned.select(
+                "centroid_id", F.posexplode("v").alias("dim", "val")
+            )
+            .groupBy("centroid_id", "dim")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda x: x["m"],
+                ).alias("cv")
+            )
+            .localCheckpoint(eager=True)  # k rows; freeze per step
+        )
+    assigned = assign_nearest(vecs, cent).drop("cos")
+
+    def build(tmp: str) -> None:
+        cent.write.mode("overwrite").parquet(f"{tmp}/centroids")
+        assigned.select("vec_id", "v", "centroid_id").write.mode(
+            "overwrite"
+        ).partitionBy("centroid_id").parquet(f"{tmp}/index")
+
+    artifacts.swap(index_path, build, {**meta, "ingests": []})
+
+
+def ivf_drift_guard(
+    spark, index_path: str, max_segment_fraction: float = 0.3
+) -> bool:
+    """The retrain TRIGGER: when ingest segments hold more than
+    ``max_segment_fraction`` of the indexed vectors, re-train +
+    re-index (retrain_ivf_index) and return True; otherwise leave the
+    index untouched and return False. Run after each maintain cycle —
+    the frozen-centroid append path stays delta-proportional until
+    drift actually accumulates."""
+    if ivf_segment_fraction(spark, index_path) <= max_segment_fraction:
+        return False
+    retrain_ivf_index(spark, index_path)
+    return True

@@ -574,27 +574,12 @@ def _ivf_maintain_oracle() -> str:
     """
 
 
-@register(
-    "ann_ivf_maintain",
-    oracle=_ivf_maintain_oracle(),
-    tags=("similarity", "incremental"),
-    doc="Stored-IVF DELTA MAINTENANCE — the vector-store mirror of "
-    "dedup_index_maintain: the base vector set (vec_id % 5 != 0) "
-    "trains the centroids and fills the partitioned index; an "
-    "ingested batch (vec_id % 5 == 0) is then assigned to the FROZEN "
-    "stored centroids — no re-clustering, the production ingest path "
-    "of every IVF store (re-training moves bucket boundaries and "
-    "would force a full re-index) — and appended as an LSM-style "
-    "segment (index_ingest_a beside index/, both partitioned by "
-    "centroid_id for pruned probes). Queries then search the GROWN "
-    "index, so neighbors can come from the ingested batch. Meta "
-    "(fingerprint + ingests) stamped last — crashed merges leave "
-    "ignored orphans; source-fingerprint versioning as the rest of "
-    "the stored family (operators/artifacts.py). Work per ingest is "
-    "delta-proportional: assign is a broadcast of the tiny centroid "
-    "table against only the new vectors.",
-)
-def ann_ivf_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ensure_maintained_ivf(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Shared maintain lifecycle: ensure ``<name>/<sf>`` holds the
+    base-trained IVF index (vec_id % 5 != 0) with ingest batch a
+    (vec_id % 5 == 0) merged as a frozen-centroid segment. Returns the
+    artifact path; used by ann_ivf_maintain (probes segmented) and
+    ann_ivf_compact (compacts first — probe-identical by design)."""
     import os
 
     from ..operators import artifacts
@@ -605,10 +590,10 @@ def ann_ivf_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest = e.filter(F.col("vec_id") % 5 == 0)
     path = os.path.join(
         os.path.dirname(_index_root()),
-        "ann_ivf_maintain",
+        name,
         os.path.basename(os.path.normpath(sf_dir)),
     )
-    params = f"ann_ivf_maintain|k={N_CENTROIDS}|lloyd=1|round=6|mod=5"
+    params = f"{name}|k={N_CENTROIDS}|lloyd=1|round=6|mod=5"
     src = [os.path.join(sf_dir, "embeddings.parquet")]
     fp_base = artifacts.source_fingerprint(src, params + "|ingests=")
     fp_a = artifacts.source_fingerprint(src, params + "|ingests=a")
@@ -653,12 +638,15 @@ def ann_ivf_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overwrite"
         ).partitionBy("centroid_id").parquet(f"{path}/index_ingest_a")
         artifacts.update_meta(path, fp_a, {"ingests": ["a"]})
-    meta = artifacts.load_meta(path) or {}
-    idx = spark.read.parquet(f"{path}/index")
-    for t in meta.get("ingests", []):
-        idx = idx.unionByName(
-            spark.read.parquet(f"{path}/index_ingest_{t}")
-        )
+    return path
+
+
+def _probe_ivf_index(spark: SparkSession, path: str) -> DataFrame:
+    """Top-k probe over a stored (possibly segmented) IVF index —
+    shared by ann_ivf_maintain and ann_ivf_compact."""
+    from ..operators.vectors import read_ivf_index
+
+    idx = read_ivf_index(spark, path)
     q = idx.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -682,6 +670,71 @@ def ann_ivf_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "ann_ivf_maintain",
+    oracle=_ivf_maintain_oracle(),
+    tags=("similarity", "incremental"),
+    doc="Stored-IVF DELTA MAINTENANCE — the vector-store mirror of "
+    "dedup_index_maintain: the base vector set (vec_id % 5 != 0) "
+    "trains the centroids and fills the partitioned index; an "
+    "ingested batch (vec_id % 5 == 0) is then assigned to the FROZEN "
+    "stored centroids — no re-clustering, the production ingest path "
+    "of every IVF store (re-training moves bucket boundaries and "
+    "would force a full re-index) — and appended as an LSM-style "
+    "segment (index_ingest_a beside index/, both partitioned by "
+    "centroid_id for pruned probes). Queries then search the GROWN "
+    "index, so neighbors can come from the ingested batch. Meta "
+    "(fingerprint + ingests) stamped last — crashed merges leave "
+    "ignored orphans; source-fingerprint versioning as the rest of "
+    "the stored family (operators/artifacts.py). Work per ingest is "
+    "delta-proportional: assign is a broadcast of the tiny centroid "
+    "table against only the new vectors. The lifecycle's other half — "
+    "segment COMPACTION and the segment-fraction DRIFT GUARD that "
+    "triggers a centroid re-train when frozen-centroid ingests "
+    "accumulate (operators/vectors.compact_ivf_index / "
+    "ivf_drift_guard / retrain_ivf_index) — is exercised by "
+    "ann_ivf_compact and the drift-recovery test.",
+)
+def ann_ivf_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _ensure_maintained_ivf(spark, sf_dir, "ann_ivf_maintain")
+    return _probe_ivf_index(spark, path)
+
+
+@register(
+    "ann_ivf_compact",
+    oracle=_ivf_maintain_oracle(),
+    tags=("similarity", "incremental"),
+    doc="Stored-IVF segment COMPACTION — the half of the LSM lifecycle "
+    "ann_ivf_maintain leaves open (the dedup family's "
+    "compact_band_index, mirrored for vectors): per-ingest segments "
+    "keep maintenance delta-proportional but each adds a read root, "
+    "so a periodic compactor folds (base + segments) into one new "
+    "base, partitioned by centroid_id, and clears the meta's ingests "
+    "list. Assignments are frozen-centroid FACTS, so compaction is a "
+    "pure file-layout change: this query runs the full maintain "
+    "lifecycle, COMPACTS (operators/vectors.compact_ivf_index — "
+    "temp-dir + meta-last + near-atomic rename via artifacts.swap, a "
+    "crashed compaction leaves the old artifact intact), asserts the "
+    "segment is gone, then probes — and matches the SAME oracle as "
+    "ann_ivf_maintain, proving probe-identity. The companion DRIFT "
+    "GUARD (ivf_drift_guard) re-trains centroids over the full set "
+    "when ingest segments exceed a fraction threshold — recall decay "
+    "from frozen-centroid drift is the failure mode, pinned by the "
+    "drift-recovery test.",
+)
+def ann_ivf_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..operators.vectors import compact_ivf_index
+
+    path = _ensure_maintained_ivf(spark, sf_dir, "ann_ivf_compact")
+    compact_ivf_index(spark, path)  # idempotent: False when segment-free
+    assert not any(
+        d.startswith("index_ingest_") for d in os.listdir(path)
+    ), "compaction left ingest segments behind"
+    return _probe_ivf_index(spark, path)
 
 
 SEM_TAU = 0.4  # within-bucket cosine above which the larger id is pruned

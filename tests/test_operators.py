@@ -3450,6 +3450,92 @@ def test_compact_band_index_folds_segments(spark, tmp_path):
     assert after == before
 
 
+def test_delete_from_band_index_lifecycle(spark, tmp_path):
+    """Tombstone DELETE lifecycle: (1) index a base corpus and merge an
+    ingest segment — probes match docs in both; (2) tombstone one base
+    doc and the ingested doc — probes no longer surface EITHER (the
+    anti-join covers every segment), while untouched docs still match
+    and no data segment was rewritten; an ORPHAN tombstone not listed
+    in the meta is ignored; (3) compaction applies the tombstones
+    physically — probe-identical, deletes list cleared, tombstone and
+    ingest dirs gone, the shingle table physically shrunk."""
+    import json
+    import os
+
+    from elt_data4transformation_spark.operators import artifacts
+
+    t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    t2 = "one two three four five six seven eight nine ten eleven " * 3
+    t3 = "red orange yellow green blue indigo violet colors rainbow " * 3
+    idx = str(tmp_path / "idx")
+    dedup_ops.write_band_index(
+        spark.createDataFrame(
+            [(1, t1), (2, t2)], "doc_id long, text string"
+        ),
+        idx,
+    )
+    with open(os.path.join(idx, artifacts.META_NAME), "w") as fh:
+        json.dump({"fingerprint": "fp0", "ingests": []}, fh)
+    dedup_ops.merge_band_index(
+        spark,
+        idx,
+        spark.createDataFrame([(3, t3)], "doc_id long, text string"),
+        tag="a",
+    )
+    artifacts.update_meta(idx, "fp0", {"ingests": ["a"]})
+
+    probe = spark.createDataFrame(
+        [
+            (10, t1.replace("beta", "betb")),
+            (11, t2.replace("two", "twa")),
+            (12, t3),  # exact dup: band collision certain, not LSH luck
+        ],
+        "doc_id long, text string",
+    )
+
+    def matches():
+        return {
+            (r["new_doc_id"], r["matched_doc_id"])
+            for r in dedup_ops.probe_band_index(spark, idx, probe).collect()
+        }
+
+    assert matches() == {(10, 1), (11, 2), (12, 3)}
+
+    # takedown: doc 2 (base segment) and doc 3 (ingest segment)
+    dedup_ops.delete_from_band_index(
+        spark,
+        idx,
+        spark.createDataFrame([(2,), (3,)], "doc_id long"),
+        tag="d",
+    )
+    artifacts.update_meta(idx, "fp0", {"ingests": ["a"], "deletes": ["d"]})
+    assert matches() == {(10, 1)}, "tombstoned docs still match probes"
+
+    # an orphan tombstone (crashed delete, not in meta) must be ignored
+    dedup_ops.delete_from_band_index(
+        spark,
+        idx,
+        spark.createDataFrame([(1,)], "doc_id long"),
+        tag="crashed",
+    )
+    assert matches() == {(10, 1)}
+
+    # compaction applies the listed tombstones physically
+    assert dedup_ops.compact_band_index(spark, idx) is True
+    meta = artifacts.load_meta(idx)
+    assert meta["ingests"] == [] and meta["deletes"] == []
+    assert not any(
+        d.startswith(("deletes_", "bands_ingest_", "shingles_ingest_"))
+        for d in os.listdir(idx)
+    )
+    assert matches() == {(10, 1)}
+    left = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{idx}/shingles").collect()
+    }
+    assert left == {1}, f"compaction did not reclaim deleted rows: {left}"
+
+
 def test_ann_nprobe_recall_at_least_single_probe(spark):
     """nprobe=2 must dominate nprobe=1: every nprobe=1 bucket is also
     searched, so recall vs brute force can only go up — the knob's
@@ -3552,3 +3638,103 @@ def test_artifacts_sweep_orphans_age_gated(tmp_path):
     assert artifacts.publish(path, "fp", b) is True
     assert not os.path.exists(live_tmp)
     assert artifacts.is_current(path, "fp")
+
+
+def test_ivf_drift_guard_retrain_recovers_recall(spark, tmp_path):
+    """Frozen-centroid drift, tripped and healed: a drifted ingest
+    cluster sits on the boundary between two stale centroids, so its
+    vectors SPLIT across buckets and nprobe=1 recall collapses; the
+    segment-fraction guard trips (1/3 > 0.3), retrains centroids over
+    the full set (seeded from the stored ones — the drifted cluster
+    migrates into one bucket over the Lloyd steps), folds the
+    segments, and recall over the same queries recovers. Compaction
+    identity is pinned separately by ann_ivf_compact's shared oracle."""
+    import json
+    import math
+    import os
+
+    from elt_data4transformation_spark.operators import artifacts
+
+    def unit(deg):
+        r = math.radians(deg)
+        return [round(math.cos(r), 6), round(math.sin(r), 6), 0.0, 0.0]
+
+    # base: two tight clusters at ~0° and ~90°
+    a_deg = [0.0, 0.5, 1.0, 1.5, 2.0, 2.5, 3.0, 3.5, 4.0, 5.0]
+    b_deg = [90 - d for d in a_deg]
+    # drifted ingest: tight cluster straddling the 45° bucket boundary
+    # (uneven spacing so exact-cosine top-3 has no ties)
+    c_deg = [43.90, 44.03, 44.20, 44.39, 44.62, 44.91, 45.22, 45.59, 46.00, 46.43]
+    base = [(i, unit(d)) for i, d in enumerate(a_deg)] + [
+        (100 + i, unit(d)) for i, d in enumerate(b_deg)
+    ]
+    drifted = [(200 + i, unit(d)) for i, d in enumerate(c_deg)]
+
+    idx = str(tmp_path / "ivf")
+    os.makedirs(idx)
+    cent = spark.createDataFrame(
+        [(0, unit(0.0)), (1, unit(2.0)), (2, unit(88.0))],
+        "centroid_id long, cv array<double>",
+    )
+    cent.write.parquet(f"{idx}/centroids")
+    bdf = spark.createDataFrame(base, "vec_id long, v array<double>")
+    vectors.assign_nearest(bdf, cent).drop("cos").write.partitionBy(
+        "centroid_id"
+    ).parquet(f"{idx}/index")
+    with open(os.path.join(idx, artifacts.META_NAME), "w") as fh:
+        json.dump({"fingerprint": "t", "ingests": []}, fh)
+
+    # frozen-centroid ingest of the drifted batch as a segment
+    ddf = spark.createDataFrame(drifted, "vec_id long, v array<double>")
+    vectors.assign_nearest(ddf, cent).drop("cos").write.partitionBy(
+        "centroid_id"
+    ).parquet(f"{idx}/index_ingest_a")
+    artifacts.update_meta(idx, "t", {"ingests": ["a"]})
+
+    frac = vectors.ivf_segment_fraction(spark, idx)
+    assert abs(frac - 1 / 3) < 1e-9
+
+    drift_ids = {vid for vid, _ in drifted}
+    # true top-3 neighbors by exact cosine over ALL vectors (numpy):
+    # for a drifted query these are always 3 other drifted vectors
+    # (mutual cosine >= cos(2.6°), vs <= cos(38°) to any base vector)
+    import numpy as np
+
+    all_rows = base + drifted
+    ids = np.array([i for i, _ in all_rows])
+    mat = np.array([v for _, v in all_rows])
+    nrm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = nrm @ nrm.T
+    truth = {}
+    for qi, vid in enumerate(ids):
+        if vid not in drift_ids:
+            continue
+        order = sorted(
+            (i for i in range(len(ids)) if i != qi),
+            key=lambda i: (-sims[qi, i], ids[i]),
+        )
+        truth[vid] = {ids[i] for i in order[:3]}
+
+    def recall_at_3():
+        """nprobe=1 recall for the drifted queries: fraction of each
+        query's TRUE top-3 that its own bucket contains."""
+        rows = vectors.read_ivf_index(spark, idx).collect()
+        bucket_of = {r["vec_id"]: r["centroid_id"] for r in rows}
+        hits = total = 0
+        for vid, top3 in truth.items():
+            for n in top3:
+                hits += bucket_of[n] == bucket_of[vid]
+                total += 1
+        return hits / total
+
+    before = recall_at_3()
+    assert before <= 0.9, f"drift fixture did not split buckets ({before})"
+
+    assert vectors.ivf_drift_guard(spark, idx, max_segment_fraction=0.3)
+    meta = artifacts.load_meta(idx)
+    assert meta["ingests"] == []
+    assert not any(d.startswith("index_ingest_") for d in os.listdir(idx))
+    after = recall_at_3()
+    assert after >= 0.95, f"retrain did not recover recall ({after})"
+    # below-threshold fraction leaves the index untouched
+    assert vectors.ivf_drift_guard(spark, idx, max_segment_fraction=0.3) is False
