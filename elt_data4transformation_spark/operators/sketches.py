@@ -40,15 +40,24 @@ def misra_gries(values: Iterator, k: int) -> dict:
 
 
 def misra_gries_batches(
-    batches: Iterator[pd.DataFrame], col: str, k: int
+    batches: Iterator[pd.DataFrame],
+    col: str,
+    k: int,
+    total_col: str | None = None,
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas adapter: fold every Arrow batch of ONE partition
     through a single shared Misra-Gries state (the iterator form hands
     a partition's batches sequentially), emit the surviving candidate
     items once at partition end — bounded k-row output per task no
-    matter the partition size."""
+    matter the partition size. With ``total_col``, the partition's
+    exact item count rides along as ONE extra sentinel row
+    (item NULL, total n_p) — the stream length the n/k threshold
+    needs, measured in the same single pass instead of a separate
+    full-scan count job."""
     counters: dict = {}
+    n = 0
     for pdf in batches:
+        n += len(pdf)
         for v in pdf[col]:
             if v in counters:
                 counters[v] += 1
@@ -60,4 +69,13 @@ def misra_gries_batches(
                     counters[key] -= 1
                 for key in dead:
                     del counters[key]
-    yield pd.DataFrame({col: list(counters.keys())})
+    keys = list(counters.keys())
+    if total_col is None:
+        yield pd.DataFrame({col: keys})
+    else:
+        yield pd.DataFrame(
+            {
+                col: keys + [None],
+                total_col: [None] * len(keys) + [n],
+            }
+        )

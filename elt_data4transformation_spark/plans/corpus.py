@@ -1310,7 +1310,7 @@ _HH_K = 200  # report tokens with global count > n / _HH_K
     "sub-linear in distinct-token space.",
 )
 def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
+    from pyspark import StorageLevel
 
     from ..operators.sketches import misra_gries_batches
 
@@ -1320,21 +1320,34 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(F.explode(T.words_col()).alias("token")).filter(
         F.col("token") != ""
     )
-    n_total = tok.count()  # scalar dimension, one job (vocab_build style)
 
+    # the MG pass also measures each partition's exact stream length
+    # (one sentinel row per task), so the n/k threshold needs NO
+    # separate full-scan count job: two corpus scans total (sketch +
+    # recount), down from three
     def mg(batches):
-        for out in misra_gries_batches(batches, "token", _HH_K):
-            yield out
+        yield from misra_gries_batches(
+            batches, "token", _HH_K, total_col="_np"
+        )
 
-    cand = tok.mapInPandas(mg, "token string").distinct()
+    sketch = tok.mapInPandas(mg, "token string, _np long").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sketch.count()  # eager: candidates + total both read the tiny cache
+    cand = (
+        sketch.filter(F.col("token").isNotNull())
+        .select("token")
+        .distinct()
+    )
+    total = sketch.agg(F.sum("_np").alias("_n"))
     counts = (
         tok.join(F.broadcast(cand), "token", "left_semi")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return (
-        counts.filter(
-            F.col("cnt") > F.lit(n_total) / F.lit(_HH_K)
-        )
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") > F.col("_n") / F.lit(_HH_K))
+        .select("token", "cnt")
         .orderBy(F.desc("cnt"), "token")
     )
