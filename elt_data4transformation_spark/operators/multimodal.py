@@ -178,10 +178,21 @@ def png_pixel(doc_id: int, x: int, y: int) -> tuple[int, int, int]:
     )
 
 
-def encode_png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def encode_png_payloads(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    shift: int = 0,
+    id_offset: int = 0,
+) -> DataFrame:
     """Render each id's synthetic image to real PNG bytes (binary
     media payload column + typed metadata) via Arrow-batched
-    mapInPandas — the media-ingest side of the multimodal contract."""
+    mapInPandas — the media-ingest side of the multimodal contract.
+
+    ``shift``/``id_offset`` forge brightness-perturbed TWINS for the
+    near-dup fixtures: the output row carries id ``d + id_offset`` but
+    renders d's image with every channel clamped-add-shifted
+    (min(255, v + shift) — monotone, so luma gradients mostly survive
+    and the twin's dHash lands within a few bits of the original)."""
     import numpy as np
 
     from . import pngcodec
@@ -194,14 +205,18 @@ def encode_png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 w, h = png_dims(d)
                 x = np.arange(w)
                 y = np.arange(h)[:, None]
-                px = np.empty((h, w, 3), dtype=np.uint8)
+                px = np.empty((h, w, 3), dtype=np.int64)
                 px[:, :, 0] = (d * 7 + x * 13 + y * 31) % 256
                 px[:, :, 1] = (d * 11 + x * 3 + y * 17) % 256
                 px[:, :, 2] = (d * 5 + x * 29 + y * 7) % 256
-                png = pngcodec.write_png(w, h, px.tobytes())
+                if shift:
+                    px = np.minimum(255, px + shift)
+                png = pngcodec.write_png(
+                    w, h, px.astype(np.uint8).tobytes()
+                )
                 rows.append(
                     {
-                        "doc_id": d,
+                        "doc_id": d + id_offset,
                         "payload": png,
                         "meta": {"mime": "image/png", "n_bytes": len(png)},
                     }
@@ -313,6 +328,66 @@ def decode_png_resize(
             )
 
     return df.mapInPandas(fn, PNG_RESIZE_SCHEMA)
+
+
+DHASH_SCHEMA = "doc_id long, k0 int, k1 int, k2 int, k3 int"
+
+
+def decode_png_dhash(df: DataFrame) -> DataFrame:
+    """Perceptual difference-hash (dHash) over real PNG payloads — the
+    image fingerprint every multimodal dedup pipeline computes: decode,
+    integer luma ((299r + 587g + 114b) // 1000), nearest-neighbor
+    resize to a 9x8 grid (sx = (x*W)//9, sy = (y*H)//8 — the same
+    integer grid decode_png_resize uses), then one bit per horizontal
+    gradient (gray[y][x+1] > gray[y][x], 8 bits x 8 rows = 64 bits).
+    The hash is emitted as FOUR 16-bit band keys (rows 2b and 2b+1;
+    bit position (y%2)*8 + x) — exactly the LSH banding shape the
+    near-dup join needs, and free of 64-bit sign-bit corner cases in
+    either engine. Pure integer arithmetic end-to-end, so a SQL twin
+    evaluates the identical bits. Corrupt payloads degrade to NULL
+    keys (never fail the stage). Zero shuffle — one Arrow batch map."""
+    import numpy as np
+
+    from . import pngcodec
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        xs = np.arange(9)
+        ys = np.arange(8)
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                try:
+                    if meta["mime"] != "image/png":
+                        raise ValueError("non-PNG payload")
+                    w, h, px = pngcodec.read_png(bytes(payload))
+                    sx = (xs * w) // 9
+                    sy = (ys * h) // 8
+                    small = px[np.ix_(sy, sx)].astype(np.int64)
+                    gray = (
+                        299 * small[:, :, 0]
+                        + 587 * small[:, :, 1]
+                        + 114 * small[:, :, 2]
+                    ) // 1000
+                    bits = (gray[:, 1:] > gray[:, :-1]).astype(np.int64)
+                    keys = {}
+                    for b in range(4):
+                        k = 0
+                        for yy in (2 * b, 2 * b + 1):
+                            for xx in range(8):
+                                k |= int(bits[yy, xx]) << (
+                                    (yy % 2) * 8 + xx
+                                )
+                        keys[f"k{b}"] = k
+                except (ValueError, zlib.error, struct.error):
+                    keys = {"k0": None, "k1": None, "k2": None, "k3": None}
+                rows.append({"doc_id": doc_id, **keys})
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "k0", "k1", "k2", "k3"]
+            )
+
+    return df.mapInPandas(fn, DHASH_SCHEMA)
 
 
 # --- real WAV audio pipeline (encode -> binary column -> decode) -----------

@@ -540,6 +540,159 @@ def image_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_DH_TWIN_OFF = 1_000_000  # forged-twin id space (guarded in the plan)
+_DH_CAP = 24  # mega-bucket hub-star cap (identical-image classes)
+_DH_HAM = 6  # report pairs within this Hamming distance
+
+
+def _image_neardup_oracle() -> str:
+    from .dedup import _capped_cand_sql
+
+    # twin gray channel: clamped-add brightness shift BEFORE luma
+    def lum(shift: str) -> str:
+        return (
+            f"(299 * LEAST(255, (src * 7 + sx * 13 + sy * 31) % 256 + {shift})"
+            f" + 587 * LEAST(255, (src * 11 + sx * 3 + sy * 17) % 256 + {shift})"
+            f" + 114 * LEAST(255, (src * 5 + sx * 29 + sy * 7) % 256 + {shift}))"
+            " // 1000"
+        )
+
+    return f"""
+        WITH ids AS (
+            SELECT doc_id FROM documents WHERE doc_id % 7 = 0
+        ), imgs AS (
+            SELECT doc_id AS img_id, doc_id AS src, 0 AS shift FROM ids
+            UNION ALL
+            SELECT doc_id + {_DH_TWIN_OFF}, doc_id, 8 FROM ids
+            WHERE doc_id % 70 = 0
+        ), grid AS (
+            SELECT i.img_id, i.src, i.shift, x.x, y.y,
+                   (x.x * (8 + i.src % 8)) // 9 AS sx,
+                   (y.y * (8 + i.src % 5)) // 8 AS sy
+            FROM imgs i
+            CROSS JOIN (SELECT UNNEST(RANGE(0, 9)) AS x) x
+            CROSS JOIN (SELECT UNNEST(RANGE(0, 8)) AS y) y
+        ), gray AS (
+            SELECT img_id, x, y, {lum('shift')} AS g FROM grid
+        ), bits AS (
+            SELECT img_id, x, y, CASE WHEN nxt > g THEN 1 ELSE 0 END AS bit
+            FROM (
+                SELECT img_id, x, y, g,
+                       LEAD(g) OVER (PARTITION BY img_id, y ORDER BY x)
+                           AS nxt
+                FROM gray
+            ) WHERE x < 8
+        ), bands AS (
+            SELECT img_id, y // 2 AS band_idx,
+                   CAST(SUM(bit << ((y % 2) * 8 + x)) AS BIGINT)
+                       AS band_key
+            FROM bits GROUP BY img_id, y // 2
+        ),
+        {_capped_cand_sql(_DH_CAP, 'img_id')},
+        keys AS (
+            SELECT img_id,
+                   MAX(CASE WHEN band_idx = 0 THEN band_key END) AS h0,
+                   MAX(CASE WHEN band_idx = 1 THEN band_key END) AS h1,
+                   MAX(CASE WHEN band_idx = 2 THEN band_key END) AS h2,
+                   MAX(CASE WHEN band_idx = 3 THEN band_key END) AS h3
+            FROM bands GROUP BY img_id
+        )
+        SELECT c.doc_a, c.doc_b,
+               CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+                  + bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3))
+                    AS BIGINT) AS hamming
+        FROM cand c
+        JOIN keys a ON c.doc_a = a.img_id
+        JOIN keys b ON c.doc_b = b.img_id
+        WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+            + bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3))
+            <= {_DH_HAM}
+        ORDER BY doc_a, doc_b
+    """
+
+
+@register(
+    "image_neardup",
+    oracle=_image_neardup_oracle(),
+    tags=("multimodal", "dedup"),
+    doc="Perceptual image NEAR-DUP via difference-hash (dHash) + "
+    "Hamming-banded LSH — the image-dedup operator every multimodal "
+    "training pipeline runs, composed end-to-end from the repo's own "
+    "primitives: every sampled doc (doc_id % 7 == 0) is rendered to "
+    "REAL PNG bytes and decoded back by the stdlib codec "
+    "(operators/multimodal.decode_png_dhash); luma + 9x8 integer "
+    "resize + 64 horizontal-gradient bits, emitted directly as FOUR "
+    "16-bit LSH band keys. Ground truth both engines share: docs "
+    "with doc_id % 70 == 0 get a brightness-shifted twin "
+    "(min(255, v+8) per channel — monotone, so most gradients "
+    "survive; id + 1e6, guarded against collision). Candidates are a "
+    f"band equi-join under the standard hub-star cap ({_DH_CAP} — "
+    "the synthetic corpus repeats image classes, the exact "
+    "boilerplate-cluster shape the cap exists for); pairs within "
+    f"Hamming {_DH_HAM} are reported. Pigeonhole guarantee: Hamming "
+    "<= 3 pairs ALWAYS share an untouched band; 4-6 only when a band "
+    "survives — mirrored exactly in the oracle, which evaluates the "
+    "identical integer pipeline in SQL. All-integer end-to-end, "
+    "zero-shuffle hashing, bucketed join, no all-pairs anywhere.",
+)
+def image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from ..operators import dedup_ops
+
+    d = (
+        spread(table(spark, sf_dir, "documents"))
+        .filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id")
+    )
+    # forged twin ids start at _DH_TWIN_OFF — a real doc_id beyond it
+    # would collide undetectably in BOTH engines (same guard as
+    # embedding_neardup_srp)
+    max_id = d.agg(F.max("doc_id")).first()[0]
+    assert max_id is None or max_id < _DH_TWIN_OFF, (
+        f"image_neardup: doc_id {max_id} collides with twin id space"
+    )
+    base = multimodal.encode_png_payloads(d)
+    twins = multimodal.encode_png_payloads(
+        d.filter(F.col("doc_id") % 70 == 0),
+        shift=8,
+        id_offset=_DH_TWIN_OFF,
+    )
+    keys = multimodal.decode_png_dhash(
+        base.unionByName(twins)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    keys.count()  # eager: band melt + both key joins read the cache,
+    # not three PNG decode passes
+    bands = dedup_ops.band_table(
+        keys.select(
+            "doc_id", *[F.col(f"k{b}").alias(f"band{b}") for b in range(4)]
+        ),
+        "doc_id",
+        4,
+    )
+    cand = dedup_ops.capped_band_candidates(bands, "doc_id", _DH_CAP)
+    ka = keys.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"k{b}").alias(f"a{b}") for b in range(4)],
+    )
+    kb = keys.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"k{b}").alias(f"b{b}") for b in range(4)],
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a{b}").bitwiseXOR(F.col(f"b{b}")))
+        for b in range(4)
+    ).cast("long")
+    return (
+        cand.join(ka, "doc_a")
+        .join(kb, "doc_b")
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= _DH_HAM)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 @register(
     "audio_resample_features",
     oracle="""
