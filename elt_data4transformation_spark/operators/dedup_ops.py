@@ -599,10 +599,15 @@ def ingest_band_index(
     )
 
     def merge() -> None:
-        seg_bands.write.mode("overwrite").partitionBy("band_idx").parquet(
-            f"{index_path}/bands_ingest_{tag}"
-        )
-        seg_sh.write.mode("overwrite").parquet(
+        # segment-file hygiene: a delta batch is small by definition,
+        # so writing it at full parallelism scatters it into dozens of
+        # KB-sized files (task-commit overhead now, read/merge overhead
+        # for every later probe and the compactor). A handful of files
+        # per segment is the LSM-correct shape.
+        seg_bands.coalesce(4).write.mode("overwrite").partitionBy(
+            "band_idx"
+        ).parquet(f"{index_path}/bands_ingest_{tag}")
+        seg_sh.coalesce(4).write.mode("overwrite").parquet(
             f"{index_path}/shingles_ingest_{tag}"
         )
 

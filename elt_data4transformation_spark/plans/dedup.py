@@ -1389,13 +1389,20 @@ def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         # fixture plumbing: the two ingest batches become files of the
         # streaming source (tag = doc_id % 5 in {0, 1}); tag 1 is
-        # written FIRST so the sequencer's reordering actually fires
+        # written FIRST so the sequencer's reordering actually fires.
+        # One corpus pass serves both files (slice the collected
+        # frame, don't run a Spark job per tag).
         src = os.path.join(work, "incoming")
         os.makedirs(src)
+        both = (
+            d.filter(F.col("doc_id") % DELTA_MOD <= 1)
+            .select("doc_id", "text")
+            .toPandas()
+        )
         for t in (1, 0):
-            d.filter(F.col("doc_id") % DELTA_MOD == t).select(
-                "doc_id", "text"
-            ).toPandas().to_parquet(os.path.join(src, f"batch{t}.parquet"))
+            both[both["doc_id"] % DELTA_MOD == t].to_parquet(
+                os.path.join(src, f"batch{t}.parquet"), index=False
+            )
 
         results = os.path.join(work, "probes")
         spill = os.path.join(work, "spill")
@@ -1409,6 +1416,10 @@ def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # lists them — any LATER process probes the identical rows.
         from pyspark import StorageLevel
 
+        # persist WITHOUT an eager count: the drains run sequentially,
+        # so the first probe materializes the cache while doing its own
+        # work — an upfront count() pass would be a pure extra job here
+        # (the eager-count rule guards CONCURRENT consumers)
         base_bands = spark.read.parquet(f"{idx}/bands").persist(
             StorageLevel.MEMORY_AND_DISK
         )
@@ -1420,6 +1431,7 @@ def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rows": [],
             "bands": base_bands,
             "sh": base_sh,
+            "merges": [],
         }
         out_schema = (
             "batch_tag int, new_doc_id long, matched_doc_id long, "
@@ -1435,11 +1447,15 @@ def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             # (the bounded collect below materializes the probe BEFORE
             # merge() adds the segment — order preserved; probe rows
             # are ~the near-dup fraction of one batch, the audit log
-            # is flushed once after the stream)
+            # is flushed once after the stream). spread() first: a
+            # micro-batch (or spill read) arrives as ONE file = ONE
+            # partition, which would serialize the whole md5
+            # shingle/signature pass onto a single core — the shuffle
+            # of a small batch is noise next to 32x compute parallelism
             probed, merge, seg_bands, seg_sh = dedup_ops.ingest_band_index(
                 spark,
                 idx,
-                delta,
+                spread(delta),
                 tag=str(tag),
                 threshold=0.5,
                 idx_bands=state["bands"],
@@ -1457,11 +1473,19 @@ def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .collect()
             )
-            merge()
-            meta = artifacts.load_meta(idx)
-            artifacts.update_meta(
-                idx, "base", {"ingests": meta["ingests"] + [str(tag)]}
-            )
+            # the probe is materialized (collect above) and the segment
+            # frames are hot in the cache, so the DISK write of the
+            # segment can overlap the NEXT batch's probe — later probes
+            # in this loop read the in-memory frames, never the files.
+            # Crash invariant unchanged: the meta listing a segment is
+            # stamped only after its write thread JOINS (below), so a
+            # crash mid-write leaves an unlisted orphan, exactly as the
+            # synchronous path did.
+            import threading
+
+            th = threading.Thread(target=merge)
+            th.start()
+            state["merges"].append((str(tag), th))
             state["bands"] = state["bands"].unionByName(seg_bands)
             state["sh"] = state["sh"].unionByName(seg_sh)
 
@@ -1509,6 +1533,15 @@ def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
         assert state["expected"] == 2, "sequencer did not drain all tags"
+        # commit the merges IN ORDER: each meta stamp waits for its
+        # segment write to finish — the on-disk index ends bit-identical
+        # to the synchronous path
+        for tag, th in state["merges"]:
+            th.join()
+            meta = artifacts.load_meta(idx)
+            artifacts.update_meta(
+                idx, "base", {"ingests": meta["ingests"] + [tag]}
+            )
         out = spark.createDataFrame(state["rows"], out_schema)
         # flush the audit log once (the per-batch append was 2 write
         # jobs for rows a bounded collect already holds)
