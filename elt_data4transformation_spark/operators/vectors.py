@@ -337,21 +337,77 @@ def ivf_segment_fraction(spark, index_path: str) -> float:
     return (seg / total) if total else 0.0
 
 
+def ivf_tombstone_dirs(index_path: str) -> list[str]:
+    """Tombstone parquet directories of a stored IVF index: one per
+    DELETE listed in the artifact meta. Same orphan rule as data
+    segments — a tombstone not listed in the meta is a crashed delete
+    and is ignored (segment written first, meta stamped last)."""
+    from . import artifacts
+
+    meta = artifacts.load_meta(index_path) or {}
+    return [f"{index_path}/deletes_{t}" for t in meta.get("deletes", [])]
+
+
+def delete_from_ivf_index(
+    spark,
+    index_path: str,
+    vec_ids: DataFrame,
+    tag: str,
+    id_col: str = "vec_id",
+) -> None:
+    """DELETE vectors from a stored IVF index by TOMBSTONE — the
+    removal half of the vector-store lifecycle, mirror of dedup's
+    delete_from_band_index (takedown / GDPR erasure of an embedded
+    document; reference analog: the delete-then-insert upsert,
+    elt/loader_clickhouse.py:530-573). Base and ingest segments are
+    append-only, so removal writes a ``deletes_<tag>`` segment of ids;
+    probes ANTI-JOIN indexed vectors (and the query set drawn from
+    them) against the tombstone union, and compaction
+    (compact_ivf_index) applies tombstones PHYSICALLY. The caller
+    stamps the meta (deletes list + fingerprint) AFTER this returns —
+    a crash in between leaves an unlisted orphan the readers ignore,
+    so the delete is atomic-or-absent. Cost: ids only, broadcast into
+    the probe — no index rewrite per delete."""
+    vec_ids.select(F.col(id_col)).distinct().write.mode(
+        "overwrite"
+    ).parquet(f"{index_path}/deletes_{tag}")
+
+
+def read_ivf_tombstones(spark, index_path: str) -> DataFrame | None:
+    """Union of the listed tombstone id sets, or None when the index
+    has no registered deletes (probes then skip the anti-join
+    entirely — zero cost on the common path)."""
+    dirs = ivf_tombstone_dirs(index_path)
+    if not dirs:
+        return None
+    out = spark.read.parquet(dirs[0])
+    for d in dirs[1:]:
+        out = out.unionByName(spark.read.parquet(d))
+    return out.distinct()
+
+
 def compact_ivf_index(spark, index_path: str) -> bool:
     """Fold every ingest segment back into the base IVF index — the
     compaction half of the lifecycle ann_ivf_maintain starts, mirror
     of dedup's compact_band_index: assignments are FROZEN-centroid
     facts, so folding is a pure file-layout change and probes return
-    identical rows before and after (tested). Goes through the
-    temp-dir + meta-last + near-atomic-rename protocol
-    (operators/artifacts.swap) — a crashed compaction leaves the old
-    artifact fully intact. Returns False when segment-free."""
+    identical rows before and after (tested). TOMBSTONES
+    (delete_from_ivf_index) are applied PHYSICALLY here: the folded
+    index anti-joins the deleted ids out and the meta's deletes list
+    resets — the logical delete probes already honored becomes
+    reclaimed space. Goes through the temp-dir + meta-last +
+    near-atomic-rename protocol (operators/artifacts.swap) — a
+    crashed compaction leaves the old artifact fully intact. Returns
+    False when there is nothing to compact."""
     from . import artifacts
 
     meta = artifacts.load_meta(index_path)
-    if not meta or not meta.get("ingests"):
+    if not meta or not (meta.get("ingests") or meta.get("deletes")):
         return False
     idx = read_ivf_index(spark, index_path)
+    dels = read_ivf_tombstones(spark, index_path)
+    if dels is not None:
+        idx = idx.join(F.broadcast(dels), "vec_id", "left_anti")
     cent = spark.read.parquet(f"{index_path}/centroids")
 
     def build(tmp: str) -> None:
@@ -360,7 +416,7 @@ def compact_ivf_index(spark, index_path: str) -> bool:
             f"{tmp}/index"
         )
 
-    artifacts.swap(index_path, build, {**meta, "ingests": []})
+    artifacts.swap(index_path, build, {**meta, "ingests": [], "deletes": []})
     return True
 
 

@@ -212,9 +212,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_oracle() -> str:
+def _ivf_oracle(exclude: str | None = None) -> str:
     """Shared DuckDB twin for ann_ivf_topk and ann_stored_ivf — the
-    stored round-trip changes where the index lives, not the math."""
+    stored round-trip changes where the index lives, not the math.
+    ``exclude`` (a vec_id predicate) models TOMBSTONED vectors for
+    ann_ivf_delete: centroids still train on the full set (the index
+    was built before the takedown — frozen facts), but excluded ids
+    can be neither queries nor neighbors."""
+    not_deleted_q = f" AND NOT ({exclude})" if exclude else ""
+    not_deleted_n = f" AND NOT (a.{exclude})" if exclude else ""
     return f"""
         WITH e AS (
             SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
@@ -251,12 +257,12 @@ def _ivf_oracle() -> str:
             ) WHERE crn = 1
         ), q AS (
             SELECT vec_id AS query_id, v AS qv, centroid_id AS qc
-            FROM assigned WHERE vec_id < {N_QUERIES}
+            FROM assigned WHERE vec_id < {N_QUERIES}{not_deleted_q}
         ), scored AS (
             SELECT q.query_id, a.vec_id AS neighbor_id,
                    {cosine_sql('q.qv', 'a.v')} AS cos
             FROM q JOIN assigned a
-              ON a.centroid_id = q.qc AND a.vec_id <> q.query_id
+              ON a.centroid_id = q.qc AND a.vec_id <> q.query_id{not_deleted_n}
         ), ranked AS (
             -- rank on the ROUNDED cosine (round-before-compare rule):
             -- an unrounded near-tie could order differently between a
@@ -643,10 +649,19 @@ def _ensure_maintained_ivf(spark: SparkSession, sf_dir: str, name: str) -> str:
 
 def _probe_ivf_index(spark: SparkSession, path: str) -> DataFrame:
     """Top-k probe over a stored (possibly segmented) IVF index —
-    shared by ann_ivf_maintain and ann_ivf_compact."""
-    from ..operators.vectors import read_ivf_index
+    shared by ann_ivf_maintain, ann_ivf_compact and ann_ivf_delete.
+    Tombstoned vectors (delete_from_ivf_index) are anti-joined out of
+    the indexed set BEFORE queries are drawn from it, so a deleted
+    vector can surface neither as a neighbor nor as a query — zero
+    cost when the index has no registered deletes."""
+    from ..operators.vectors import read_ivf_index, read_ivf_tombstones
 
     idx = read_ivf_index(spark, path)
+    dels = read_ivf_tombstones(spark, path)
+    if dels is not None:
+        idx = idx.join(
+            F.broadcast(dels.select("vec_id")), "vec_id", "left_anti"
+        )
     q = idx.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -734,6 +749,85 @@ def ann_ivf_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert not any(
         d.startswith("index_ingest_") for d in os.listdir(path)
     ), "compaction left ingest segments behind"
+    return _probe_ivf_index(spark, path)
+
+
+DEL_MOD = 7  # vec_id % 7 == 3 is the takedown batch
+DEL_REM = 3
+
+
+@register(
+    "ann_ivf_delete",
+    oracle=_ivf_oracle(exclude=f"vec_id % {DEL_MOD} = {DEL_REM}"),
+    tags=("similarity", "incremental"),
+    doc="Stored-IVF DELETE by TOMBSTONE — the removal half of the "
+    "vector-store lifecycle, completing the parity with the dedup "
+    "index family (dedup_index_delete): an embedded document's "
+    "takedown / GDPR erasure must remove its vector from search "
+    "results without rewriting the index (reference analog: the "
+    "delete-then-insert upsert S7, elt/loader_clickhouse.py:530-573, "
+    "and the rejected-status machine, study_scraper/storage/"
+    "postgres.py:345-378). Lifecycle demonstrated: the full vector "
+    "set is indexed (Lloyd-refined centroids, partitioned by "
+    f"centroid_id); vectors with vec_id%{DEL_MOD}=={DEL_REM} are then "
+    "DELETED via a tombstone segment (operators/vectors."
+    "delete_from_ivf_index — ids only, written beside the base, meta "
+    "stamped last so a crashed delete is an ignored orphan); probes "
+    "anti-join the indexed set against the broadcast tombstones "
+    "BEFORE drawing the query set, so a deleted vector is neither a "
+    "neighbor nor a query — where it was a top-k neighbor, the next "
+    "candidate surfaces, exactly the oracle's index-minus-deleted "
+    "semantics. Centroids stay frozen (trained pre-takedown — "
+    "deleting a member does not move bucket boundaries); compaction "
+    "(operators/vectors.compact_ivf_index) later applies tombstones "
+    "physically and resets the list — probe-identical, pinned by the "
+    "lifecycle test. Cost: a delete writes ids only; probes pay one "
+    "broadcast anti-join, zero when no deletes exist.",
+)
+def ann_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..operators import artifacts
+    from ..operators.vectors import delete_from_ivf_index
+    from .dedup import _index_root
+
+    e = _vectors(spark, sf_dir)
+    path = os.path.join(
+        os.path.dirname(_index_root()),
+        "ann_ivf_delete",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    src = [os.path.join(sf_dir, "embeddings.parquet")]
+    params = f"ann_ivf_delete|k={N_CENTROIDS}|lloyd=1|round=6"
+    fp_base = artifacts.source_fingerprint(src, params + "|deletes=")
+    fp_del = artifacts.source_fingerprint(
+        src, params + f"|deletes=d{DEL_MOD}_{DEL_REM}"
+    )
+    if not artifacts.is_current(path, fp_del):
+        # invocation 1: index the full vector set...
+        def build(tmp: str) -> None:
+            cent = _refined_centroids(e)
+            assigned = assign_nearest(e.select("vec_id", "v"), cent).drop(
+                "cos"
+            )
+            cent.write.mode("overwrite").parquet(f"{tmp}/centroids")
+            assigned.select("vec_id", "v", "centroid_id").write.mode(
+                "overwrite"
+            ).partitionBy("centroid_id").parquet(f"{tmp}/index")
+
+        artifacts.publish(path, fp_base, build)
+        # ...then the takedown arrives: tombstone vec_id%7==3
+        delete_from_ivf_index(
+            spark,
+            path,
+            e.filter(
+                F.col("vec_id") % DEL_MOD == DEL_REM
+            ).select("vec_id"),
+            tag=f"d{DEL_MOD}_{DEL_REM}",
+        )
+        artifacts.update_meta(
+            path, fp_del, {"deletes": [f"d{DEL_MOD}_{DEL_REM}"]}
+        )
     return _probe_ivf_index(spark, path)
 
 

@@ -3738,3 +3738,113 @@ def test_ivf_drift_guard_retrain_recovers_recall(spark, tmp_path):
     assert after >= 0.95, f"retrain did not recover recall ({after})"
     # below-threshold fraction leaves the index untouched
     assert vectors.ivf_drift_guard(spark, idx, max_segment_fraction=0.3) is False
+
+
+def test_delete_from_ivf_index_lifecycle(spark, tmp_path):
+    """Tombstone DELETE lifecycle for the stored IVF index, mirror of
+    the dedup family's: (1) index a base vector set and merge a
+    frozen-centroid ingest segment — the nearest neighbor of a query
+    can come from either; (2) tombstone one base vector and the
+    ingested vector — neither can surface from a probe (the anti-join
+    covers every segment) while untouched vectors still rank, and no
+    data segment was rewritten; an ORPHAN tombstone not listed in the
+    meta is ignored; (3) compaction applies the tombstones physically
+    — probe-identical, deletes list cleared, tombstone and ingest
+    dirs gone, the index physically shrunk."""
+    import json
+    import math
+    import os
+
+    from elt_data4transformation_spark.operators import artifacts
+
+    def unit(deg):
+        r = math.radians(deg)
+        return [round(math.cos(r), 6), round(math.sin(r), 6), 0.0, 0.0]
+
+    idx = str(tmp_path / "ivf")
+    os.makedirs(idx)
+    cent = spark.createDataFrame(
+        [(0, unit(0.0)), (1, unit(90.0))],
+        "centroid_id long, cv array<double>",
+    )
+    cent.write.parquet(f"{idx}/centroids")
+    # base: cluster A (1..4 at 0..3 deg), cluster B (101..104 near 90)
+    base = [(i, unit(i - 1.0)) for i in range(1, 5)] + [
+        (100 + i, unit(90.0 - (i - 1.0))) for i in range(1, 5)
+    ]
+    bdf = spark.createDataFrame(base, "vec_id long, v array<double>")
+    vectors.assign_nearest(bdf, cent).drop("cos").write.partitionBy(
+        "centroid_id"
+    ).parquet(f"{idx}/index")
+    with open(os.path.join(idx, artifacts.META_NAME), "w") as fh:
+        json.dump({"fingerprint": "t", "ingests": []}, fh)
+    # frozen-centroid ingest: vec 200 at 0.5 deg — closest to query 1
+    ddf = spark.createDataFrame(
+        [(200, unit(0.5))], "vec_id long, v array<double>"
+    )
+    vectors.assign_nearest(ddf, cent).drop("cos").write.partitionBy(
+        "centroid_id"
+    ).parquet(f"{idx}/index_ingest_a")
+    artifacts.update_meta(idx, "t", {"ingests": ["a"]})
+
+    def best(qid):
+        """Nearest in-bucket neighbor of ``qid``, honoring tombstones
+        — the same anti-join-then-rank shape _probe_ivf_index runs."""
+        frame = vectors.read_ivf_index(spark, idx)
+        dels = vectors.read_ivf_tombstones(spark, idx)
+        if dels is not None:
+            frame = frame.join(
+                F.broadcast(dels.select("vec_id")), "vec_id", "left_anti"
+            )
+        q = frame.filter(F.col("vec_id") == qid).select(
+            F.col("v").alias("qv"), F.col("centroid_id").alias("qc")
+        )
+        top = (
+            frame.join(
+                F.broadcast(q),
+                (F.col("centroid_id") == F.col("qc"))
+                & (F.col("vec_id") != qid),
+            )
+            .select(
+                "vec_id",
+                F.round(vectors.cosine_col("qv", "v"), 6).alias("cos"),
+            )
+            .orderBy(F.desc("cos"), "vec_id")
+            .limit(1)
+            .collect()
+        )
+        return top[0]["vec_id"]
+
+    assert best(1) == 200  # the ingested vector is the closest
+
+    # takedown: vec 2 (base segment) and vec 200 (ingest segment)
+    vectors.delete_from_ivf_index(
+        spark, idx, spark.createDataFrame([(2,), (200,)], "vec_id long"),
+        tag="d",
+    )
+    artifacts.update_meta(idx, "t", {"ingests": ["a"], "deletes": ["d"]})
+    assert best(1) == 3, "tombstoned vectors still surface from probes"
+
+    # an orphan tombstone (crashed delete, not in meta) must be ignored
+    vectors.delete_from_ivf_index(
+        spark, idx, spark.createDataFrame([(3,)], "vec_id long"),
+        tag="crashed",
+    )
+    assert best(1) == 3
+
+    # compaction applies the listed tombstones physically
+    assert vectors.compact_ivf_index(spark, idx) is True
+    meta = artifacts.load_meta(idx)
+    assert meta["ingests"] == [] and meta["deletes"] == []
+    assert not any(
+        d.startswith(("deletes_", "index_ingest_"))
+        for d in os.listdir(idx)
+    )
+    assert best(1) == 3
+    left = {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{idx}/index").collect()
+    }
+    assert 2 not in left and 200 not in left, (
+        f"compaction did not reclaim deleted vectors: {sorted(left)}"
+    )
