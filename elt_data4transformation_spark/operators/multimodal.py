@@ -410,9 +410,24 @@ def wav_sample(doc_id: int, i: int) -> int:
     return (doc_id * 13 + i * i * 7) % 2001 - 1000
 
 
-def encode_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def encode_wav_payloads(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    quantize: bool = False,
+    id_offset: int = 0,
+) -> DataFrame:
     """Render each id's synthetic signal to a REAL mono 16-bit PCM WAV
-    (stdlib ``wave`` writer) carried as a binary payload column."""
+    (stdlib ``wave`` writer) carried as a binary payload column.
+
+    ``quantize``/``id_offset`` forge re-quantized TWINS for the audio
+    near-dup fixtures: the output row carries id ``d + id_offset`` but
+    renders d's signal with one bit of amplitude dropped — in the
+    SHIFTED non-negative domain u = pcm + 1000, u' = (u // 2) * 2
+    (floor/trunc agree on non-negatives, so numpy, Spark SQL and
+    DuckDB compute identical samples) — a lossy re-encode: each
+    frame's energy moves by at most the frame length, so only
+    near-tie gradient bits flip and the twin's fingerprint lands
+    within a few bits of the original."""
     import io
     import wave
 
@@ -425,7 +440,10 @@ def encode_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 d = int(doc_id)
                 n = wav_n_samples(d)
                 i = np.arange(n, dtype=np.int64)
-                pcm = ((d * 13 + i * i * 7) % 2001 - 1000).astype("<i2")
+                u = (d * 13 + i * i * 7) % 2001
+                if quantize:
+                    u = (u // 2) * 2
+                pcm = (u - 1000).astype("<i2")
                 buf = io.BytesIO()
                 with wave.open(buf, "wb") as wf:
                     wf.setnchannels(1)
@@ -435,7 +453,7 @@ def encode_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 payload = buf.getvalue()
                 rows.append(
                     {
-                        "doc_id": d,
+                        "doc_id": d + id_offset,
                         "payload": payload,
                         "meta": {"mime": "audio/wav", "n_bytes": len(payload)},
                     }
@@ -443,6 +461,69 @@ def encode_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "payload", "meta"])
 
     return df.select(id_col).mapInPandas(fn, WAV_SCHEMA)
+
+
+AUDIO_FP_FRAMES = 65  # energy frames -> 64 gradient bits -> 4 bands
+
+
+def decode_wav_fingerprint(df: DataFrame) -> DataFrame:
+    """Perceptual audio fingerprint over real WAV payloads — the audio
+    sibling of decode_png_dhash (the chromaprint shape, integerized):
+    decode the PCM, partition it into 65 time frames
+    (sample i belongs to frame (i * 65) // n — a valid partition for
+    any n >= 65), take each frame's absolute-amplitude energy sum,
+    then one bit per energy GRADIENT (E[f+1] > E[f], 64 bits). The
+    hash is emitted as FOUR 16-bit band keys (bit j in band j // 16 at
+    position j % 16) — the LSH banding shape the near-dup join needs,
+    free of sign-bit corner cases. Pure integer arithmetic end-to-end
+    (energies are exact int sums <= n * 1000), so a SQL twin evaluates
+    the identical bits. Corrupt payloads degrade to NULL keys. Zero
+    shuffle — one Arrow batch map."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                try:
+                    if meta["mime"] != "audio/wav":
+                        raise ValueError("non-WAV payload")
+                    with wave.open(io.BytesIO(bytes(payload)), "rb") as wf:
+                        if wf.getnchannels() != 1 or wf.getsampwidth() != 2:
+                            raise ValueError("expected mono 16-bit PCM")
+                        pcm = np.frombuffer(
+                            wf.readframes(wf.getnframes()), dtype="<i2"
+                        ).astype(np.int64)
+                    n = len(pcm)
+                    if n < AUDIO_FP_FRAMES:
+                        raise ValueError("signal shorter than frame count")
+                    f = (np.arange(n, dtype=np.int64) * AUDIO_FP_FRAMES) // n
+                    # bincount weights go through float64; frame sums
+                    # are <= 800 * 1000, exactly representable
+                    e = np.bincount(
+                        f, weights=np.abs(pcm), minlength=AUDIO_FP_FRAMES
+                    ).astype(np.int64)
+                    bits = (e[1:] > e[:-1]).astype(np.int64)
+                    keys = {
+                        f"k{b}": int(
+                            (bits[16 * b : 16 * b + 16] << np.arange(16))
+                            .sum()
+                        )
+                        for b in range(4)
+                    }
+                except (ValueError, wave.Error, EOFError, struct.error):
+                    keys = {"k0": None, "k1": None, "k2": None, "k3": None}
+                rows.append({"doc_id": doc_id, **keys})
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "k0", "k1", "k2", "k3"]
+            )
+
+    return df.mapInPandas(fn, DHASH_SCHEMA)
 
 
 WAV_RESAMPLE_SCHEMA = (

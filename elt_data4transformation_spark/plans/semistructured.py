@@ -786,3 +786,153 @@ def audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_abs", 6).alias("mean_abs"),
         "peak",
     ).orderBy("doc_id")
+
+
+_AFP_TWIN_OFF = 1_000_000  # forged-twin id space (guarded in the plan)
+_AFP_CAP = 24  # mega-bucket hub-star cap
+_AFP_HAM = 6  # report pairs within this Hamming distance
+
+
+def _audio_neardup_oracle() -> str:
+    from .dedup import _capped_cand_sql
+
+    return f"""
+        WITH ids AS (
+            SELECT doc_id FROM documents WHERE doc_id % 9 = 0
+        ), snds AS (
+            SELECT doc_id AS snd_id, doc_id AS src, 0 AS q FROM ids
+            UNION ALL
+            SELECT doc_id + {_AFP_TWIN_OFF}, doc_id, 1 FROM ids
+            WHERE doc_id % 90 = 0
+        ), samp AS (
+            SELECT s.snd_id, 400 + (s.src % 50) * 8 AS n, i.i,
+                   CASE WHEN s.q = 1
+                        THEN (((s.src * 13 + i.i * i.i * 7) % 2001)
+                              // 2) * 2
+                        ELSE (s.src * 13 + i.i * i.i * 7) % 2001
+                   END - 1000 AS smp
+            FROM snds s
+            CROSS JOIN (SELECT UNNEST(RANGE(0, 792)) AS i) i
+            WHERE i.i < 400 + (s.src % 50) * 8
+        ), en AS (
+            SELECT snd_id, (i * 65) // n AS f, SUM(ABS(smp)) AS e
+            FROM samp GROUP BY snd_id, (i * 65) // n
+        ), bits AS (
+            SELECT snd_id, f AS j,
+                   CASE WHEN nxt > e THEN 1 ELSE 0 END AS bit
+            FROM (
+                SELECT snd_id, f, e,
+                       LEAD(e) OVER (PARTITION BY snd_id ORDER BY f)
+                           AS nxt
+                FROM en
+            ) WHERE f < 64
+        ), bands AS (
+            SELECT snd_id, j // 16 AS band_idx,
+                   CAST(SUM(bit << (j % 16)) AS BIGINT) AS band_key
+            FROM bits GROUP BY snd_id, j // 16
+        ),
+        {_capped_cand_sql(_AFP_CAP, 'snd_id')},
+        keys AS (
+            SELECT snd_id,
+                   MAX(CASE WHEN band_idx = 0 THEN band_key END) AS h0,
+                   MAX(CASE WHEN band_idx = 1 THEN band_key END) AS h1,
+                   MAX(CASE WHEN band_idx = 2 THEN band_key END) AS h2,
+                   MAX(CASE WHEN band_idx = 3 THEN band_key END) AS h3
+            FROM bands GROUP BY snd_id
+        )
+        SELECT c.doc_a, c.doc_b,
+               CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+                  + bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3))
+                    AS BIGINT) AS hamming
+        FROM cand c
+        JOIN keys a ON c.doc_a = a.snd_id
+        JOIN keys b ON c.doc_b = b.snd_id
+        WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+            + bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3))
+            <= {_AFP_HAM}
+        ORDER BY doc_a, doc_b
+    """
+
+
+@register(
+    "audio_neardup",
+    oracle=_audio_neardup_oracle(),
+    tags=("multimodal", "dedup"),
+    doc="Perceptual audio NEAR-DUP via an energy-gradient fingerprint "
+    "+ Hamming-banded LSH — the audio-dedup operator of a multimodal "
+    "training pipeline (the chromaprint shape, integerized), composed "
+    "from the repo's own primitives exactly like image_neardup: every "
+    "sampled doc (doc_id % 9 == 0) is rendered to REAL mono 16-bit "
+    "PCM WAV bytes and decoded back by the stdlib wave reader "
+    "(operators/multimodal.decode_wav_fingerprint); the PCM is "
+    "partitioned into 65 time frames, each frame's absolute-amplitude "
+    "energy summed (exact integer sums), and one bit kept per energy "
+    "gradient — 64 bits emitted directly as FOUR 16-bit LSH band "
+    "keys. Ground truth both engines share: docs with doc_id % 90 == "
+    "0 get a RE-QUANTIZED twin (one amplitude bit dropped in the "
+    "shifted non-negative domain — each frame energy moves by at most "
+    "the frame length, so only near-tie gradients flip; id + 1e6, "
+    "guarded against collision). Candidates are a band equi-join "
+    f"under the hub-star cap ({_AFP_CAP}); pairs within Hamming "
+    f"{_AFP_HAM} are reported. Pigeonhole: Hamming <= 3 pairs ALWAYS "
+    "share an untouched band — mirrored exactly in the oracle, which "
+    "evaluates the identical integer pipeline in SQL. All-integer "
+    "end-to-end, zero-shuffle hashing, bucketed join, no all-pairs "
+    "anywhere.",
+)
+def audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from ..operators import dedup_ops
+
+    d = (
+        spread(table(spark, sf_dir, "documents"))
+        .filter(F.col("doc_id") % 9 == 0)
+        .select("doc_id")
+    )
+    # forged twin ids start at _AFP_TWIN_OFF — a real doc_id beyond it
+    # would collide undetectably in BOTH engines (same guard as
+    # image_neardup / embedding_neardup_srp)
+    max_id = d.agg(F.max("doc_id")).first()[0]
+    assert max_id is None or max_id < _AFP_TWIN_OFF, (
+        f"audio_neardup: doc_id {max_id} collides with twin id space"
+    )
+    base = multimodal.encode_wav_payloads(d)
+    twins = multimodal.encode_wav_payloads(
+        d.filter(F.col("doc_id") % 90 == 0),
+        quantize=True,
+        id_offset=_AFP_TWIN_OFF,
+    )
+    keys = multimodal.decode_wav_fingerprint(
+        base.unionByName(twins)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    keys.count()  # eager: band melt + both key joins read the cache,
+    # not three WAV decode passes
+    bands = dedup_ops.band_table(
+        keys.select(
+            "doc_id", *[F.col(f"k{b}").alias(f"band{b}") for b in range(4)]
+        ),
+        "doc_id",
+        4,
+    )
+    cand = dedup_ops.capped_band_candidates(bands, "doc_id", _AFP_CAP)
+    ka = keys.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"k{b}").alias(f"a{b}") for b in range(4)],
+    )
+    kb = keys.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"k{b}").alias(f"b{b}") for b in range(4)],
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a{b}").bitwiseXOR(F.col(f"b{b}")))
+        for b in range(4)
+    ).cast("long")
+    return (
+        cand.join(ka, "doc_a")
+        .join(kb, "doc_b")
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= _AFP_HAM)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )

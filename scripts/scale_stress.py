@@ -105,12 +105,18 @@ def replicate(spark: SparkSession, n: int) -> None:
         big = reduce(lambda a, b: a.unionByName(b), parts)
         big.repartition(32).write.parquet(f"{OUT}/{name}.parquet")
 
-    for t in ["region", "nation", "customer", "supplier", "part", "embeddings"]:
+    for t in ["region", "nation", "customer", "supplier", "part"]:
         copy(t)
     fan("lineitem", "l_orderkey")
     fan("orders", "o_orderkey")
     fan("documents", "doc_id", text_col="text")
     fan("events", "event_id")
+    # embeddings were COPIED (not fanned) through round 4, which made
+    # every embedding-family stress ratio trivially ~1x — fan them too
+    # so ANN/IVF/semantic rows measure a real 10x vector set (the
+    # replicas are exact duplicate vectors under offset ids: ties are
+    # fine for timing, and seed ids < 16 keep centroid seeding valid)
+    fan("embeddings", "vec_id")
 
 
 def run(name: str, sf_dir: str) -> float:

@@ -3848,3 +3848,59 @@ def test_delete_from_ivf_index_lifecycle(spark, tmp_path):
     assert 2 not in left and 200 not in left, (
         f"compaction did not reclaim deleted vectors: {sorted(left)}"
     )
+
+
+def test_audio_neardup_detects_all_requantized_twins(spark):
+    """audio_neardup's detection guarantee: every re-quantized twin
+    (one amplitude bit dropped — a lossy re-encode) lands within the
+    Hamming threshold of its source and is reported; no non-twin pair
+    slips under the threshold on this fixture."""
+    from elt_data4transformation_spark.plans import REGISTRY
+    from elt_data4transformation_spark.plans.semistructured import (
+        _AFP_HAM,
+        _AFP_TWIN_OFF,
+    )
+    from tests.conftest import SF_SMALL
+
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    twins = sorted(
+        int(d) for d in docs["doc_id"] if d % 90 == 0
+    )
+    assert len(twins) >= 5  # real positive set at the fixture SF
+
+    rows = REGISTRY["audio_neardup"].fn(spark, SF_SMALL).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in rows}
+    want = {(d, d + _AFP_TWIN_OFF) for d in twins}
+    assert got == want, (
+        f"missed={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}"
+    )
+    assert all(0 <= r["hamming"] <= _AFP_HAM for r in rows)
+
+
+def test_audio_fingerprint_quarantines_corrupt_payload(spark):
+    """decode_wav_fingerprint degrades corrupt / non-WAV payloads to
+    NULL band keys instead of failing the batch."""
+    from elt_data4transformation_spark.operators import multimodal
+
+    good = multimodal.encode_wav_payloads(
+        spark.createDataFrame([(7,)], "doc_id long")
+    )
+    bad = spark.createDataFrame(
+        [
+            (100, bytearray(b"not a wav"), ("audio/wav", 9)),
+            (101, bytearray(b"RIFFjunk"), ("image/png", 8)),
+        ],
+        "doc_id long, payload binary, "
+        "meta struct<mime: string, n_bytes: bigint>",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in multimodal.decode_wav_fingerprint(
+            good.unionByName(bad)
+        ).collect()
+    }
+    assert all(out[7][f"k{b}"] is not None for b in range(4))
+    for bad_id in (100, 101):
+        assert all(out[bad_id][f"k{b}"] is None for b in range(4))
