@@ -617,13 +617,15 @@ def ingest_band_index(
 def probe_band_index(
     spark,
     index_path: str,
-    delta: DataFrame,
+    delta: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle: int = 5,
     n_hashes: int = 8,
     n_bands: int = 2,
     threshold: float = 0.5,
+    delta_sh: DataFrame | None = None,
+    delta_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a STORED band index (write_band_index, plus any merged
     ingest segments) with a new batch. Returns (new_doc_id,
@@ -634,13 +636,30 @@ def probe_band_index(
     rows join against the (small, broadcast) probe bands, and the
     re-score reads stored shingles for matched ids — zero corpus
     re-shingling across invocations, which is what makes per-ingest
-    dedup affordable at 100 TB (work ~ delta size + matches)."""
-    dsh = delta.select(
-        F.col(id_col).alias("_nid"),
-        T.char_shingles_col(shingle, text_col).alias("_sa"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    dsig = minhash_signature(dsh, "_nid", "_sa", n_hashes, n_bands)
-    dbands = band_table(dsig, "_nid", n_bands)
+    dedup affordable at 100 TB (work ~ delta size + matches).
+
+    The DELTA side's signatures can come either from ``delta`` raw
+    text (shingled + minhashed here — the arrival-time shape) or
+    PRE-STORED via ``delta_sh``/``delta_bands`` in stored-segment
+    column shape ((id, shingles, n_sh) / (id, band_idx, band_key)) —
+    the signature-store shape, where the ingest job computed and
+    persisted signatures once on arrival and every later probe reads
+    instead of recomputing (signatures are pure per-row functions of
+    the text, so both routes produce identical rows)."""
+    if delta_sh is not None and delta_bands is not None:
+        dsh = delta_sh.select(
+            F.col(id_col).alias("_nid"), F.col("shingles").alias("_sa")
+        )
+        dbands = delta_bands.select(
+            F.col(id_col).alias("_nid"), "band_idx", "band_key"
+        )
+    else:
+        dsh = delta.select(
+            F.col(id_col).alias("_nid"),
+            T.char_shingles_col(shingle, text_col).alias("_sa"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        dsig = minhash_signature(dsh, "_nid", "_sa", n_hashes, n_bands)
+        dbands = band_table(dsig, "_nid", n_bands)
     return _probe_with_signatures(
         spark, index_path, dsh, dbands, id_col, threshold
     )

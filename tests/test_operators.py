@@ -3904,3 +3904,48 @@ def test_audio_fingerprint_quarantines_corrupt_payload(spark):
     assert all(out[7][f"k{b}"] is not None for b in range(4))
     for bad_id in (100, 101):
         assert all(out[bad_id][f"k{b}"] is None for b in range(4))
+
+
+def test_sigstore_rows_equal_fresh_computation(spark):
+    """The signature store (plans/dedup._sigstore) must hold EXACTLY
+    the rows a fresh shingle+minhash pass computes — signatures are
+    pure per-row functions of (text, params), so read-instead-of-
+    recompute can never change a probe's result."""
+    from elt_data4transformation_spark.functions import textfns as T
+    from elt_data4transformation_spark.plans.dedup import (
+        N_BANDS,
+        N_MINHASH,
+        SHINGLE,
+        _sigstore,
+    )
+    from tests.conftest import SF_SMALL
+
+    store = _sigstore(spark, SF_SMALL)
+    stored_b = {
+        (r["doc_id"], r["band_idx"], r["band_key"])
+        for r in spark.read.parquet(f"{store}/bands").collect()
+    }
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    sh = docs.select(
+        "doc_id", T.char_shingles_col(SHINGLE).alias("_sh")
+    )
+    sig = dedup_ops.minhash_signature(
+        sh, "doc_id", "_sh", N_MINHASH, N_BANDS
+    )
+    fresh_b = {
+        (r["doc_id"], r["band_idx"], r["band_key"])
+        for r in dedup_ops.band_table(sig, "doc_id", N_BANDS).collect()
+    }
+    assert stored_b == fresh_b
+    # shingle sets match too (spot-check a handful of docs)
+    stored_sh = {
+        r["doc_id"]: sorted(r["shingles"])
+        for r in spark.read.parquet(f"{store}/shingles")
+        .filter(F.col("doc_id") < 20)
+        .collect()
+    }
+    fresh_sh = {
+        r["doc_id"]: sorted(r["_sh"])
+        for r in sh.filter(F.col("doc_id") < 20).collect()
+    }
+    assert stored_sh == fresh_sh
