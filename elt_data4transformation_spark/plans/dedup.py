@@ -1351,6 +1351,113 @@ def dedup_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_index_compact",
+    oracle=_incremental_probe_oracle(
+        f"doc_id % {DELTA_MOD} <> 1 AND doc_id % 10 <> 7",
+        f"doc_id % {DELTA_MOD} = 1",
+    ),
+    tags=("dedup", "incremental"),
+    doc="Stored-index COMPACTION — the fold-back half of the LSM "
+    "lifecycle, run end-to-end and proven probe-identical (the dedup "
+    "mirror of ann_ivf_compact): base corpus (doc_id%5 in {2,3,4}) is "
+    "indexed; ingest A (doc_id%5==0) is MERGED as a segment; docs "
+    "with doc_id%10==7 are DELETED via a tombstone segment; then "
+    "compact_band_index folds (base + segment - tombstones) into ONE "
+    "new base through the temp-dir + meta-last + near-atomic-rename "
+    "protocol (a crashed compaction leaves the old artifact intact) "
+    "and clears the meta's ingests/deletes lists — the logical state "
+    "probes already saw becomes the physical layout, segment read "
+    "roots drop back to one, and tombstoned rows become reclaimed "
+    "space. The probe of batch B (doc_id%5==1, signatures from the "
+    "signature store) then matches the SAME oracle semantics as an "
+    "uncompacted index-minus-deleted — compaction changes file "
+    "layout, never results (also pinned at the operator level by the "
+    "probe-identity test). Why it matters at 100 TB: per-ingest "
+    "segments keep maintenance delta-proportional but probe cost "
+    "grows with segment count and deleted rows never shrink — a "
+    "periodic compactor is what keeps an always-ingesting index "
+    "readable; this query IS that compactor, scheduled.",
+)
+def dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    d = table(spark, sf_dir, "documents")
+    corpus = spread(d.filter(F.col("doc_id") % DELTA_MOD >= 2))
+    ingest_a = spread(d.filter(F.col("doc_id") % DELTA_MOD == 0))
+    kw = dict(
+        id_col="doc_id",
+        text_col="text",
+        shingle=SHINGLE,
+        n_hashes=N_MINHASH,
+        n_bands=N_BANDS,
+    )
+    path = os.path.join(
+        f"{_index_root()}_compact",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    src = [os.path.join(sf_dir, "documents.parquet")]
+    params = (
+        f"dedup_index_compact|base=doc_id%{DELTA_MOD}>=2"
+        f"|sh={SHINGLE}|mh={N_MINHASH}|bands={N_BANDS}"
+    )
+    fp_base = artifacts.source_fingerprint(src, params + "|state=base")
+    fp_final = artifacts.source_fingerprint(
+        src, params + "|state=a,d7,compacted"
+    )
+    if not artifacts.is_current(path, fp_final):
+        # full lifecycle: build base -> merge A -> tombstone -> compact
+        artifacts.publish(
+            path,
+            fp_base,
+            lambda tmp: dedup_ops.write_band_index(corpus, tmp, **kw),
+        )
+        dedup_ops.merge_band_index(spark, path, ingest_a, tag="a", **kw)
+        dedup_ops.delete_from_band_index(
+            spark,
+            path,
+            d.filter(F.col("doc_id") % 10 == 7).select("doc_id"),
+            tag="d7",
+        )
+        # stamp the final fingerprint BEFORE compacting: swap() carries
+        # the meta through, so invocation 2 sees a current, compacted
+        # artifact and goes straight to the probe
+        artifacts.update_meta(
+            path, fp_final, {"ingests": ["a"], "deletes": ["d7"]}
+        )
+        assert dedup_ops.compact_band_index(spark, path), (
+            "compaction found nothing to fold"
+        )
+        assert not any(
+            seg.startswith(("bands_ingest_", "shingles_ingest_", "deletes_"))
+            for seg in os.listdir(path)
+        ), "compaction left segments behind"
+    delta_sh, delta_bands = _stored_delta_sig(
+        spark, sf_dir, F.col("doc_id") % DELTA_MOD == 1
+    )
+    scored = dedup_ops.probe_band_index(
+        spark,
+        path,
+        id_col="doc_id",
+        threshold=0.5,
+        delta_sh=delta_sh,
+        delta_bands=delta_bands,
+    )
+    best = Window.partitionBy("new_doc_id").orderBy(
+        F.desc("jaccard_raw"), F.asc("matched_doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(best))
+        .filter(F.col("rn") == 1)
+        .select(
+            "new_doc_id",
+            "matched_doc_id",
+            F.round("jaccard_raw", 6).alias("jaccard"),
+        )
+        .orderBy("new_doc_id")
+    )
+
+
 def _stream_ingest_oracle() -> str:
     """Twin of stream_index_ingest: per ingest tag t, the best match of
     each tag-t document against corpus ∪ {tags < t} — the sequential
