@@ -390,6 +390,170 @@ def decode_png_dhash(df: DataFrame) -> DataFrame:
     return df.mapInPandas(fn, DHASH_SCHEMA)
 
 
+# --- real multi-frame video pipeline (PNG frame sequence container) --------
+
+VIDEO_FRAMES = 9  # frames per synthetic clip (odd -> majority never ties)
+VIDEO_SCHEMA = PNG_SCHEMA  # same lake-row shape: id + payload + meta
+
+
+def video_frame_pixel(
+    doc_id: int, f: int, x: int, y: int
+) -> tuple[int, int, int]:
+    """Deterministic synthetic pixel of frame ``f`` — the png_pixel
+    formula with a per-frame term mixed into every channel, so frames
+    differ but the SQL twin can evaluate the identical integers."""
+    return (
+        (doc_id * 7 + f * 19 + x * (13 + (doc_id % 23) * 11) + y * 31)
+        % 256,
+        (doc_id * 11 + f * 23 + x * (3 + (doc_id % 29) * 7) + y * 17)
+        % 256,
+        (doc_id * 5 + f * 29 + x * (29 + (doc_id % 31) * 5) + y * 7)
+        % 256,
+    )
+
+
+def encode_video_payloads(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    shift: int = 0,
+    id_offset: int = 0,
+) -> DataFrame:
+    """Render each id's synthetic clip to a REAL container of
+    VIDEO_FRAMES length-prefixed PNG frames (4-byte big-endian frame
+    length + real PNG bytes, repeated) — the video-ingest side of the
+    multimodal contract with actual parseable bytes end-to-end (the
+    ffmpeg-decode route stays library-gated; the container framing,
+    per-frame decode and batch shape are the production plumbing).
+
+    ``shift``/``id_offset`` forge RE-ENCODED twins for the video
+    near-dup fixtures: id ``d + id_offset`` carries d's frames with
+    every channel clamped-add-shifted (min(255, v + shift) per frame —
+    the lossy re-encode analog; monotone, so most luma gradients
+    survive in every frame and the temporal-majority hash moves only
+    a few bits)."""
+    import numpy as np
+
+    from . import pngcodec
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                w, h = png_dims(d)
+                x = np.arange(w)
+                y = np.arange(h)[:, None]
+                parts = []
+                for f in range(VIDEO_FRAMES):
+                    px = np.empty((h, w, 3), dtype=np.int64)
+                    px[:, :, 0] = (
+                        d * 7 + f * 19
+                        + x * (13 + (d % 23) * 11) + y * 31
+                    ) % 256
+                    px[:, :, 1] = (
+                        d * 11 + f * 23
+                        + x * (3 + (d % 29) * 7) + y * 17
+                    ) % 256
+                    px[:, :, 2] = (
+                        d * 5 + f * 29
+                        + x * (29 + (d % 31) * 5) + y * 7
+                    ) % 256
+                    if shift:
+                        px = np.minimum(255, px + shift)
+                    png = pngcodec.write_png(
+                        w, h, px.astype(np.uint8).tobytes()
+                    )
+                    parts.append(struct.pack(">I", len(png)) + png)
+                payload = b"".join(parts)
+                rows.append(
+                    {
+                        "doc_id": d + id_offset,
+                        "payload": payload,
+                        "meta": {
+                            "mime": "video/png-seq",
+                            "n_bytes": len(payload),
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload", "meta"])
+
+    return df.select(id_col).mapInPandas(fn, VIDEO_SCHEMA)
+
+
+def decode_video_dhash(df: DataFrame) -> DataFrame:
+    """Perceptual video fingerprint over real PNG-sequence containers —
+    temporal-majority pooling of per-frame dHashes (the standard
+    temporal pooling shape of video fingerprints, integerized): parse
+    the length-prefixed container, decode each frame with the stdlib PNG
+    codec, compute each frame's 64 dHash gradient bits (identical grid
+    arithmetic to decode_png_dhash), then pool: video bit j = 1 iff a
+    STRICT MAJORITY of frames set bit j (odd frame count — no ties).
+    Emitted as FOUR 16-bit band keys in the image family's banding
+    layout. Pure integer arithmetic end-to-end, so a SQL twin
+    evaluates identical bits. Corrupt containers/frames degrade to
+    NULL keys. Zero shuffle — one Arrow batch map."""
+    import numpy as np
+
+    from . import pngcodec
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        xs = np.arange(9)
+        ys = np.arange(8)
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                try:
+                    if meta["mime"] != "video/png-seq":
+                        raise ValueError("non-video payload")
+                    b = bytes(payload)
+                    votes = np.zeros((8, 8), dtype=np.int64)
+                    n_frames = 0
+                    off = 0
+                    while off < len(b):
+                        if off + 4 > len(b):
+                            raise ValueError("truncated frame header")
+                        (ln,) = struct.unpack(">I", b[off : off + 4])
+                        off += 4
+                        if off + ln > len(b):
+                            raise ValueError("truncated frame body")
+                        w, h, px = pngcodec.read_png(b[off : off + ln])
+                        off += ln
+                        sx = (xs * w) // 9
+                        sy = (ys * h) // 8
+                        small = px[np.ix_(sy, sx)].astype(np.int64)
+                        gray = (
+                            299 * small[:, :, 0]
+                            + 587 * small[:, :, 1]
+                            + 114 * small[:, :, 2]
+                        ) // 1000
+                        votes += (gray[:, 1:] > gray[:, :-1]).astype(
+                            np.int64
+                        )
+                        n_frames += 1
+                    if n_frames == 0:
+                        raise ValueError("empty container")
+                    bits = (votes * 2 > n_frames).astype(np.int64)
+                    keys = {}
+                    for band in range(4):
+                        k = 0
+                        for yy in (2 * band, 2 * band + 1):
+                            for xx in range(8):
+                                k |= int(bits[yy, xx]) << (
+                                    (yy % 2) * 8 + xx
+                                )
+                        keys[f"k{band}"] = k
+                except (ValueError, zlib.error, struct.error):
+                    keys = {"k0": None, "k1": None, "k2": None, "k3": None}
+                rows.append({"doc_id": doc_id, **keys})
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "k0", "k1", "k2", "k3"]
+            )
+
+    return df.mapInPandas(fn, DHASH_SCHEMA)
+
+
 # --- real WAV audio pipeline (encode -> binary column -> decode) -----------
 
 WAV_RATE = 8000

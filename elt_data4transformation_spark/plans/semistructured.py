@@ -693,6 +693,173 @@ def image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VID_TWIN_OFF = 1_000_000  # forged-twin id space (guarded in the plan)
+_VID_CAP = 24  # mega-bucket hub-star cap
+_VID_HAM = 6  # report pairs within this Hamming distance
+
+
+def _video_neardup_oracle() -> str:
+    from .dedup import _capped_cand_sql
+    from ..operators.multimodal import VIDEO_FRAMES
+
+    # twin gray channel: per-frame clamped-add brightness shift
+    def lum(shift: str) -> str:
+        return (
+            "(299 * LEAST(255, (src * 7 + f * 19"
+            f" + sx * (13 + (src % 23) * 11) + sy * 31) % 256 + {shift})"
+            " + 587 * LEAST(255, (src * 11 + f * 23"
+            f" + sx * (3 + (src % 29) * 7) + sy * 17) % 256 + {shift})"
+            " + 114 * LEAST(255, (src * 5 + f * 29"
+            f" + sx * (29 + (src % 31) * 5) + sy * 7) % 256 + {shift}))"
+            " // 1000"
+        )
+
+    return f"""
+        WITH ids AS (
+            SELECT doc_id FROM documents WHERE doc_id % 11 = 0
+        ), vids AS (
+            SELECT doc_id AS vid_id, doc_id AS src, 0 AS shift FROM ids
+            UNION ALL
+            SELECT doc_id + {_VID_TWIN_OFF}, doc_id, 8 FROM ids
+            WHERE doc_id % 110 = 0
+        ), grid AS (
+            SELECT v.vid_id, v.src, v.shift, fr.f, x.x, y.y,
+                   (x.x * (8 + v.src % 8)) // 9 AS sx,
+                   (y.y * (8 + v.src % 5)) // 8 AS sy
+            FROM vids v
+            CROSS JOIN (SELECT UNNEST(RANGE(0, {VIDEO_FRAMES})) AS f) fr
+            CROSS JOIN (SELECT UNNEST(RANGE(0, 9)) AS x) x
+            CROSS JOIN (SELECT UNNEST(RANGE(0, 8)) AS y) y
+        ), gray AS (
+            SELECT vid_id, f, x, y, {lum('shift')} AS g FROM grid
+        ), fbits AS (
+            SELECT vid_id, f, x, y,
+                   CASE WHEN nxt > g THEN 1 ELSE 0 END AS bit
+            FROM (
+                SELECT vid_id, f, x, y, g,
+                       LEAD(g) OVER (PARTITION BY vid_id, f, y ORDER BY x)
+                           AS nxt
+                FROM gray
+            ) WHERE x < 8
+        ), mbits AS (
+            SELECT vid_id, x, y,
+                   CASE WHEN 2 * SUM(bit) > COUNT(*) THEN 1 ELSE 0 END
+                       AS bit
+            FROM fbits GROUP BY vid_id, x, y
+        ), bands AS (
+            SELECT vid_id, y // 2 AS band_idx,
+                   CAST(SUM(bit << ((y % 2) * 8 + x)) AS BIGINT)
+                       AS band_key
+            FROM mbits GROUP BY vid_id, y // 2
+        ),
+        {_capped_cand_sql(_VID_CAP, 'vid_id')},
+        keys AS (
+            SELECT vid_id,
+                   MAX(CASE WHEN band_idx = 0 THEN band_key END) AS h0,
+                   MAX(CASE WHEN band_idx = 1 THEN band_key END) AS h1,
+                   MAX(CASE WHEN band_idx = 2 THEN band_key END) AS h2,
+                   MAX(CASE WHEN band_idx = 3 THEN band_key END) AS h3
+            FROM bands GROUP BY vid_id
+        )
+        SELECT c.doc_a, c.doc_b,
+               CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+                  + bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3))
+                    AS BIGINT) AS hamming
+        FROM cand c
+        JOIN keys a ON c.doc_a = a.vid_id
+        JOIN keys b ON c.doc_b = b.vid_id
+        WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+            + bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3))
+            <= {_VID_HAM}
+        ORDER BY doc_a, doc_b
+    """
+
+
+@register(
+    "video_neardup",
+    oracle=_video_neardup_oracle(),
+    tags=("multimodal", "dedup"),
+    doc="Perceptual VIDEO near-dup via temporal-majority-pooled frame "
+    "dHashes + Hamming-banded LSH — completes the multimodal dedup "
+    "triad (image_neardup / audio_neardup / this). Every sampled doc "
+    "(doc_id % 11 == 0) is rendered to a REAL container of 9 "
+    "length-prefixed PNG frames (each frame real PNG bytes, decoded "
+    "back by the stdlib codec — operators/multimodal."
+    "decode_video_dhash); per frame: integer luma, 9x8 grid resize, "
+    "64 horizontal-gradient bits; per video: bit j = STRICT MAJORITY "
+    "of the 9 frames' bit j — the standard temporal-pooling shape of "
+    "video fingerprints, integerized (odd frame count, no ties), so "
+    "a re-encode perturbing single frames' near-tie gradients is "
+    "absorbed by the vote. Ground truth both engines share: docs "
+    "with doc_id % 110 == 0 get a RE-ENCODED twin (min(255, v+8) per "
+    "channel in EVERY frame — the lossy re-encode analog; id + 1e6, "
+    "guarded against collision). Candidates are a band equi-join "
+    f"under the hub-star cap ({_VID_CAP}); pairs within Hamming "
+    f"{_VID_HAM} are reported; Hamming <= 3 always shares an "
+    "untouched band (pigeonhole), mirrored exactly in the oracle's "
+    "identical integer pipeline. All-integer end-to-end, zero-shuffle "
+    "hashing + pooling (one Arrow map), bucketed join, no all-pairs "
+    "anywhere; at 100 TB the per-frame decode parallelizes by "
+    "partition and the pooled 64-bit hash is all that shuffles.",
+)
+def video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from ..operators import dedup_ops
+
+    d = (
+        spread(table(spark, sf_dir, "documents"))
+        .filter(F.col("doc_id") % 11 == 0)
+        .select("doc_id")
+    )
+    # forged twin ids start at _VID_TWIN_OFF — a real doc_id beyond it
+    # would collide undetectably in BOTH engines (same guard as
+    # image_neardup / audio_neardup)
+    max_id = d.agg(F.max("doc_id")).first()[0]
+    assert max_id is None or max_id < _VID_TWIN_OFF, (
+        f"video_neardup: doc_id {max_id} collides with twin id space"
+    )
+    base = multimodal.encode_video_payloads(d)
+    twins = multimodal.encode_video_payloads(
+        d.filter(F.col("doc_id") % 110 == 0),
+        shift=8,
+        id_offset=_VID_TWIN_OFF,
+    )
+    keys = multimodal.decode_video_dhash(
+        base.unionByName(twins)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    keys.count()  # eager: band melt + both key joins read the cache,
+    # not three container decode passes
+    bands = dedup_ops.band_table(
+        keys.select(
+            "doc_id", *[F.col(f"k{b}").alias(f"band{b}") for b in range(4)]
+        ),
+        "doc_id",
+        4,
+    )
+    cand = dedup_ops.capped_band_candidates(bands, "doc_id", _VID_CAP)
+    ka = keys.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"k{b}").alias(f"a{b}") for b in range(4)],
+    )
+    kb = keys.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"k{b}").alias(f"b{b}") for b in range(4)],
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a{b}").bitwiseXOR(F.col(f"b{b}")))
+        for b in range(4)
+    ).cast("long")
+    return (
+        cand.join(ka, "doc_a")
+        .join(kb, "doc_b")
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= _VID_HAM)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 @register(
     "audio_resample_features",
     oracle="""

@@ -580,29 +580,14 @@ def _ivf_maintain_oracle() -> str:
     """
 
 
-def _ensure_maintained_ivf(spark: SparkSession, sf_dir: str, name: str) -> str:
-    """Shared maintain lifecycle: ensure ``<name>/<sf>`` holds the
-    base-trained IVF index (vec_id % 5 != 0) with ingest batch a
-    (vec_id % 5 == 0) merged as a frozen-centroid segment. Returns the
-    artifact path; used by ann_ivf_maintain (probes segmented) and
-    ann_ivf_compact (compacts first — probe-identical by design)."""
-    import os
-
-    from ..operators import artifacts
-    from .dedup import _index_root
-
-    e = _vectors(spark, sf_dir)
-    base = e.filter(F.col("vec_id") % 5 != 0)
-    ingest = e.filter(F.col("vec_id") % 5 == 0)
-    path = os.path.join(
-        os.path.dirname(_index_root()),
-        name,
-        os.path.basename(os.path.normpath(sf_dir)),
-    )
-    params = f"{name}|k={N_CENTROIDS}|lloyd=1|round=6|mod=5"
-    src = [os.path.join(sf_dir, "embeddings.parquet")]
-    fp_base = artifacts.source_fingerprint(src, params + "|ingests=")
-    fp_a = artifacts.source_fingerprint(src, params + "|ingests=a")
+def _ivf_builder(base: DataFrame):
+    """Artifact builder for a base-trained IVF index: centroid seeds =
+    the base vectors with vec_id < N_CENTROIDS, one deterministic
+    Lloyd iteration (elementwise mean rounded to 6dp so both engines
+    produce identical centroids), base assigned to the refined
+    centroids, written as ``centroids`` + ``index`` (partitioned by
+    centroid_id). Shared by the maintain/compact lifecycle and the
+    streaming ingest loop."""
 
     def build(tmp: str) -> None:
         cent0 = base.filter(F.col("vec_id") < N_CENTROIDS).select(
@@ -632,6 +617,34 @@ def _ensure_maintained_ivf(spark: SparkSession, sf_dir: str, name: str) -> str:
         assigned.select("vec_id", "v", "centroid_id").write.mode(
             "overwrite"
         ).partitionBy("centroid_id").parquet(f"{tmp}/index")
+
+    return build
+
+
+def _ensure_maintained_ivf(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Shared maintain lifecycle: ensure ``<name>/<sf>`` holds the
+    base-trained IVF index (vec_id % 5 != 0) with ingest batch a
+    (vec_id % 5 == 0) merged as a frozen-centroid segment. Returns the
+    artifact path; used by ann_ivf_maintain (probes segmented) and
+    ann_ivf_compact (compacts first — probe-identical by design)."""
+    import os
+
+    from ..operators import artifacts
+    from .dedup import _index_root
+
+    e = _vectors(spark, sf_dir)
+    base = e.filter(F.col("vec_id") % 5 != 0)
+    ingest = e.filter(F.col("vec_id") % 5 == 0)
+    path = os.path.join(
+        os.path.dirname(_index_root()),
+        name,
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    params = f"{name}|k={N_CENTROIDS}|lloyd=1|round=6|mod=5"
+    src = [os.path.join(sf_dir, "embeddings.parquet")]
+    fp_base = artifacts.source_fingerprint(src, params + "|ingests=")
+    fp_a = artifacts.source_fingerprint(src, params + "|ingests=a")
+    build = _ivf_builder(base)
 
     if not artifacts.is_current(path, fp_a):
         artifacts.publish(path, fp_base, build)
@@ -829,6 +842,277 @@ def ann_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             path, fp_del, {"deletes": [f"d{DEL_MOD}_{DEL_REM}"]}
         )
     return _probe_ivf_index(spark, path)
+
+
+def _stream_ivf_oracle() -> str:
+    """Twin of stream_ivf_ingest: centroids trained on the base
+    (vec_id % 5 >= 2, seeds = base vec_id < N_CENTROIDS + one Lloyd
+    iteration); per ingest tag t, every tag-t vector's nearest
+    SAME-BUCKET neighbor among base ∪ {tags < t} — the sequential
+    ingest loop flattened into one batch query."""
+
+    def block(tag: int, idx_pred: str) -> str:
+        return f"""p{tag} AS (
+            SELECT {tag} AS batch_tag, vec_id, matched_vec_id, cosine
+            FROM (
+                SELECT p.vec_id, a.vec_id AS matched_vec_id,
+                       ROUND({cosine_sql('p.v', 'a.v')}, 6) AS cosine,
+                       ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                           ORDER BY ROUND({cosine_sql('p.v', 'a.v')}, 6)
+                                    DESC, a.vec_id) AS rn
+                FROM assigned p JOIN assigned a
+                  ON a.centroid_id = p.centroid_id
+                WHERE p.vec_id % 5 = {tag} AND ({idx_pred})
+            ) WHERE rn = 1
+        )"""
+
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ), base AS (
+            SELECT * FROM e WHERE vec_id % 5 >= 2
+        ), cent0 AS (
+            SELECT vec_id AS centroid_id, v AS cv FROM base
+            WHERE vec_id < {N_CENTROIDS}
+        ), assigned0 AS (
+            SELECT vec_id, v, centroid_id FROM (
+                SELECT b.vec_id, b.v, cent0.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                           ORDER BY {cosine_sql('b.v', 'cent0.cv')} DESC,
+                                    cent0.centroid_id) AS crn
+                FROM base b CROSS JOIN cent0
+            ) WHERE crn = 1
+        ), cent AS (
+            SELECT centroid_id, LIST(m ORDER BY dim) AS cv FROM (
+                SELECT centroid_id, dim, ROUND(AVG(val), 6) AS m
+                FROM (
+                    SELECT centroid_id, UNNEST(v) AS val,
+                           generate_subscripts(v, 1) AS dim
+                    FROM assigned0
+                )
+                GROUP BY centroid_id, dim
+            )
+            GROUP BY centroid_id
+        ), assigned AS (
+            SELECT vec_id, v, centroid_id FROM (
+                SELECT e.vec_id, e.v, cent.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY {cosine_sql('e.v', 'cent.cv')} DESC,
+                                    cent.centroid_id) AS crn
+                FROM e CROSS JOIN cent
+            ) WHERE crn = 1
+        ),
+        {block(0, "a.vec_id % 5 >= 2")},
+        {block(1, "a.vec_id % 5 <> 1")}
+        SELECT * FROM (
+            SELECT * FROM p0 UNION ALL SELECT * FROM p1
+        ) ORDER BY vec_id
+    """
+
+
+@register(
+    "stream_ivf_ingest",
+    oracle=_stream_ivf_oracle(),
+    tags=("streaming", "similarity", "incremental"),
+    doc="The VECTOR-STORE INGEST LOOP as a real Structured Streaming "
+    "job — the streaming composition the stored-IVF family builds "
+    "toward, and the vector mirror of stream_index_ingest: vector "
+    "batches arrive as files (readStream, maxFilesPerTrigger=1, "
+    "availableNow); inside foreachBatch each batch is assigned to the "
+    "FROZEN stored centroids (broadcast — the production no-re-cluster "
+    "ingest), PROBED for its nearest same-bucket neighbor among the "
+    "current index (base + every earlier merged segment — so batch "
+    "N+1 can match batch N's vectors, proving the merge), then MERGED "
+    "as a centroid-partitioned segment with the meta stamped after "
+    "the segment write completes (crashed merge = unlisted orphan). "
+    "Out-of-order arrival is handled by the same disk-buffered "
+    "sequencer as the dedup loop (the fixture writes the later batch "
+    "first, forcing the reorder path every run) — results are "
+    "deterministic under ANY file-arrival order. The probe log "
+    "(batch_tag, vec_id, matched_vec_id, cosine) is the audit trail "
+    "an embedding-ingest pipeline keeps (duplicate detection / "
+    "provenance at insert time). Work per batch is delta-proportional"
+    ": assignment broadcasts k centroids, the probe joins only the "
+    "batch's buckets, the merge writes only the batch. Oracle: the "
+    "loop flattened — per tag t, nearest same-bucket neighbor among "
+    "base ∪ {tags < t}, frozen base-trained centroids throughout.",
+)
+def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import threading
+
+    from pyspark import StorageLevel
+
+    from ..operators import artifacts
+    from .dedup import _index_root
+
+    e = _vectors(spark, sf_dir)
+    base = e.filter(F.col("vec_id") % 5 >= 2)
+    work = tempfile.mkdtemp(prefix="stream_ivf_ingest_")
+    try:
+        # immutable fingerprinted base index, symlinked into a private
+        # run root so merges stay run-scoped and concurrent runs share
+        # one base — same layout as stream_index_ingest
+        base_idx = os.path.join(
+            os.path.dirname(_index_root()),
+            "ann_ivf_stream_base",
+            os.path.basename(os.path.normpath(sf_dir)),
+        )
+        fp = artifacts.source_fingerprint(
+            [os.path.join(sf_dir, "embeddings.parquet")],
+            params=f"stream_ivf_ingest|base=vec_id%5>=2"
+            f"|k={N_CENTROIDS}|lloyd=1|round=6",
+        )
+        artifacts.publish(base_idx, fp, _ivf_builder(base))
+        idx = os.path.join(work, "idx")
+        os.makedirs(idx)
+        for seg in ("centroids", "index"):
+            os.symlink(
+                os.path.join(base_idx, seg), os.path.join(idx, seg)
+            )
+        artifacts.update_meta(idx, "run", {"ingests": []})
+
+        # fixture plumbing: tag = vec_id % 5 in {0, 1}; tag 1 written
+        # FIRST so the sequencer's reordering fires every run
+        src = os.path.join(work, "incoming")
+        os.makedirs(src)
+        both = (
+            e.filter(F.col("vec_id") % 5 <= 1)
+            .select("vec_id", "v")
+            .toPandas()
+        )
+        for t in (1, 0):
+            both[both["vec_id"] % 5 == t].to_parquet(
+                os.path.join(src, f"batch{t}.parquet"), index=False
+            )
+
+        spill = os.path.join(work, "spill")
+        os.makedirs(spill)
+        cent = spark.read.parquet(f"{idx}/centroids").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        base_index = spark.read.parquet(f"{idx}/index").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        state = {
+            "expected": 0,
+            "rows": [],
+            "idx": base_index,
+            "merges": [],
+        }
+        out_schema = (
+            "batch_tag int, vec_id long, matched_vec_id long, "
+            "cosine double"
+        )
+        best = Window.partitionBy("vec_id").orderBy(
+            F.desc("cosine"), F.asc("matched_vec_id")
+        )
+
+        def drain(tag: int, delta: DataFrame) -> None:
+            # assignment: broadcast the frozen stored centroids over
+            # the (small) batch — never re-clusters, never shuffles
+            # the index
+            assigned = assign_nearest(
+                spread(delta).select("vec_id", "v"), cent
+            ).drop("cos").persist(StorageLevel.MEMORY_AND_DISK)
+            probe = assigned.select(
+                F.col("vec_id").alias("_pid"),
+                F.col("v").alias("_pv"),
+                F.col("centroid_id").alias("_pc"),
+            )
+            scored = state["idx"].join(
+                F.broadcast(probe), F.col("centroid_id") == F.col("_pc")
+            ).select(
+                F.col("_pid").alias("vec_id"),
+                F.col("vec_id").alias("matched_vec_id"),
+                F.round(cosine_col(F.col("_pv"), F.col("v")), 6).alias(
+                    "cosine"
+                ),
+            )
+            state["rows"].extend(
+                scored.withColumn("rn", F.row_number().over(best))
+                .filter(F.col("rn") == 1)
+                .select(
+                    F.lit(tag).alias("batch_tag"),
+                    "vec_id",
+                    "matched_vec_id",
+                    "cosine",
+                )
+                .collect()
+            )
+            # probe materialized (collect) before the segment write
+            # starts; the write overlaps the next batch's probe, which
+            # reads the persisted in-memory frame (write once,
+            # reference twice); meta stamped only after join (below)
+            seg = assigned.select("vec_id", "v", "centroid_id")
+
+            def merge() -> None:
+                seg.coalesce(4).write.mode("overwrite").partitionBy(
+                    "centroid_id"
+                ).parquet(f"{idx}/index_ingest_{tag}")
+
+            th = threading.Thread(target=merge)
+            th.start()
+            state["merges"].append((str(tag), th))
+            state["idx"] = state["idx"].unionByName(seg)
+
+        def sink(batch_df: DataFrame, _batch_id: int) -> None:
+            tags = [
+                r["_t"]
+                for r in batch_df.select(
+                    (F.col("vec_id") % 5).alias("_t")
+                )
+                .distinct()
+                .collect()
+            ]
+            for t in tags:
+                part = batch_df.filter(F.col("vec_id") % 5 == t)
+                if t == state["expected"]:
+                    drain(t, part.select("vec_id", "v"))
+                    state["expected"] += 1
+                else:
+                    part.write.mode("overwrite").parquet(
+                        os.path.join(spill, str(t))
+                    )
+            while os.path.exists(
+                os.path.join(spill, str(state["expected"]), "_SUCCESS")
+            ):
+                drain(
+                    state["expected"],
+                    spark.read.parquet(
+                        os.path.join(spill, str(state["expected"]))
+                    ),
+                )
+                state["expected"] += 1
+
+        stream = (
+            spark.readStream.schema("vec_id long, v array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert state["expected"] == 2, "sequencer did not drain all tags"
+        for tag, th in state["merges"]:
+            th.join()
+            meta = artifacts.load_meta(idx)
+            artifacts.update_meta(
+                idx, "run", {"ingests": meta["ingests"] + [tag]}
+            )
+        out = spark.createDataFrame(state["rows"], out_schema)
+        cent.unpersist()
+        base_index.unpersist()
+        return out.orderBy("vec_id")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 SEM_TAU = 0.4  # within-bucket cosine above which the larger id is pruned

@@ -3949,3 +3949,87 @@ def test_sigstore_rows_equal_fresh_computation(spark):
         for r in sh.filter(F.col("doc_id") < 20).collect()
     }
     assert stored_sh == fresh_sh
+
+
+def test_video_neardup_detects_all_reencoded_twins(spark):
+    """video_neardup's detection guarantee: every re-encoded twin
+    (per-frame brightness shift — the lossy re-encode analog) lands
+    within the Hamming threshold of its source and is reported; the
+    temporal majority vote absorbs per-frame near-tie flips."""
+    import pandas as pd
+
+    from elt_data4transformation_spark.plans import REGISTRY
+    from elt_data4transformation_spark.plans.semistructured import (
+        _VID_HAM,
+        _VID_TWIN_OFF,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    twins = sorted(int(d) for d in docs["doc_id"] if d % 110 == 0)
+    assert len(twins) >= 4  # real positive set at the fixture SF
+
+    rows = REGISTRY["video_neardup"].fn(spark, SF_SMALL).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in rows}
+    want = {(d, d + _VID_TWIN_OFF) for d in twins}
+    missed = want - got
+    assert not missed, f"missed twin pairs: {sorted(missed)[:5]}"
+    assert all(0 <= r["hamming"] <= _VID_HAM for r in rows)
+
+
+def test_video_dhash_quarantines_corrupt_container(spark):
+    """decode_video_dhash degrades corrupt containers (bad mime,
+    truncated header, truncated frame body) to NULL band keys."""
+    from elt_data4transformation_spark.operators import multimodal
+
+    good = multimodal.encode_video_payloads(
+        spark.createDataFrame([(7,)], "doc_id long")
+    )
+    # a truncated copy of a real container: cut mid-frame
+    sample = bytes(good.collect()[0]["payload"])
+    bad = spark.createDataFrame(
+        [
+            (100, bytearray(b"\x00\x00"), ("video/png-seq", 2)),
+            (101, bytearray(sample[: len(sample) // 2]),
+             ("video/png-seq", len(sample) // 2)),
+            (102, bytearray(sample), ("image/png", len(sample))),
+        ],
+        "doc_id long, payload binary, "
+        "meta struct<mime: string, n_bytes: bigint>",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in multimodal.decode_video_dhash(
+            good.unionByName(bad)
+        ).collect()
+    }
+    assert all(out[7][f"k{b}"] is not None for b in range(4))
+    for bad_id in (100, 101, 102):
+        assert all(out[bad_id][f"k{b}"] is None for b in range(4))
+
+
+def test_stream_ivf_ingest_merges_and_sequences(spark):
+    """The streaming vector-ingest loop: batch 1 must be able to match
+    batch 0's vectors (proving the segment MERGE is visible to later
+    probes), every probe match must share the probe vector's frozen-
+    centroid bucket, and results are deterministic even though the
+    fixture writes the later batch's file first (sequencer path)."""
+    from elt_data4transformation_spark.plans import REGISTRY
+    from tests.conftest import SF_SMALL
+
+    rows = REGISTRY["stream_ivf_ingest"].fn(spark, SF_SMALL).collect()
+    assert rows, "empty probe log"
+    # ordering contract
+    ids = [r["vec_id"] for r in rows]
+    assert ids == sorted(ids)
+    # tags match the fixture's id scheme
+    assert all(r["vec_id"] % 5 == r["batch_tag"] for r in rows)
+    # the merge is real: some tag-1 probes match tag-0 vectors
+    cross = [
+        r for r in rows
+        if r["batch_tag"] == 1 and r["matched_vec_id"] % 5 == 0
+    ]
+    assert cross, "no tag1->tag0 matches: merged segment invisible"
+    # determinism across invocations (second run re-streams, re-probes)
+    again = REGISTRY["stream_ivf_ingest"].fn(spark, SF_SMALL).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
