@@ -295,6 +295,8 @@ def minhash_lsh_pairs(
     n_bands: int = 2,
     threshold: float = 0.5,
     max_bucket: int | None = None,
+    pre_sh: DataFrame | None = None,
+    pre_bands: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs with exact-Jaccard re-score >= threshold.
     Output: doc_a, doc_b, jaccard_raw (unrounded).
@@ -309,18 +311,30 @@ def minhash_lsh_pairs(
     tiny (id, band) table and the candidate-id pairs; at 100 TB the
     candidate side is the near-dup fraction of the corpus, so the
     re-score join broadcasts (AQE has real size stats from the eager
-    materialization) instead of shuffling arrays per pair."""
-    sh = docs.select(
-        F.col(id_col).alias("_id"),
-        T.char_shingles_col(shingle, text_col).alias("_sh"),
-    )
-    sig = minhash_signature(sh, "_id", "_sh", n_hashes, n_bands)
-    bands = (
-        band_table(sig, "_id", n_bands)
-        # tiny (id, band) table; caching it keeps the md5 signature
-        # computation from running once per side of the self-join
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    materialization) instead of shuffling arrays per pair.
+
+    ``pre_sh``/``pre_bands`` (stored-segment column shape:
+    (id, shingles, n_sh) / (id, band_idx, band_key)) substitute a
+    SIGNATURE STORE for both the signature pass and the re-score's
+    shingle recomputation — signatures are pure per-row functions of
+    the text, so stored and computed rows are identical and every
+    downstream value (candidates, jaccard) is unchanged."""
+    if pre_bands is not None:
+        bands = pre_bands.select(
+            F.col(id_col).alias("_id"), "band_idx", "band_key"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        sh = docs.select(
+            F.col(id_col).alias("_id"),
+            T.char_shingles_col(shingle, text_col).alias("_sh"),
+        )
+        sig = minhash_signature(sh, "_id", "_sh", n_hashes, n_bands)
+        bands = (
+            band_table(sig, "_id", n_bands)
+            # tiny (id, band) table; caching it keeps the md5 signature
+            # computation from running once per side of the self-join
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
     bands.count()  # eager: concurrent self-join sides can't dedupe a cold cache
     cand = (
         capped_band_candidates(bands, "_id", max_bucket)
@@ -330,15 +344,26 @@ def minhash_lsh_pairs(
     ids = cand.select(F.col("doc_a").alias(id_col)).union(
         cand.select(F.col("doc_b").alias(id_col))
     ).distinct()
-    sh_c = (
-        docs.join(ids, id_col, "left_semi")
-        .select(
-            F.col(id_col).alias("_id"),
-            T.char_shingles_col(shingle, text_col).alias("_sh"),
+    if pre_sh is not None:
+        sh_c = (
+            pre_sh.join(ids, id_col, "left_semi")
+            .select(
+                F.col(id_col).alias("_id"),
+                F.col("shingles").alias("_sh"),
+                F.col("n_sh").alias("_n"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        .select("_id", "_sh", F.size("_sh").alias("_n"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    else:
+        sh_c = (
+            docs.join(ids, id_col, "left_semi")
+            .select(
+                F.col(id_col).alias("_id"),
+                T.char_shingles_col(shingle, text_col).alias("_sh"),
+            )
+            .select("_id", "_sh", F.size("_sh").alias("_n"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
     sh_c.count()  # eager: real size stats let AQE broadcast the re-score
     sa = sh_c.select(
         F.col("_id").alias("doc_a"),

@@ -199,6 +199,10 @@ def _minhash_pairs_oracle() -> str:
     "tests for synthetic near-dup + mega-cluster coverage.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # signatures from the SIGNATURE STORE (_sigstore): the full-corpus
+    # LSH reads the same stored per-doc shingles + band keys the
+    # incremental probes use — computed once per corpus state
+    pre_sh, pre_bands = _stored_delta_sig(spark, sf_dir, F.lit(True))
     pairs = dedup_ops.minhash_lsh_pairs(
         spread(table(spark, sf_dir, "documents")),
         id_col="doc_id",
@@ -208,6 +212,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bands=N_BANDS,
         threshold=0.5,
         max_bucket=LSH_MAX_BUCKET,
+        pre_sh=pre_sh,
+        pre_bands=pre_bands,
     )
     return (
         pairs.select("doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard"))
@@ -271,6 +277,7 @@ def _source_overlap_oracle() -> str:
 )
 def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(table(spark, sf_dir, "documents"))
+    pre_sh, pre_bands = _stored_delta_sig(spark, sf_dir, F.lit(True))
     pairs = dedup_ops.minhash_lsh_pairs(
         d,
         id_col="doc_id",
@@ -280,6 +287,8 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bands=N_BANDS,
         threshold=0.5,
         max_bucket=LSH_MAX_BUCKET,
+        pre_sh=pre_sh,
+        pre_bands=pre_bands,
     ).select("doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jac"))
     src = d.select("doc_id", "source")
     lab = (
@@ -727,6 +736,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pre_sh, pre_bands = _stored_delta_sig(spark, sf_dir, F.lit(True))
     return dedup_ops.minhash_lsh_pairs(
         spread(table(spark, sf_dir, "documents")),
         id_col="doc_id",
@@ -736,6 +746,8 @@ def _lsh_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bands=N_BANDS,
         threshold=0.5,
         max_bucket=LSH_MAX_BUCKET,
+        pre_sh=pre_sh,
+        pre_bands=pre_bands,
     ).select("doc_a", "doc_b")
 
 
