@@ -498,6 +498,77 @@ def _srp_signs() -> list[list[float]]:
 _SRP_SIGNS = _srp_signs()
 
 
+def _srp_bands_of(vecs: DataFrame) -> DataFrame:
+    """Long-form SRP band table (vec_id, band_idx, band_key) for a
+    (vec_id, v) frame — the 24 sign-bit fold projections packed into
+    3 8-bit integer keys.
+
+    zip_with/aggregate fold, measured FASTER than an explicit 64-term
+    getItem chain (9.4 s vs 20.8 s at sf0.1): the chain version
+    explodes the codegen'd expression tree past the JIT method limit,
+    while the fold stays one compact loop. The fold's left-to-right
+    addition order matches the oracle's literal chain exactly
+    (0.0 + t0 == t0 in IEEE), so the rounded projection is
+    engine-identical."""
+
+    def bit(i: int):
+        arr = F.array(*[F.lit(s) for s in _SRP_SIGNS[i]])
+        proj = F.aggregate(
+            F.zip_with("v", arr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (F.round(proj, 6) >= 0).cast("int")
+
+    bits = vecs.select(
+        "vec_id", *[bit(i).alias(f"b{i}") for i in range(_SRP_PLANES)]
+    )
+    sigb = bits.select(
+        "vec_id",
+        *[
+            sum(
+                (F.col(f"b{j * _SRP_BITS + t}") * (1 << t))
+                for t in range(_SRP_BITS)
+            ).alias(f"band{j}")
+            for j in range(_SRP_BANDS)
+        ],
+    )
+    return dedup_ops.band_table(sigb, "vec_id", _SRP_BANDS)
+
+
+def _srp_band_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored SRP band keys for the REAL embeddings — the vector
+    sibling of the text signature store (_sigstore): published once
+    per corpus state under the same fingerprint + meta-last + atomic
+    swap protocol, read by every later run. Deterministic planes make
+    stored and fresh keys identical (the oracle recomputes from raw
+    vectors and still matches exact-hash)."""
+    import os
+
+    store = os.path.join(
+        os.path.dirname(_index_root()),
+        "srp_sigstore",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    fp = artifacts.source_fingerprint(
+        [os.path.join(sf_dir, "embeddings.parquet")],
+        params=f"srp|planes={_SRP_PLANES}|bands={_SRP_BANDS}"
+        f"|bits={_SRP_BITS}|signs=md5-rademacher",
+    )
+
+    def build(tmp: str) -> None:
+        e0 = spread(table(spark, sf_dir, "embeddings")).select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        _srp_bands_of(e0).write.mode("overwrite").partitionBy(
+            "band_idx"
+        ).parquet(f"{tmp}/bands")
+
+    artifacts.publish(store, fp, build)
+    return spark.read.parquet(f"{store}/bands")
+
+
 def _srp_oracle() -> str:
     twin_v = (
         f"LIST_TRANSFORM(RANGE(0, {_SRP_DIM}), d -> "
@@ -569,10 +640,13 @@ def _srp_oracle() -> str:
     "integer sums; "
     "candidates are a band equi-join under the standard mega-bucket "
     f"hub-star cap ({_SRP_MAX_BUCKET}); the exact-cosine rescore "
-    "gates on the 6dp-rounded value (round-before-compare). Scale: "
+    "gates on the 6dp-rounded value (round-before-compare). The real "
+    "corpus's band keys come from a STORED artifact (_srp_band_store "
+    "— the vector sibling of the text signature store; only the "
+    "fixture twins are projected at query time). Scale: "
     "no all-pairs anywhere — candidate volume ~ n * bucket_width, "
-    "bits are one scan, and at 100 TB you add planes/bands instead "
-    "of widening buckets.",
+    "bits are one stored scan, and at 100 TB you add planes/bands "
+    "instead of widening buckets.",
 )
 def embedding_neardup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     e0 = spread(table(spark, sf_dir, "embeddings")).select(
@@ -599,42 +673,20 @@ def embedding_neardup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = e0.unionByName(twin)
 
-    def bit(i: int):
-        # zip_with/aggregate fold, measured FASTER than an explicit
-        # 64-term getItem chain (9.4 s vs 20.8 s at sf0.1): the chain
-        # version explodes the codegen'd expression tree past the JIT
-        # method limit, while the fold stays one compact loop. The
-        # fold's left-to-right addition order matches the oracle's
-        # literal chain exactly (0.0 + t0 == t0 in IEEE), so the
-        # rounded projection is engine-identical.
-        arr = F.array(*[F.lit(s) for s in _SRP_SIGNS[i]])
-        proj = F.aggregate(
-            F.zip_with("v", arr, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return (F.round(proj, 6) >= 0).cast("int")
-
-    bits = e.select(
-        "vec_id", "v", *[bit(i).alias(f"b{i}") for i in range(_SRP_PLANES)]
-    )
-    sigb = bits.select(
-        "vec_id",
-        *[
-            sum(
-                (F.col(f"b{j * _SRP_BITS + t}") * (1 << t))
-                for t in range(_SRP_BITS)
-            ).alias(f"band{j}")
-            for j in range(_SRP_BANDS)
-        ],
-    )
+    # the 24 sign-bit fold projections over the REAL corpus — the
+    # plan's most expensive expressions — come from a stored band-key
+    # artifact (the vector analog of the text signature store: SRP
+    # keys are pure per-row functions of (v, fixed planes), computed
+    # once per corpus state, identical whether stored or fresh); only
+    # the 80 forged fixture twins are projected at query time
+    base_bands = _srp_band_store(spark, sf_dir)
     # persist + eager count: the candidate self-join (and the width
     # aggregate under the cap) consumes `bands` three times — without
-    # materialization each consumer re-evaluates the 24 sign-bit fold
-    # projections, the most expensive expressions in the plan
+    # materialization each consumer re-reads the store and re-projects
+    # the twins per consumer
     from pyspark import StorageLevel
 
-    bands = dedup_ops.band_table(sigb, "vec_id", _SRP_BANDS).persist(
+    bands = base_bands.unionByName(_srp_bands_of(twin)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     bands.count()
