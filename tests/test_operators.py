@@ -4033,3 +4033,30 @@ def test_stream_ivf_ingest_merges_and_sequences(spark):
     # determinism across invocations (second run re-streams, re-probes)
     again = REGISTRY["stream_ivf_ingest"].fn(spark, SF_SMALL).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_srp_band_store_rows_equal_fresh_computation(spark):
+    """The SRP band store (plans/dedup._srp_band_store) must hold
+    EXACTLY the band keys a fresh 24-plane projection computes —
+    deterministic md5-Rademacher planes make read-instead-of-project
+    value-neutral."""
+    from pyspark.sql import functions as F
+
+    from elt_data4transformation_spark.plans.dedup import (
+        _srp_band_store,
+        _srp_bands_of,
+    )
+    from tests.conftest import SF_SMALL
+
+    stored = {
+        (r["vec_id"], r["band_idx"], r["band_key"])
+        for r in _srp_band_store(spark, SF_SMALL).collect()
+    }
+    e0 = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    fresh = {
+        (r["vec_id"], r["band_idx"], r["band_key"])
+        for r in _srp_bands_of(e0).collect()
+    }
+    assert stored == fresh
