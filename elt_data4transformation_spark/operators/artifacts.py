@@ -35,10 +35,35 @@ import hashlib
 import json
 import os
 import shutil
+import threading
 import uuid
 from collections.abc import Callable
 
 META_NAME = "_ARTIFACT_META.json"
+
+
+class CheckedThread(threading.Thread):
+    """Background segment-write thread that CAPTURES its exception and
+    re-raises it from ``join()``. The ingest loops stamp a segment into
+    the artifact meta only after its write thread joins; a plain Thread
+    swallows a failed write, so the stamp would list a partial segment —
+    breaking the 'crashed merge = unlisted orphan' crash invariant the
+    synchronous path guaranteed (it raised before the stamp). With the
+    re-raise, a failed write surfaces at join(), before the meta stamp,
+    exactly where the synchronous failure surfaced."""
+
+    def run(self) -> None:
+        self.exc: BaseException | None = None
+        try:
+            super().run()
+        except BaseException as e:  # noqa: BLE001 — must not swallow any
+            self.exc = e
+
+    def join(self, timeout: float | None = None) -> None:
+        super().join(timeout)
+        exc = getattr(self, "exc", None)
+        if exc is not None:
+            raise exc
 
 
 def source_fingerprint(sources: list[str], params: str = "") -> str:
@@ -154,7 +179,12 @@ def _install(tmp: str, path: str) -> bool:
     wins either rename first simply makes ours fail with OSError —
     treated as a LOST RACE: the losing temp dir is discarded and False
     returned, never an exception (the winner's artifact is complete by
-    construction, meta-last)."""
+    construction, meta-last). On a failed second rename the
+    renamed-aside previous artifact is restored first — 'the winner's
+    artifact is complete' only holds when a concurrent installer
+    actually re-populated ``path``; for a non-race OSError (transient
+    EACCES, IO error) blindly discarding ``old`` would destroy the only
+    good artifact. ``old`` is deleted only once ``path`` exists again."""
     old = None
     try:
         if os.path.exists(path):
@@ -164,7 +194,13 @@ def _install(tmp: str, path: str) -> bool:
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)
         if old:
-            shutil.rmtree(old, ignore_errors=True)
+            if not os.path.exists(path):
+                try:
+                    os.rename(old, path)  # restore previous artifact
+                except OSError:
+                    pass
+            if os.path.exists(path) and os.path.exists(old):
+                shutil.rmtree(old, ignore_errors=True)  # genuine lost race
         return False
     if old:
         shutil.rmtree(old, ignore_errors=True)

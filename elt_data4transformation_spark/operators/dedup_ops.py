@@ -589,16 +589,20 @@ def ingest_band_index(
     form of probe_band_index followed by merge_band_index, which would
     otherwise re-shingle and re-hash the same batch twice (the exact
     waste the stored-index family exists to avoid). Returns
-    ``(scored, merge, seg_bands, seg_sh)``: ``scored`` is the probe
-    result plan; ``merge()`` writes the batch's already-computed
+    ``(scored, merge, seg_bands, seg_sh, release)``: ``scored`` is the
+    probe result plan; ``merge()`` writes the batch's already-computed
     bands+shingles as the ``tag`` segment; ``seg_bands``/``seg_sh``
     are those same frames in stored-segment column shape, still
     persisted — a caller running an ingest LOOP unions them into its
     in-memory index view so the next probe reads nothing back from
-    the segment it just wrote (write once, reference twice). The
-    caller MUST materialize ``scored`` before calling ``merge()``
-    (and stamps the meta after), keeping the
-    probe-sees-only-prior-state ordering. ``idx_bands``/``idx_sh``
+    the segment it just wrote (write once, reference twice);
+    ``release()`` unpersists the batch's cached frames — the caller
+    calls it once the segment is durable AND its in-memory view no
+    longer needs the frames (end of loop, or after re-pointing the
+    view at the written segment), so a long-running ingest loop does
+    not accumulate one pinned batch pair per drain. The caller MUST
+    materialize ``scored`` before calling ``merge()`` (and stamps the
+    meta after), keeping the probe-sees-only-prior-state ordering. ``idx_bands``/``idx_sh``
     override the artifact read with caller-held index frames (e.g.
     the base read once + prior in-memory segments) — same rows, one
     disk scan per artifact per loop instead of per batch."""
@@ -636,7 +640,11 @@ def ingest_band_index(
             f"{index_path}/shingles_ingest_{tag}"
         )
 
-    return scored, merge, seg_bands, seg_sh
+    def release() -> None:
+        dsh.unpersist()
+        dbands.unpersist()
+
+    return scored, merge, seg_bands, seg_sh, release
 
 
 def probe_band_index(

@@ -432,13 +432,22 @@ def retrain_ivf_index(spark, index_path: str, iters: int = 3) -> None:
     reassigns every vector, and swaps the rebuilt artifact in
     (ingests folded and cleared). Cost is ``iters`` passes over the
     index — which is the point of the guard: pay it only when the
-    segment fraction says recall is at risk, not per ingest."""
+    segment fraction says recall is at risk, not per ingest.
+
+    Tombstoned vectors are anti-joined out BEFORE retraining (same as
+    compact_ivf_index): the rebuilt artifact holds only live vectors
+    and both the ``ingests`` and ``deletes`` lists clear — the swap
+    replaces the whole directory, so a forwarded ``deletes`` list
+    would point at destroyed segment paths and deleted vectors would
+    otherwise be re-indexed from the folded base."""
     from . import artifacts
 
     meta = artifacts.load_meta(index_path) or {}
-    vecs = read_ivf_index(spark, index_path).select(
-        "vec_id", "v"
-    ).localCheckpoint(eager=True)  # iterated consumer: cut re-reads
+    vecs = read_ivf_index(spark, index_path).select("vec_id", "v")
+    dels = read_ivf_tombstones(spark, index_path)
+    if dels is not None:
+        vecs = vecs.join(F.broadcast(dels), "vec_id", "left_anti")
+    vecs = vecs.localCheckpoint(eager=True)  # iterated consumer: cut re-reads
     cent = spark.read.parquet(f"{index_path}/centroids")
     for _ in range(iters):
         assigned = assign_nearest(vecs, cent).drop("cos")
@@ -465,7 +474,7 @@ def retrain_ivf_index(spark, index_path: str, iters: int = 3) -> None:
             "overwrite"
         ).partitionBy("centroid_id").parquet(f"{tmp}/index")
 
-    artifacts.swap(index_path, build, {**meta, "ingests": []})
+    artifacts.swap(index_path, build, {**meta, "ingests": [], "deletes": []})
 
 
 def ivf_drift_guard(

@@ -1685,7 +1685,6 @@ def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         state = {
             "expected": 0,
-            "rows": [],
             "bands": base_bands,
             "sh": base_sh,
             "merges": [],
@@ -1701,25 +1700,28 @@ def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def drain(tag: int, delta: DataFrame) -> None:
             # fused probe+merge: one shingle/signature pass serves both
-            # (the bounded collect below materializes the probe BEFORE
-            # merge() adds the segment — order preserved; probe rows
-            # are ~the near-dup fraction of one batch, the audit log
-            # is flushed once after the stream). spread() first: a
+            # (the APPEND below lands the probe log in the sink table
+            # AND materializes the probe BEFORE merge() adds the
+            # segment — order preserved; the log never touches driver
+            # memory, so a 100 TB ingest loop's match volume is bounded
+            # by the sink, not the driver heap). spread() first: a
             # micro-batch (or spill read) arrives as ONE file = ONE
             # partition, which would serialize the whole md5
             # shingle/signature pass onto a single core — the shuffle
             # of a small batch is noise next to 32x compute parallelism
-            probed, merge, seg_bands, seg_sh = dedup_ops.ingest_band_index(
-                spark,
-                idx,
-                spread(delta),
-                tag=str(tag),
-                threshold=0.5,
-                idx_bands=state["bands"],
-                idx_sh=state["sh"],
-                **kw,
+            probed, merge, seg_bands, seg_sh, release = (
+                dedup_ops.ingest_band_index(
+                    spark,
+                    idx,
+                    spread(delta),
+                    tag=str(tag),
+                    threshold=0.5,
+                    idx_bands=state["bands"],
+                    idx_sh=state["sh"],
+                    **kw,
+                )
             )
-            state["rows"].extend(
+            (
                 probed.withColumn("rn", F.row_number().over(best))
                 .filter(F.col("rn") == 1)
                 .select(
@@ -1728,21 +1730,22 @@ def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "matched_doc_id",
                     F.round("jaccard_raw", 6).alias("jaccard"),
                 )
-                .collect()
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(results)
             )
-            # the probe is materialized (collect above) and the segment
+            # the probe is materialized (append above) and the segment
             # frames are hot in the cache, so the DISK write of the
             # segment can overlap the NEXT batch's probe — later probes
             # in this loop read the in-memory frames, never the files.
             # Crash invariant unchanged: the meta listing a segment is
-            # stamped only after its write thread JOINS (below), so a
-            # crash mid-write leaves an unlisted orphan, exactly as the
-            # synchronous path did.
-            import threading
-
-            th = threading.Thread(target=merge)
+            # stamped only after its write thread JOINS (below) — and
+            # CheckedThread re-raises a failed write at join(), so a
+            # failed segment can never be stamped (same surface as the
+            # synchronous path's raise-before-stamp).
+            th = artifacts.CheckedThread(target=merge)
             th.start()
-            state["merges"].append((str(tag), th))
+            state["merges"].append((str(tag), th, release))
             state["bands"] = state["bands"].unionByName(seg_bands)
             state["sh"] = state["sh"].unionByName(seg_sh)
 
@@ -1791,22 +1794,26 @@ def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
         assert state["expected"] == 2, "sequencer did not drain all tags"
         # commit the merges IN ORDER: each meta stamp waits for its
-        # segment write to finish — the on-disk index ends bit-identical
-        # to the synchronous path
-        for tag, th in state["merges"]:
+        # segment write to finish (join re-raises a write failure
+        # BEFORE the stamp) — the on-disk index ends bit-identical to
+        # the synchronous path; once a segment is durable its batch's
+        # cached frames are released (the in-memory union view is done)
+        for tag, th, release in state["merges"]:
             th.join()
             meta = artifacts.load_meta(idx)
             artifacts.update_meta(
                 idx, "base", {"ingests": meta["ingests"] + [tag]}
             )
-        out = spark.createDataFrame(state["rows"], out_schema)
-        # flush the audit log once (the per-batch append was 2 write
-        # jobs for rows a bounded collect already holds)
-        out.write.mode("overwrite").parquet(results)
+            release()
+        # the probe log lives in the sink table; localCheckpoint so the
+        # returned frame survives the workdir cleanup below
+        out = (
+            spark.read.schema(out_schema)
+            .parquet(results)
+            .localCheckpoint(eager=True)
+        )
         base_bands.unpersist()
         base_sh.unpersist()
-        # no localCheckpoint needed: `out` is built from driver-local
-        # rows, so it survives the workdir cleanup below
         return out.orderBy("new_doc_id")
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -942,7 +942,6 @@ def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
     import tempfile
-    import threading
 
     from pyspark import StorageLevel
 
@@ -989,6 +988,7 @@ def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 os.path.join(src, f"batch{t}.parquet"), index=False
             )
 
+        results = os.path.join(work, "probes")
         spill = os.path.join(work, "spill")
         os.makedirs(spill)
         cent = spark.read.parquet(f"{idx}/centroids").persist(
@@ -999,7 +999,6 @@ def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         state = {
             "expected": 0,
-            "rows": [],
             "idx": base_index,
             "merges": [],
         }
@@ -1032,7 +1031,7 @@ def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "cosine"
                 ),
             )
-            state["rows"].extend(
+            (
                 scored.withColumn("rn", F.row_number().over(best))
                 .filter(F.col("rn") == 1)
                 .select(
@@ -1041,12 +1040,17 @@ def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "matched_vec_id",
                     "cosine",
                 )
-                .collect()
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(results)
             )
-            # probe materialized (collect) before the segment write
-            # starts; the write overlaps the next batch's probe, which
-            # reads the persisted in-memory frame (write once,
-            # reference twice); meta stamped only after join (below)
+            # probe materialized (sink-table append — the log never
+            # rides in driver memory) before the segment write starts;
+            # the write overlaps the next batch's probe, which reads
+            # the persisted in-memory frame (write once, reference
+            # twice); meta stamped only after join (below), and
+            # CheckedThread re-raises a failed write AT join, before
+            # the stamp — a failed segment is never listed
             seg = assigned.select("vec_id", "v", "centroid_id")
 
             def merge() -> None:
@@ -1054,9 +1058,9 @@ def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "centroid_id"
                 ).parquet(f"{idx}/index_ingest_{tag}")
 
-            th = threading.Thread(target=merge)
+            th = artifacts.CheckedThread(target=merge)
             th.start()
-            state["merges"].append((str(tag), th))
+            state["merges"].append((str(tag), th, assigned))
             state["idx"] = state["idx"].unionByName(seg)
 
         def sink(batch_df: DataFrame, _batch_id: int) -> None:
@@ -1101,13 +1105,18 @@ def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
         assert state["expected"] == 2, "sequencer did not drain all tags"
-        for tag, th in state["merges"]:
-            th.join()
+        for tag, th, cached in state["merges"]:
+            th.join()  # re-raises a failed segment write — no stamp
             meta = artifacts.load_meta(idx)
             artifacts.update_meta(
                 idx, "run", {"ingests": meta["ingests"] + [tag]}
             )
-        out = spark.createDataFrame(state["rows"], out_schema)
+            cached.unpersist()  # segment durable; release batch cache
+        out = (
+            spark.read.schema(out_schema)
+            .parquet(results)
+            .localCheckpoint(eager=True)
+        )
         cent.unpersist()
         base_index.unpersist()
         return out.orderBy("vec_id")

@@ -4060,3 +4060,108 @@ def test_srp_band_store_rows_equal_fresh_computation(spark):
         for r in _srp_bands_of(e0).collect()
     }
     assert stored == fresh
+
+
+def test_retrain_ivf_index_drops_tombstoned_vectors(spark, tmp_path):
+    """Delete-then-drift-guard lifecycle: retrain_ivf_index must
+    anti-join tombstones out BEFORE re-training (like
+    compact_ivf_index does) and swap with cleared ``deletes`` — the
+    swap replaces the whole artifact dir, so a forwarded deletes list
+    would point at destroyed ``deletes_*`` paths and the erased
+    vectors would otherwise be re-indexed from the folded base
+    (GDPR-deleted rows resurfacing)."""
+    import json
+    import math
+    import os
+
+    from elt_data4transformation_spark.operators import artifacts
+
+    def unit(deg):
+        r = math.radians(deg)
+        return [round(math.cos(r), 6), round(math.sin(r), 6), 0.0, 0.0]
+
+    base = [(i, unit(3.0 * i)) for i in range(12)]
+    idx = str(tmp_path / "ivf")
+    os.makedirs(idx)
+    cent = spark.createDataFrame(
+        [(0, unit(2.0)), (1, unit(30.0))],
+        "centroid_id long, cv array<double>",
+    )
+    cent.write.parquet(f"{idx}/centroids")
+    bdf = spark.createDataFrame(base, "vec_id long, v array<double>")
+    vectors.assign_nearest(bdf, cent).drop("cos").write.partitionBy(
+        "centroid_id"
+    ).parquet(f"{idx}/index")
+    with open(os.path.join(idx, artifacts.META_NAME), "w") as fh:
+        json.dump({"fingerprint": "t", "ingests": [], "deletes": []}, fh)
+
+    # tombstone two vectors, stamp the meta (delete-then-crash safety
+    # is covered elsewhere; here the delete is fully committed)
+    dels = spark.createDataFrame([(3,), (7,)], "vec_id long")
+    vectors.delete_from_ivf_index(spark, idx, dels, tag="d0")
+    artifacts.update_meta(idx, "t", {"deletes": ["d0"]})
+
+    vectors.retrain_ivf_index(spark, idx, iters=1)
+
+    live = {r["vec_id"] for r in vectors.read_ivf_index(spark, idx).collect()}
+    assert live == {i for i, _ in base} - {3, 7}, "tombstoned ids resurfaced"
+    meta = artifacts.load_meta(idx)
+    assert meta["ingests"] == [] and meta["deletes"] == []
+    # post-retrain readers must not chase destroyed deletes_* paths
+    assert vectors.read_ivf_tombstones(spark, idx) is None
+    assert vectors.compact_ivf_index(spark, idx) is False  # nothing left
+
+
+def test_checked_thread_reraises_at_join():
+    """A failed background segment write must surface at join() —
+    BEFORE the meta stamp — or a partial segment gets listed,
+    breaking the 'crashed merge = unlisted orphan' invariant."""
+    from elt_data4transformation_spark.operators import artifacts
+
+    def boom():
+        raise RuntimeError("segment write failed")
+
+    th = artifacts.CheckedThread(target=boom)
+    th.start()
+    with pytest.raises(RuntimeError, match="segment write failed"):
+        th.join()
+
+    ok = artifacts.CheckedThread(target=lambda: None)
+    ok.start()
+    ok.join()  # clean path: no exception
+
+
+def test_install_restores_previous_artifact_on_rename_failure(
+    tmp_path, monkeypatch
+):
+    """_install's failure path must RESTORE the renamed-aside previous
+    artifact when the tmp->path rename fails for a non-race OSError:
+    blindly rmtree-ing `old` would destroy the only good artifact and
+    leave `path` absent."""
+    import os
+
+    from elt_data4transformation_spark.operators import artifacts
+
+    path = str(tmp_path / "art")
+    os.makedirs(path)
+    with open(os.path.join(path, "data"), "w") as fh:
+        fh.write("good")
+    tmp = str(tmp_path / "art.tmp.x")
+    os.makedirs(tmp)
+
+    real_rename = os.rename
+
+    def failing_rename(src, dst):
+        if src == tmp:
+            raise OSError("transient EACCES")  # the second rename fails
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(artifacts.os, "rename", failing_rename)
+    assert artifacts._install(tmp, path) is False
+    monkeypatch.undo()
+
+    # previous artifact restored, byte-for-byte; no .old debris left
+    with open(os.path.join(path, "data")) as fh:
+        assert fh.read() == "good"
+    debris = [e for e in os.listdir(tmp_path) if ".old." in e]
+    assert debris == []
