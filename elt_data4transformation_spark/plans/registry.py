@@ -28,6 +28,16 @@ class QuerySpec:
     oracle: str | None  # DuckDB SQL; None -> driver does rows-only check
     tags: tuple[str, ...] = ()
     doc: str = ""  # reference citation (SURVEY.md §2 operator ids)
+    # Stored-artifact lifecycle setup (index build, segment merges,
+    # signature stores) for queries whose steady-state shape is a PROBE
+    # of pre-built state: ``prepare(spark, sf_dir)`` ensures the
+    # artifacts exist so a benchmark can run it UNTIMED and time only
+    # the recurring per-invocation work — the production premise of the
+    # stored family is that index construction is amortized at ingest
+    # time, not paid per query. ``fn`` must stay correct standalone
+    # (it re-ensures internally); prepare only moves WHERE the one-time
+    # cost lands in a measurement.
+    prepare: Callable[[SparkSession, str], object] | None = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -38,11 +48,14 @@ def register(
     oracle: str | None = None,
     tags: tuple[str, ...] = (),
     doc: str = "",
+    prepare: Callable[[SparkSession, str], object] | None = None,
 ) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, tags=tags, doc=doc)
+        REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, tags=tags, doc=doc, prepare=prepare
+        )
         return fn
 
     return deco

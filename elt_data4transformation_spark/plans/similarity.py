@@ -277,10 +277,62 @@ def _ivf_oracle(exclude: str | None = None) -> str:
     """
 
 
+def _ensure_stored_ivf(spark: SparkSession, sf_dir: str) -> str:
+    """Lifecycle half of ann_stored_ivf: Lloyd-refined centroids +
+    centroid-partitioned vector index over ALL embeddings, published
+    once per corpus state (_ivf_builder, late-bound)."""
+    import os
+
+    from ..operators import artifacts
+    from .dedup import _index_root
+
+    e = _vectors(spark, sf_dir)
+    path = os.path.join(
+        os.path.dirname(_index_root()),
+        "ann_ivf",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    fp = artifacts.source_fingerprint(
+        [os.path.join(sf_dir, "embeddings.parquet")],
+        params=f"ann_stored_ivf|k={N_CENTROIDS}|lloyd=1|round=6",
+    )
+    artifacts.publish(path, fp, _ivf_builder(e))
+    return path
+
+
+def _prep_stored_ivf(spark: SparkSession, sf_dir: str) -> None:
+    _ensure_stored_ivf(spark, sf_dir)
+
+
+def _prep_maintained_ivf(spark: SparkSession, sf_dir: str) -> None:
+    """prepare hook for ann_ivf_maintain (late-bound ensure)."""
+    _ensure_maintained_ivf(spark, sf_dir, "ann_ivf_maintain")
+
+
+def _prep_compacted_ivf(spark: SparkSession, sf_dir: str) -> None:
+    """prepare hook for ann_ivf_compact: maintain lifecycle + the
+    compaction fold (idempotent — compact returns False when clean)."""
+    from ..operators import vectors as _v
+
+    path = _ensure_maintained_ivf(spark, sf_dir, "ann_ivf_compact")
+    _v.compact_ivf_index(spark, path)
+
+
+def _prep_deleted_ivf(spark: SparkSession, sf_dir: str) -> None:
+    """prepare hook for ann_ivf_delete (late-bound ensure)."""
+    _ensure_deleted_ivf(spark, sf_dir)
+
+
+def _prep_stream_ivf_base(spark: SparkSession, sf_dir: str) -> None:
+    """prepare hook for stream_ivf_ingest (late-bound ensure)."""
+    _ensure_stream_ivf_base(spark, sf_dir)
+
+
 @register(
     "ann_stored_ivf",
     oracle=_ivf_oracle(),
     tags=("similarity", "incremental"),
+    prepare=_prep_stored_ivf,
     doc="IVF ANN against a STORED index — the production vector-search "
     "shape: run 1 writes the Lloyd-refined centroids and the vector "
     "index PARTITIONED BY centroid_id as parquet artifacts; every "
@@ -297,50 +349,7 @@ def _ivf_oracle(exclude: str | None = None) -> str:
     "family.",
 )
 def ann_stored_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
-    from ..operators import artifacts
-    from .dedup import _index_root
-
-    e = _vectors(spark, sf_dir)
-    path = os.path.join(
-        os.path.dirname(_index_root()),
-        "ann_ivf",
-        os.path.basename(os.path.normpath(sf_dir)),
-    )
-    fp = artifacts.source_fingerprint(
-        [os.path.join(sf_dir, "embeddings.parquet")],
-        params=f"ann_stored_ivf|k={N_CENTROIDS}|lloyd=1|round=6",
-    )
-
-    def build(tmp: str) -> None:
-        cent0 = e.filter(F.col("vec_id") < N_CENTROIDS).select(
-            F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
-        )
-        assigned0 = assign_nearest(e.select("vec_id", "v"), cent0).drop(
-            "cos"
-        )
-        cent = (
-            assigned0.select(
-                "centroid_id", F.posexplode("v").alias("dim", "val")
-            )
-            .groupBy("centroid_id", "dim")
-            .agg(F.round(F.avg("val"), 6).alias("m"))
-            .groupBy("centroid_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
-                    lambda x: x["m"],
-                ).alias("cv")
-            )
-        )
-        assigned = assign_nearest(e.select("vec_id", "v"), cent).drop("cos")
-        cent.write.mode("overwrite").parquet(f"{tmp}/centroids")
-        assigned.select("vec_id", "v", "centroid_id").write.mode(
-            "overwrite"
-        ).partitionBy("centroid_id").parquet(f"{tmp}/index")
-
-    artifacts.publish(path, fp, build)
+    path = _ensure_stored_ivf(spark, sf_dir)
     idx = spark.read.parquet(f"{path}/index")
     q = idx.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -704,6 +713,7 @@ def _probe_ivf_index(spark: SparkSession, path: str) -> DataFrame:
     "ann_ivf_maintain",
     oracle=_ivf_maintain_oracle(),
     tags=("similarity", "incremental"),
+    prepare=_prep_maintained_ivf,
     doc="Stored-IVF DELTA MAINTENANCE — the vector-store mirror of "
     "dedup_index_maintain: the base vector set (vec_id % 5 != 0) "
     "trains the centroids and fills the partitioned index; an "
@@ -734,6 +744,7 @@ def ann_ivf_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_ivf_compact",
     oracle=_ivf_maintain_oracle(),
     tags=("similarity", "incremental"),
+    prepare=_prep_compacted_ivf,
     doc="Stored-IVF segment COMPACTION — the half of the LSM lifecycle "
     "ann_ivf_maintain leaves open (the dedup family's "
     "compact_band_index, mirrored for vectors): per-ingest segments "
@@ -769,35 +780,9 @@ DEL_MOD = 7  # vec_id % 7 == 3 is the takedown batch
 DEL_REM = 3
 
 
-@register(
-    "ann_ivf_delete",
-    oracle=_ivf_oracle(exclude=f"vec_id % {DEL_MOD} = {DEL_REM}"),
-    tags=("similarity", "incremental"),
-    doc="Stored-IVF DELETE by TOMBSTONE — the removal half of the "
-    "vector-store lifecycle, completing the parity with the dedup "
-    "index family (dedup_index_delete): an embedded document's "
-    "takedown / GDPR erasure must remove its vector from search "
-    "results without rewriting the index (reference analog: the "
-    "delete-then-insert upsert S7, elt/loader_clickhouse.py:530-573, "
-    "and the rejected-status machine, study_scraper/storage/"
-    "postgres.py:345-378). Lifecycle demonstrated: the full vector "
-    "set is indexed (Lloyd-refined centroids, partitioned by "
-    f"centroid_id); vectors with vec_id%{DEL_MOD}=={DEL_REM} are then "
-    "DELETED via a tombstone segment (operators/vectors."
-    "delete_from_ivf_index — ids only, written beside the base, meta "
-    "stamped last so a crashed delete is an ignored orphan); probes "
-    "anti-join the indexed set against the broadcast tombstones "
-    "BEFORE drawing the query set, so a deleted vector is neither a "
-    "neighbor nor a query — where it was a top-k neighbor, the next "
-    "candidate surfaces, exactly the oracle's index-minus-deleted "
-    "semantics. Centroids stay frozen (trained pre-takedown — "
-    "deleting a member does not move bucket boundaries); compaction "
-    "(operators/vectors.compact_ivf_index) later applies tombstones "
-    "physically and resets the list — probe-identical, pinned by the "
-    "lifecycle test. Cost: a delete writes ids only; probes pay one "
-    "broadcast anti-join, zero when no deletes exist.",
-)
-def ann_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ensure_deleted_ivf(spark: SparkSession, sf_dir: str) -> str:
+    """Lifecycle half of ann_ivf_delete: full-set IVF index with
+    vec_id%7==3 tombstoned."""
     import os
 
     from ..operators import artifacts
@@ -841,7 +826,64 @@ def ann_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         artifacts.update_meta(
             path, fp_del, {"deletes": [f"d{DEL_MOD}_{DEL_REM}"]}
         )
-    return _probe_ivf_index(spark, path)
+    return path
+
+
+@register(
+    "ann_ivf_delete",
+    oracle=_ivf_oracle(exclude=f"vec_id % {DEL_MOD} = {DEL_REM}"),
+    tags=("similarity", "incremental"),
+    prepare=_prep_deleted_ivf,
+    doc="Stored-IVF DELETE by TOMBSTONE — the removal half of the "
+    "vector-store lifecycle, completing the parity with the dedup "
+    "index family (dedup_index_delete): an embedded document's "
+    "takedown / GDPR erasure must remove its vector from search "
+    "results without rewriting the index (reference analog: the "
+    "delete-then-insert upsert S7, elt/loader_clickhouse.py:530-573, "
+    "and the rejected-status machine, study_scraper/storage/"
+    "postgres.py:345-378). Lifecycle demonstrated: the full vector "
+    "set is indexed (Lloyd-refined centroids, partitioned by "
+    f"centroid_id); vectors with vec_id%{DEL_MOD}=={DEL_REM} are then "
+    "DELETED via a tombstone segment (operators/vectors."
+    "delete_from_ivf_index — ids only, written beside the base, meta "
+    "stamped last so a crashed delete is an ignored orphan); probes "
+    "anti-join the indexed set against the broadcast tombstones "
+    "BEFORE drawing the query set, so a deleted vector is neither a "
+    "neighbor nor a query — where it was a top-k neighbor, the next "
+    "candidate surfaces, exactly the oracle's index-minus-deleted "
+    "semantics. Centroids stay frozen (trained pre-takedown — "
+    "deleting a member does not move bucket boundaries); compaction "
+    "(operators/vectors.compact_ivf_index) later applies tombstones "
+    "physically and resets the list — probe-identical, pinned by the "
+    "lifecycle test. Cost: a delete writes ids only; probes pay one "
+    "broadcast anti-join, zero when no deletes exist.",
+)
+def ann_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # lifecycle in _ensure_deleted_ivf (shared with bench prepare)
+    return _probe_ivf_index(spark, _ensure_deleted_ivf(spark, sf_dir))
+
+
+def _ensure_stream_ivf_base(spark: SparkSession, sf_dir: str) -> str:
+    """Lifecycle half of stream_ivf_ingest: the immutable base-trained
+    IVF index (vec_id % 5 >= 2) the per-run roots symlink to."""
+    import os
+
+    from ..operators import artifacts
+    from .dedup import _index_root
+
+    base = _vectors(spark, sf_dir).filter(F.col("vec_id") % 5 >= 2)
+    base_idx = os.path.join(
+        os.path.dirname(_index_root()),
+        "ann_ivf_stream_base",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    fp = artifacts.source_fingerprint(
+        [os.path.join(sf_dir, "embeddings.parquet")],
+        params=f"stream_ivf_ingest|base=vec_id%5>=2"
+        f"|k={N_CENTROIDS}|lloyd=1|round=6",
+    )
+    artifacts.publish(base_idx, fp, _ivf_builder(base))
+    return base_idx
 
 
 def _stream_ivf_oracle() -> str:
@@ -915,6 +957,7 @@ def _stream_ivf_oracle() -> str:
     "stream_ivf_ingest",
     oracle=_stream_ivf_oracle(),
     tags=("streaming", "similarity", "incremental"),
+    prepare=_prep_stream_ivf_base,
     doc="The VECTOR-STORE INGEST LOOP as a real Structured Streaming "
     "job — the streaming composition the stored-IVF family builds "
     "toward, and the vector mirror of stream_index_ingest: vector "
@@ -949,23 +992,13 @@ def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import _index_root
 
     e = _vectors(spark, sf_dir)
-    base = e.filter(F.col("vec_id") % 5 >= 2)
     work = tempfile.mkdtemp(prefix="stream_ivf_ingest_")
     try:
-        # immutable fingerprinted base index, symlinked into a private
-        # run root so merges stay run-scoped and concurrent runs share
-        # one base — same layout as stream_index_ingest
-        base_idx = os.path.join(
-            os.path.dirname(_index_root()),
-            "ann_ivf_stream_base",
-            os.path.basename(os.path.normpath(sf_dir)),
-        )
-        fp = artifacts.source_fingerprint(
-            [os.path.join(sf_dir, "embeddings.parquet")],
-            params=f"stream_ivf_ingest|base=vec_id%5>=2"
-            f"|k={N_CENTROIDS}|lloyd=1|round=6",
-        )
-        artifacts.publish(base_idx, fp, _ivf_builder(base))
+        # immutable fingerprinted base index (_ensure_stream_ivf_base,
+        # shared with bench prepare), symlinked into a private run root
+        # so merges stay run-scoped and concurrent runs share one base
+        # — same layout as stream_index_ingest
+        base_idx = _ensure_stream_ivf_base(spark, sf_dir)
         idx = os.path.join(work, "idx")
         os.makedirs(idx)
         for seg in ("centroids", "index"):

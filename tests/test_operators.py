@@ -3932,23 +3932,31 @@ def test_sigstore_rows_equal_fresh_computation(spark):
     sig = dedup_ops.minhash_signature(
         sh, "doc_id", "_sh", N_MINHASH, N_BANDS
     )
+    # the store packs band keys to LONG at publication — mirror it
     fresh_b = {
         (r["doc_id"], r["band_idx"], r["band_key"])
-        for r in dedup_ops.band_table(sig, "doc_id", N_BANDS).collect()
+        for r in dedup_ops.pack_band_keys(
+            dedup_ops.band_table(sig, "doc_id", N_BANDS)
+        ).collect()
     }
     assert stored_b == fresh_b
-    # shingle sets match too (spot-check a handful of docs)
-    stored_sh = {
-        r["doc_id"]: sorted(r["shingles"])
-        for r in spark.read.parquet(f"{store}/shingles")
+    # shingle sets AND their packed hashes match (spot-check a handful)
+    stored_rows = (
+        spark.read.parquet(f"{store}/shingles")
         .filter(F.col("doc_id") < 20)
         .collect()
-    }
-    fresh_sh = {
-        r["doc_id"]: sorted(r["_sh"])
-        for r in sh.filter(F.col("doc_id") < 20).collect()
-    }
+    )
+    stored_sh = {r["doc_id"]: sorted(r["shingles"]) for r in stored_rows}
+    stored_h = {r["doc_id"]: sorted(r["sh_hash"]) for r in stored_rows}
+    fresh_rows = (
+        sh.filter(F.col("doc_id") < 20)
+        .withColumn("_h", F.transform("_sh", lambda s: F.xxhash64(s)))
+        .collect()
+    )
+    fresh_sh = {r["doc_id"]: sorted(r["_sh"]) for r in fresh_rows}
+    fresh_h = {r["doc_id"]: sorted(r["_h"]) for r in fresh_rows}
     assert stored_sh == fresh_sh
+    assert stored_h == fresh_h
 
 
 def test_video_neardup_detects_all_reencoded_twins(spark):
