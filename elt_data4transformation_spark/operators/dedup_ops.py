@@ -391,6 +391,9 @@ def minhash_lsh_pairs(
     )
 
 
+PROBE_MAX_CANDIDATES = 64  # rescored candidates per probe doc (capped)
+
+
 def pack_band_keys(bands: DataFrame) -> DataFrame:
     """Pack string (md5) band keys to LONG for the AT-REST index
     representation: equality structure is all a band key carries (it is
@@ -410,6 +413,7 @@ def write_band_index(
     shingle: int = 5,
     n_hashes: int = 8,
     n_bands: int = 2,
+    partition_mod: int | None = None,
 ) -> None:
     """Build and STORE the near-dup index as parquet artifacts — the
     cross-run production shape: ``<path>/bands`` holds the long-form
@@ -435,22 +439,45 @@ def write_band_index(
     realistic shingle/bucket cardinality (collision odds ~n^2/2^64),
     the raw ``shingles`` strings stay stored for consumers that need
     them, and the DuckDB oracles keep recomputing from raw text —
-    exact-hash parity is unchanged."""
+    exact-hash parity is unchanged.
+
+    ``partition_mod`` additionally DIRECTORY-PARTITIONS both tables by
+    a ``doc_mod`` = id % mod column — the single-node moral of
+    bucketing the store by doc id: a probe whose batch is an id class
+    (the ingest-mod fixtures; in production, an id/time range) filters
+    on ``doc_mod`` and the scan PRUNES every other class's directories
+    instead of reading and row-filtering the whole store (asserted in
+    the plan test). Consumers that filter by something other than the
+    id class still row-filter — the column is additive."""
     sh = docs.select(
         F.col(id_col).alias(id_col),
         T.char_shingles_col(shingle, text_col).alias("shingles"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     sig = minhash_signature(sh, id_col, "shingles", n_hashes, n_bands)
     bands = pack_band_keys(band_table(sig, id_col, n_bands))
-    bands.write.mode("overwrite").partitionBy("band_idx").parquet(
+    band_parts, sh_parts = ["band_idx"], []
+    if partition_mod is not None:
+        doc_mod = (F.col(id_col) % partition_mod).alias("doc_mod")
+        bands = bands.select("*", doc_mod)
+        band_parts.append("doc_mod")
+        sh_parts.append("doc_mod")
+    bands.write.mode("overwrite").partitionBy(*band_parts).parquet(
         f"{path}/bands"
     )
-    sh.select(
+    sh_out = sh.select(
         id_col,
         "shingles",
         F.size("shingles").cast("long").alias("n_sh"),
         F.transform("shingles", lambda s: F.xxhash64(s)).alias("sh_hash"),
-    ).write.mode("overwrite").parquet(f"{path}/shingles")
+    )
+    if partition_mod is not None:
+        sh_out = sh_out.select(
+            "*", (F.col(id_col) % partition_mod).alias("doc_mod")
+        )
+    w = sh_out.write.mode("overwrite")
+    if sh_parts:
+        w = w.partitionBy(*sh_parts)
+    w.parquet(f"{path}/shingles")
     sh.unpersist()
 
 
@@ -695,11 +722,16 @@ def probe_band_index(
     threshold: float = 0.5,
     delta_sh: DataFrame | None = None,
     delta_bands: DataFrame | None = None,
+    idx_bands: DataFrame | None = None,
+    idx_sh: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a STORED band index (write_band_index, plus any merged
     ingest segments) with a new batch. Returns (new_doc_id,
     matched_doc_id, jaccard_raw) for every stored document whose exact
     shingle-Jaccard with a delta document clears ``threshold``.
+    ``idx_bands``/``idx_sh`` substitute caller-held index frames for
+    the artifact read (e.g. a filtered slice of the signature store —
+    the decontamination shape, where both sides come from one store).
 
     The corpus side is touched ONLY through the stored artifacts: band
     rows join against the (small, broadcast) probe bands, and the
@@ -735,7 +767,8 @@ def probe_band_index(
             "_nid", F.transform("_raw", lambda s: F.xxhash64(s)).alias("_sa")
         )
     return _probe_with_signatures(
-        spark, index_path, dsh, dbands, id_col, threshold
+        spark, index_path, dsh, dbands, id_col, threshold,
+        idx_bands=idx_bands, idx_sh=idx_sh,
     )
 
 
@@ -766,20 +799,41 @@ def _probe_with_signatures(
     probe_bands = dbands.select(
         F.col("_nid").alias("new_doc_id"), "band_idx", "band_key"
     )
+    # groupBy instead of distinct: same shuffle, but the shared-band
+    # COUNT comes out free — it orders the per-probe-doc candidate cap
     cand = (
         idx_bands.join(F.broadcast(probe_bands), ["band_idx", "band_key"])
-        .select("new_doc_id", F.col(id_col).alias("matched_doc_id"))
-        .distinct()
+        .groupBy("new_doc_id", F.col(id_col).alias("matched_doc_id"))
+        .agg(F.count(F.lit(1)).alias("_shared_bands"))
     )
     # tombstoned docs must never surface from a probe: anti-join the
     # matched side against the union of delete segments (tiny id
-    # lists — broadcast; zero cost when no deletes are registered)
+    # lists — broadcast; zero cost when no deletes are registered).
+    # BEFORE the cap: a deleted candidate must not occupy a cap slot
+    # the oracle's index-minus-deleted semantics give to another.
     del_dirs = _delete_segments(index_path)
     if del_dirs:
         dels = _read_segments(spark, del_dirs).select(
             F.col(id_col).alias("matched_doc_id")
         )
         cand = cand.join(F.broadcast(dels), "matched_doc_id", "left_anti")
+    # PER-PROBE-DOC CANDIDATE CAP: rescore at most PROBE_MAX_CANDIDATES
+    # per probe doc, preferring candidates sharing MORE bands (ties by
+    # lowest id — deterministic, mirrored bit-for-bit in the oracles).
+    # capped_band_candidates bounds the full-corpus self-join's bucket
+    # fan-out; this bounds the PROBE side: an adversarial batch of
+    # mutual near-dups (boilerplate floods) otherwise rescored
+    # O(batch x corpus-dups) pairs — now a guaranteed B per doc. A true
+    # best match sharing fewer bands than B others is the (measured,
+    # asserted) recall cost, same bargain as the hub-star cap.
+    wcap = Window.partitionBy("new_doc_id").orderBy(
+        F.desc("_shared_bands"), F.asc("matched_doc_id")
+    )
+    cand = (
+        cand.withColumn("_crn", F.row_number().over(wcap))
+        .filter(F.col("_crn") <= PROBE_MAX_CANDIDATES)
+        .select("new_doc_id", "matched_doc_id")
+    )
     hit_sh = idx_sh.join(
         cand.select(F.col("matched_doc_id").alias(id_col)).distinct(),
         id_col,

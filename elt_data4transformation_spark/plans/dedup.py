@@ -25,6 +25,7 @@ from .registry import register
 N_MINHASH = 8
 N_BANDS = 2  # 4 hashes per band
 SHINGLE = 5
+_PROBE_CAP = dedup_ops.PROBE_MAX_CANDIDATES  # mirrored into oracles
 # Mega-bucket fan-out cap: a band bucket wider than this degrades to a
 # hub star (bucket-min id vs each member) instead of all pairs — the
 # boilerplate-mega-cluster guard a 100 TB crawl needs. 64 is above the
@@ -962,10 +963,24 @@ def _incremental_probe_oracle(
             for b in range(N_BANDS))}),
         idx AS (SELECT * FROM bands WHERE {idx_pred}),
         probe AS (SELECT * FROM bands WHERE {probe_pred}),
-        cand AS (
-            SELECT DISTINCT p.doc_id AS new_doc_id, i.doc_id AS matched_doc_id
+        cand0 AS (
+            SELECT p.doc_id AS new_doc_id, i.doc_id AS matched_doc_id,
+                   COUNT(*) AS shared_bands
             FROM probe p JOIN idx i
               ON p.band_idx = i.band_idx AND p.band_key = i.band_key
+            GROUP BY 1, 2
+        ),
+        cand AS (
+            -- per-probe-doc candidate cap, mirrored from the Spark
+            -- probe (operators/dedup_ops.PROBE_MAX_CANDIDATES): top
+            -- {_PROBE_CAP} by shared-band count, ties by lowest id
+            SELECT new_doc_id, matched_doc_id FROM (
+                SELECT new_doc_id, matched_doc_id,
+                       ROW_NUMBER() OVER (PARTITION BY new_doc_id
+                           ORDER BY shared_bands DESC, matched_doc_id)
+                           AS crn
+                FROM cand0
+            ) WHERE crn <= {_PROBE_CAP}
         ),
         scored AS (
             SELECT c.new_doc_id, c.matched_doc_id,
@@ -1128,7 +1143,8 @@ def _sigstore(spark: SparkSession, sf_dir: str) -> str:
     )
     fp = artifacts.source_fingerprint(
         [os.path.join(sf_dir, "documents.parquet")],
-        params=f"sigstore|sh={SHINGLE}|mh={N_MINHASH}|bands={N_BANDS}|fmt=L1",
+        params=f"sigstore|sh={SHINGLE}|mh={N_MINHASH}|bands={N_BANDS}"
+        f"|fmt=L1|part=mod{DELTA_MOD}",
     )
     artifacts.publish(
         store,
@@ -1141,19 +1157,30 @@ def _sigstore(spark: SparkSession, sf_dir: str) -> str:
             shingle=SHINGLE,
             n_hashes=N_MINHASH,
             n_bands=N_BANDS,
+            # bucket the store by the ingest id class: a delta probe
+            # filters doc_mod and the scan prunes the other classes'
+            # directories (the 100 TB id-range pruning claim, asserted
+            # in tests)
+            partition_mod=DELTA_MOD,
         ),
     )
     return store
 
 
 def _stored_delta_sig(
-    spark: SparkSession, sf_dir: str, pred
+    spark: SparkSession, sf_dir: str, pred, mod_class: int | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """A probe batch's (shingles, bands) frames read from the
     signature store, filtered to the delta predicate — the
     read-instead-of-recompute path probe_band_index consumes via
-    ``delta_sh``/``delta_bands``."""
+    ``delta_sh``/``delta_bands``. When the batch IS an id class
+    (``mod_class`` — the ingest-mod fixtures; an id/time range in
+    production) the filter targets the store's ``doc_mod`` PARTITION
+    column instead of a row predicate, so the scan directory-prunes
+    every other class (asserted in the plan test)."""
     store = _sigstore(spark, sf_dir)
+    if mod_class is not None:
+        pred = F.col("doc_mod") == mod_class
     return (
         spark.read.parquet(f"{store}/shingles").filter(pred),
         spark.read.parquet(f"{store}/bands").filter(pred),
@@ -1430,7 +1457,7 @@ def dedup_stored_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (computed once at ingest time, stored, read here) — the probe
     # never touches delta text either; see _sigstore
     delta_sh, delta_bands = _stored_delta_sig(
-        spark, sf_dir, F.col("doc_id") % DELTA_MOD == 0
+        spark, sf_dir, None, mod_class=0
     )
     scored = dedup_ops.probe_band_index(
         spark,
@@ -1488,7 +1515,7 @@ def dedup_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _ensure_maintain_index(spark, sf_dir)
     # probe B's signatures from the signature store (see _sigstore)
     delta_sh, delta_bands = _stored_delta_sig(
-        spark, sf_dir, F.col("doc_id") % DELTA_MOD == 1
+        spark, sf_dir, None, mod_class=1
     )
     scored = dedup_ops.probe_band_index(
         spark,
@@ -1546,7 +1573,7 @@ def dedup_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _ensure_delete_index(spark, sf_dir)
     # probe signatures from the signature store (see _sigstore)
     delta_sh, delta_bands = _stored_delta_sig(
-        spark, sf_dir, F.col("doc_id") % DELTA_MOD == 0
+        spark, sf_dir, None, mod_class=0
     )
     scored = dedup_ops.probe_band_index(
         spark,
@@ -1607,7 +1634,7 @@ def dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # construction, amortized at ingest time
     path = _ensure_compact_index(spark, sf_dir)
     delta_sh, delta_bands = _stored_delta_sig(
-        spark, sf_dir, F.col("doc_id") % DELTA_MOD == 1
+        spark, sf_dir, None, mod_class=1
     )
     scored = dedup_ops.probe_band_index(
         spark,
@@ -1632,6 +1659,91 @@ def dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _decon_fuzzy_oracle() -> str:
+    """Twin of decontamination_fuzzy: the incremental-probe oracle with
+    the train split as the index and the test split as the probe (the
+    md5-bucket split is dataset_split's), columns renamed to the
+    decontamination vocabulary."""
+    from .text import _SPLIT_TRAIN_MAX, _SPLIT_VAL_MAX
+
+    bucket = "SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2)"
+    inner = _incremental_probe_oracle(
+        idx_pred=f"{bucket} < '{_SPLIT_TRAIN_MAX}'",
+        probe_pred=f"{bucket} >= '{_SPLIT_VAL_MAX}'",
+    )
+    return f"""
+        SELECT new_doc_id AS test_doc_id,
+               matched_doc_id AS train_doc_id,
+               jaccard
+        FROM ({inner})
+        ORDER BY test_doc_id
+    """
+
+
+def _register_decon_fuzzy() -> None:
+    """Registered via a builder so the split constants import lazily
+    (text.py holds dataset_split's md5 bucket bounds)."""
+    from .text import _SPLIT_TRAIN_MAX, _SPLIT_VAL_MAX
+
+    @register(
+        "decontamination_fuzzy",
+        oracle=_decon_fuzzy_oracle(),
+        tags=("text", "dedup", "composite"),
+        prepare=_prep_sigstore,
+        doc="FUZZY train/test decontamination — the near-dup complement "
+        "of decontamination_check's exact 8-gram gate: a test (eval) "
+        "document is flagged when its exact shingle-Jaccard with any "
+        "train document clears 0.5, candidates generated by the same "
+        "MinHash/LSH banding as the stored dedup index and BOTH sides "
+        "read from the signature store (_sigstore) filtered by "
+        "dataset_split's md5 buckets — zero re-shingling. This catches "
+        "PARAPHRASED eval leakage (word swaps break every exact "
+        "8-gram but leave char-5-shingle Jaccard high — pinned by the "
+        "paraphrase unit test); the exact gate catches verbatim "
+        "spans fuzzy banding can miss, so a shipping corpus runs "
+        "both. The probe (test) side is the small one by construction "
+        "(an eval set vs a 100 TB training corpus), so it broadcasts "
+        "into the band join and the train index never shuffles — the "
+        "same asymmetry the stored-probe family exploits. Output: "
+        "each contaminated test doc's best-matching train doc. "
+        "Reference analog: the gold-set eval harness (eval/"
+        "harness.py:52-151) — the eval set this protects.",
+    )
+    def decontamination_fuzzy(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        store = _sigstore(spark, sf_dir)
+        bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+        bands = spark.read.parquet(f"{store}/bands")
+        sh = spark.read.parquet(f"{store}/shingles")
+        scored = dedup_ops.probe_band_index(
+            spark,
+            store,
+            id_col="doc_id",
+            threshold=0.5,
+            delta_sh=sh.filter(bucket >= _SPLIT_VAL_MAX),
+            delta_bands=bands.filter(bucket >= _SPLIT_VAL_MAX),
+            idx_bands=bands.filter(bucket < _SPLIT_TRAIN_MAX),
+            idx_sh=sh.filter(bucket < _SPLIT_TRAIN_MAX),
+        )
+        best = Window.partitionBy("new_doc_id").orderBy(
+            F.desc("jaccard_raw"), F.asc("matched_doc_id")
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(best))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.col("new_doc_id").alias("test_doc_id"),
+                F.col("matched_doc_id").alias("train_doc_id"),
+                F.round("jaccard_raw", 6).alias("jaccard"),
+            )
+            .orderBy("test_doc_id")
+        )
+
+
+_register_decon_fuzzy()
+
+
 def _stream_ingest_oracle() -> str:
     """Twin of stream_index_ingest: per ingest tag t, the best match of
     each tag-t document against corpus ∪ {tags < t} — the sequential
@@ -1643,12 +1755,22 @@ def _stream_ingest_oracle() -> str:
     )
 
     def block2(tag: int, idx_pred: str) -> str:
-        return f"""cand{tag} AS (
-            SELECT DISTINCT p.doc_id AS new_doc_id,
-                   i.doc_id AS matched_doc_id
+        return f"""cand0_{tag} AS (
+            SELECT p.doc_id AS new_doc_id, i.doc_id AS matched_doc_id,
+                   COUNT(*) AS shared_bands
             FROM bands p JOIN bands i
               ON p.band_idx = i.band_idx AND p.band_key = i.band_key
             WHERE p.doc_id % {DELTA_MOD} = {tag} AND ({idx_pred})
+            GROUP BY 1, 2
+        ), cand{tag} AS (
+            -- per-probe-doc candidate cap (see _incremental_probe_oracle)
+            SELECT new_doc_id, matched_doc_id FROM (
+                SELECT new_doc_id, matched_doc_id,
+                       ROW_NUMBER() OVER (PARTITION BY new_doc_id
+                           ORDER BY shared_bands DESC, matched_doc_id)
+                           AS crn
+                FROM cand0_{tag}
+            ) WHERE crn <= {_PROBE_CAP}
         ), probe{tag} AS (
             SELECT new_doc_id, matched_doc_id, ROUND(jac, 6) AS jaccard
             FROM (

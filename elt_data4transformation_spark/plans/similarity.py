@@ -1506,9 +1506,12 @@ def _pq_sub_l2_sql(vcol: str, cvcol: str, m: str) -> str:
     )
 
 
-def _pq_oracle() -> str:
+def _pq_adc_cte() -> str:
+    """The shared WITH-prefix of the PQ oracles: codebook seed + one
+    Lloyd refinement + encode + query LUT + ADC distances — everything
+    through the ``adc`` CTE. ann_pq_topk ranks adc directly;
+    ann_pq_rerank cuts a shortlist from it and re-ranks exactly."""
     d2 = _pq_sub_l2_sql("e.v", "c.cv", "m.m")
-    qd2 = _pq_sub_l2_sql("q.v", "c.cv", "m.m")
     return f"""
         WITH e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -1573,7 +1576,12 @@ def _pq_oracle() -> str:
             FROM encl en JOIN lut0 l ON l.m = en.m AND l.cid = en.code
             WHERE en.vec_id <> l.query_id
             GROUP BY l.query_id, en.vec_id
-        ), ranked AS (
+        )"""
+
+
+def _pq_oracle() -> str:
+    return f"""
+        {_pq_adc_cte()}, ranked AS (
             SELECT query_id, neighbor_id, adist,
                    ROW_NUMBER() OVER (PARTITION BY query_id
                        ORDER BY adist, neighbor_id) AS rank
@@ -1581,6 +1589,43 @@ def _pq_oracle() -> str:
         )
         SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
                ROUND(adist, 4) AS approx_l2
+        FROM ranked WHERE rank <= {TOP_K}
+        ORDER BY query_id, rank
+    """
+
+
+PQ_SHORTLIST = 50  # ADC candidates re-ranked exactly per query
+
+
+def _pq_rerank_oracle() -> str:
+    dim = PQ_M * PQ_SUB
+    ex = (
+        f"LIST_SUM(LIST_TRANSFORM(RANGE(1, {dim + 1}), "
+        f"d -> (q.v[d] - n.v[d]) * (q.v[d] - n.v[d])))"
+    )
+    return f"""
+        {_pq_adc_cte()}, short AS (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY adist, neighbor_id) AS srank
+            FROM adc
+        ), ex AS (
+            -- round BEFORE the re-rank (round-before-compare rule):
+            -- the 64-term sums fold in different orders across engines
+            SELECT s.query_id, s.neighbor_id,
+                   ROUND({ex}, 6) AS exl2
+            FROM short s
+            JOIN e q ON q.vec_id = s.query_id
+            JOIN e n ON n.vec_id = s.neighbor_id
+            WHERE s.srank <= {PQ_SHORTLIST}
+        ), ranked AS (
+            SELECT query_id, neighbor_id, exl2,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY exl2, neighbor_id) AS rank
+            FROM ex
+        )
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+               ROUND(exl2, 4) AS exact_l2
         FROM ranked WHERE rank <= {TOP_K}
         ORDER BY query_id, rank
     """
@@ -1605,6 +1650,26 @@ def _pq_oracle() -> str:
     "L2 asserted in tests.",
 )
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _pq_adc_scored(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.round("adist", 4).alias("approx_l2"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _pq_adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ ADC scan shared by ann_pq_topk (ranks it directly) and
+    ann_pq_rerank (shortlists it, then re-ranks exactly): returns
+    (query_id, neighbor_id, adist) for every query x base pair, adist
+    = sum of the 32 LUT lookups, rounded 6dp."""
     e = _vectors(spark, sf_dir).select("vec_id", "v")
 
     def sub_l2(a: F.Column, b: F.Column) -> F.Column:
@@ -1762,15 +1827,70 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("adist"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), "neighbor_id")
+    return scored
+
+
+@register(
+    "ann_pq_rerank",
+    oracle=_pq_rerank_oracle(),
+    tags=("similarity", "quantization"),
+    doc="Two-stage PQ serving — the standard IVF-PQ production shape "
+    "ann_pq_topk stops short of: stage 1 is the same ADC scan (16-byte "
+    f"codes, LUT sums), but instead of trusting the quantized ranking "
+    f"it cuts a SHORTLIST of the top {PQ_SHORTLIST} ADC candidates "
+    "per query; stage 2 fetches only those candidates' full vectors "
+    "and re-ranks them by EXACT L2. Quantization error then only "
+    "costs recall when a true top-k neighbor falls outside the "
+    f"shortlist ({PQ_SHORTLIST}/corpus — rare), not whenever codes "
+    "blur nearby distances (often): recall@5 goes from ~0.6 "
+    "(ADC-ranked) to >=0.9 (asserted in tests) for one extra read of "
+    f"{PQ_SHORTLIST} vectors per query. At 100 TB this is exactly how "
+    "PQ indexes serve: the compressed scan touches 16 B/vector, the "
+    "exact pass touches only shortlist x 512 B. Reference analog: the "
+    "semantic-search quality bar (clustering.py:185-221).",
+)
+def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _pq_adc_scored(spark, sf_dir)
+    ws = Window.partitionBy("query_id").orderBy(F.asc("adist"), "neighbor_id")
+    short = (
+        scored.withColumn("srank", F.row_number().over(ws))
+        .filter(F.col("srank") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    e = _vectors(spark, sf_dir).select("vec_id", "v")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    nv = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    exact = (
+        short.join(nv, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            # round BEFORE the re-rank window (round-before-compare):
+            # the 64-term folds differ in order across engines
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        "qv", "nv", lambda x, y: (x - y) * (x - y)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("exl2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("exl2"), "neighbor_id")
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        exact.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select(
             "query_id",
             "rank",
             "neighbor_id",
-            F.round("adist", 4).alias("approx_l2"),
+            F.round("exl2", 4).alias("exact_l2"),
         )
         .orderBy("query_id", "rank")
     )

@@ -3001,6 +3001,25 @@ def test_ann_pq_recall_vs_exact_l2(spark):
     recall = hits / (N_QUERIES * TOP_K)
     assert recall >= 0.5, f"PQ recall@{TOP_K} too low: {recall}"
 
+    # two-stage serving shape: exact re-rank of the ADC shortlist must
+    # recover what quantization blurs — recall@5 >= 0.9 (a true top-k
+    # neighbor is lost only if it misses the whole top-50 shortlist)
+    from elt_data4transformation_spark.plans.similarity import (
+        ann_pq_rerank,
+    )
+
+    rr = ann_pq_rerank(spark, sf).toPandas()
+    assert rr.groupby("query_id").size().eq(TOP_K).all()
+    hits = 0
+    for qid in range(N_QUERIES):
+        got = set(rr[rr.query_id == qid].neighbor_id)
+        truth = set(exact[exact.query_id == qid].vec_id)
+        hits += len(got & truth)
+    rr_recall = hits / (N_QUERIES * TOP_K)
+    assert rr_recall >= 0.9, (
+        f"PQ re-rank recall@{TOP_K} too low: {rr_recall} (ADC {recall})"
+    )
+
 
 def test_media_decode_quarantines_all_failure_classes(spark):
     """One bad payload must NEVER kill a decode stage: truncated-IDAT
@@ -4173,3 +4192,225 @@ def test_install_restores_previous_artifact_on_rename_failure(
         assert fh.read() == "good"
     debris = [e for e in os.listdir(tmp_path) if ".old." in e]
     assert debris == []
+
+
+def test_fuzzy_decontamination_catches_paraphrase_exact_misses(
+    spark, tmp_path
+):
+    """The reason decontamination_fuzzy exists: a paraphrased eval doc
+    (word swaps sprinkled through the text) shares ZERO exact word
+    8-grams with its train source — the exact gate passes it — but its
+    char-5-shingle Jaccard stays high, so the MinHash/LSH probe flags
+    it. Verified on a crafted pair through the same operator path the
+    registered query uses (write_band_index train side, probe test
+    side)."""
+    train = (
+        "the quick brown fox jumps over the lazy dog while the spark "
+        "engine shuffles partitions across the cluster and the driver "
+        "collects nothing because the plan stays fully distributed "
+        "throughout every stage of the long running job "
+        "meanwhile the scheduler assigns tasks to executors and "
+        "the shuffle service streams blocks between nodes while the "
+        "catalyst optimizer rewrites the logical plan into a physical "
+        "one with whole stage code generation enabled for every operator"
+    )
+    # paraphrase: mutate one word in every 7-word window -> no exact
+    # 8-gram survives; char-5-shingle Jaccard stays ~0.86 and both LSH
+    # bands still collide (fixture pinned against the production
+    # 8-minhash/2-band config — deterministic md5 hash family)
+    words = train.split()
+    para = list(words)
+    for i in range(4, len(para), 7):
+        para[i] = para[i] + "x"
+    test_doc = " ".join(para)
+
+    # exact 8-gram overlap is ZERO (what decontamination_check tests)
+    g = lambda ws: {  # noqa: E731
+        tuple(ws[i : i + 8]) for i in range(len(ws) - 7)
+    }
+    assert not (g(words) & g(test_doc.split())), (
+        "fixture broken: paraphrase still shares an exact 8-gram"
+    )
+
+    idx = str(tmp_path / "train_idx")
+    dedup_ops.write_band_index(
+        spark.createDataFrame([(1, train)], "doc_id long, text string"),
+        idx,
+    )
+    hits = dedup_ops.probe_band_index(
+        spark,
+        idx,
+        spark.createDataFrame(
+            [(100, test_doc)], "doc_id long, text string"
+        ),
+        threshold=0.5,
+    ).collect()
+    assert [(r["new_doc_id"], r["matched_doc_id"]) for r in hits] == [
+        (100, 1)
+    ], "fuzzy probe missed the paraphrased leak"
+    assert hits[0]["jaccard_raw"] >= 0.5
+
+
+def test_sigstore_delta_probe_prunes_id_class_partitions(spark):
+    """The 100 TB pruning claim, executed: the signature store is
+    directory-partitioned by doc_mod (the ingest id class), and a
+    delta probe's store scan carries the class in PartitionFilters —
+    every other class's directories are never read (bucket-by-doc-id,
+    single-node form)."""
+    import re
+
+    from elt_data4transformation_spark.plans.dedup import (
+        DELTA_MOD,
+        _stored_delta_sig,
+    )
+    from tests.conftest import SF_SMALL
+
+    sh, bands = _stored_delta_sig(spark, SF_SMALL, None, mod_class=0)
+    for name, df in (("shingles", sh), ("bands", bands)):
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        pf = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+        assert pf and "doc_mod" in pf.group(1), f"{name}: {plan}"
+        assert re.search(r"doc_mod#?\d*\s*=\s*0", pf.group(1)), pf.group(1)
+    # the pruned slice is exactly the id class
+    ids = {r["doc_id"] for r in sh.select("doc_id").collect()}
+    assert ids and all(i % DELTA_MOD == 0 for i in ids)
+
+
+def test_stream_ingest_restart_recovers_exactly_once(spark, tmp_path):
+    """The ingest loop's crash protocol, executed end-to-end: the sink
+    CRASHES between a segment write and its meta stamp (the exact
+    window the protocol is designed for), the stream restarts from the
+    SAME checkpoint, and Structured Streaming redelivers only the
+    uncommitted batch — whose idempotent re-ingest (per-tag overwrite,
+    meta stamped last) leaves the index with no duplicate and no lost
+    row: the final state is bit-identical to a never-crashed run."""
+    import json
+    import os
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from elt_data4transformation_spark.operators import artifacts
+
+    base_rows = [
+        (i, f"base document number {i} with some shared filler text "
+            f"about spark executors and shuffle partitions item {i}")
+        for i in range(5)
+    ]
+    batches = {
+        0: [(10 + i, base_rows[i][1] + " ingested copy") for i in range(3)],
+        1: [(20 + i, base_rows[i][1] + " second wave copy") for i in range(3)],
+    }
+
+    idx = str(tmp_path / "idx")
+    dedup_ops.write_band_index(
+        spark.createDataFrame(base_rows, "doc_id long, text string"), idx
+    )
+    with open(os.path.join(idx, artifacts.META_NAME), "w") as fh:
+        json.dump({"fingerprint": "t", "ingests": []}, fh)
+
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    import pandas as pd
+
+    for t, rows in batches.items():
+        # flat files: FileStreamSource does not recurse into the
+        # directory layout spark-writes produce
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+            os.path.join(src, f"b{t}.parquet"), index=False
+        )
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(fail_on_tag):
+        def sink(batch_df, _bid):
+            tag = batch_df.agg(
+                F.min((F.col("doc_id") / 10).cast("int"))
+            ).collect()[0][0] - 1
+            _, merge, _, _, release = dedup_ops.ingest_band_index(
+                spark, idx, batch_df, tag=str(tag),
+                idx_bands=spark.read.parquet(f"{idx}/bands"),
+                idx_sh=spark.read.parquet(f"{idx}/shingles"),
+            )
+            merge()  # segment durable...
+            release()
+            if tag == fail_on_tag:
+                raise RuntimeError("crash between write and stamp")
+            meta = artifacts.load_meta(idx)  # ...stamp LAST
+            artifacts.update_meta(
+                idx, "t", {"ingests": meta["ingests"] + [str(tag)]}
+            )
+
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    with pytest.raises(StreamingQueryException):
+        run(fail_on_tag=1)
+
+    # crashed state: tag 0 committed; tag 1's segment is a durable but
+    # UNLISTED orphan — readers must ignore it
+    meta = artifacts.load_meta(idx)
+    assert meta["ingests"] == ["0"]
+    assert os.path.exists(f"{idx}/bands_ingest_1")
+    visible = {
+        r["doc_id"]
+        for d in dedup_ops._index_segments(idx)[0]
+        for r in spark.read.parquet(d).select("doc_id").collect()
+    }
+    assert visible == {0, 1, 2, 3, 4, 10, 11, 12}, visible
+
+    # restart from the SAME checkpoint: batch 0 is committed and NOT
+    # redelivered; batch 1 redelivers, overwrites its orphan, stamps
+    run(fail_on_tag=None)
+    meta = artifacts.load_meta(idx)
+    assert meta["ingests"] == ["0", "1"]
+    all_rows = [
+        r["doc_id"]
+        for d in dedup_ops._index_segments(idx)[1]
+        for r in spark.read.parquet(d).select("doc_id").collect()
+    ]
+    assert sorted(all_rows) == sorted(set(all_rows)), "duplicate ingest"
+    assert set(all_rows) == {0, 1, 2, 3, 4, 10, 11, 12, 20, 21, 22}
+
+
+def test_probe_candidate_cap_bounds_adversarial_fanout(spark, tmp_path):
+    """The per-probe-doc candidate cap (PROBE_MAX_CANDIDATES): a
+    boilerplate flood — one probe doc near-identical to 100 corpus
+    docs — must rescore at most B candidates (bounded work even when
+    the corpus side is pathologically duplicated) while still
+    returning a correct >=0.5 best match for the probe doc."""
+    import json
+    import os
+
+    from elt_data4transformation_spark.operators import artifacts
+
+    boiler = (
+        "accept our cookies to continue reading this article about "
+        "the terms of service and the privacy policy of this website "
+        "which collects usage analytics for advertising purposes"
+    )
+    # 100 corpus docs: the same boilerplate with a tiny unique suffix
+    corpus = [(i, f"{boiler} variant {i}") for i in range(100)]
+    idx = str(tmp_path / "idx")
+    dedup_ops.write_band_index(
+        spark.createDataFrame(corpus, "doc_id long, text string"), idx
+    )
+    with open(os.path.join(idx, artifacts.META_NAME), "w") as fh:
+        json.dump({"fingerprint": "t", "ingests": []}, fh)
+
+    probe = spark.createDataFrame(
+        [(1000, boiler + " fresh arrival")], "doc_id long, text string"
+    )
+    scored = dedup_ops.probe_band_index(spark, idx, probe).collect()
+    assert 0 < len(scored) <= dedup_ops.PROBE_MAX_CANDIDATES, len(scored)
+    assert all(r["jaccard_raw"] >= 0.5 for r in scored)
+    # deterministic: the same capped set on a second run
+    again = dedup_ops.probe_band_index(spark, idx, probe).collect()
+    assert sorted(map(tuple, scored)) == sorted(map(tuple, again))
