@@ -643,6 +643,7 @@ def ingest_band_index(
     threshold: float = 0.5,
     idx_bands: DataFrame | None = None,
     idx_sh: DataFrame | None = None,
+    delta_sig: DataFrame | None = None,
 ):
     """Probe + merge sharing ONE shingle/signature pass — the fused
     form of probe_band_index followed by merge_band_index, which would
@@ -664,7 +665,44 @@ def ingest_band_index(
     meta after), keeping the probe-sees-only-prior-state ordering. ``idx_bands``/``idx_sh``
     override the artifact read with caller-held index frames (e.g.
     the base read once + prior in-memory segments) — same rows, one
-    disk scan per artifact per loop instead of per batch."""
+    disk scan per artifact per loop instead of per batch.
+
+    ``delta_sig`` skips even the fused signature pass: the arriving
+    batch ALREADY CARRIES its signatures (doc_id, text, shingles,
+    n_sh, sh_hash, bkeys — band keys in band order), computed once by
+    the upstream writer at arrival time (the at-arrival half of the
+    signature-store contract). The ingest then only probes and
+    persists — zero hashing in the loop. Signatures are pure per-row
+    functions of the text, so both routes yield identical rows."""
+    if delta_sig is not None:
+        dsig = delta_sig.persist(StorageLevel.MEMORY_AND_DISK)
+        dbands = dsig.select(
+            F.col(id_col).alias("_nid"),
+            F.posexplode("bkeys").alias("band_idx", "band_key"),
+        )
+        scored = _probe_with_signatures(
+            spark, index_path,
+            dsig.select(
+                F.col(id_col).alias("_nid"), F.col("sh_hash").alias("_sa")
+            ),
+            dbands, id_col, threshold,
+            idx_bands=idx_bands, idx_sh=idx_sh,
+        )
+        seg_bands = dbands.select(
+            F.col("_nid").alias(id_col), "band_idx", "band_key"
+        )
+        seg_sh = dsig.select(id_col, "shingles", "n_sh", "sh_hash")
+
+        def merge_pre() -> None:
+            seg_bands.coalesce(4).write.mode("overwrite").partitionBy(
+                "band_idx"
+            ).parquet(f"{index_path}/bands_ingest_{tag}")
+            seg_sh.coalesce(4).write.mode("overwrite").parquet(
+                f"{index_path}/shingles_ingest_{tag}"
+            )
+
+        return scored, merge_pre, seg_bands, seg_sh, dsig.unpersist
+
     dsh = delta.select(
         F.col(id_col).alias("_nid"),
         T.char_shingles_col(shingle, text_col).alias("_raw"),

@@ -323,9 +323,36 @@ def _prep_deleted_ivf(spark: SparkSession, sf_dir: str) -> None:
     _ensure_deleted_ivf(spark, sf_dir)
 
 
+def _ensure_stream_ivf_src(spark: SparkSession, sf_dir: str) -> str:
+    """stream_ivf_ingest's incoming files: tag = vec_id % 5 in {0, 1},
+    one file per tag, published once per corpus state (see dedup's
+    _ensure_stream_fixture — tag 1 mtime-stamped older so the
+    sequencer's reorder path fires)."""
+    import os
+
+    from .dedup import _ensure_stream_fixture
+
+    def build(tmp: str) -> None:
+        both = (
+            _vectors(spark, sf_dir)
+            .filter(F.col("vec_id") % 5 <= 1)
+            .select("vec_id", "v")
+            .toPandas()
+        )
+        for t in (1, 0):
+            both[both["vec_id"] % 5 == t].to_parquet(
+                os.path.join(tmp, f"batch{t}.parquet"), index=False
+            )
+
+    return _ensure_stream_fixture(
+        spark, sf_dir, "stream_ivf_src", "embeddings", build
+    )
+
+
 def _prep_stream_ivf_base(spark: SparkSession, sf_dir: str) -> None:
     """prepare hook for stream_ivf_ingest (late-bound ensure)."""
     _ensure_stream_ivf_base(spark, sf_dir)
+    _ensure_stream_ivf_src(spark, sf_dir)
 
 
 @register(
@@ -991,7 +1018,6 @@ def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import artifacts
     from .dedup import _index_root
 
-    e = _vectors(spark, sf_dir)
     work = tempfile.mkdtemp(prefix="stream_ivf_ingest_")
     try:
         # immutable fingerprinted base index (_ensure_stream_ivf_base,
@@ -1007,19 +1033,11 @@ def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         artifacts.update_meta(idx, "run", {"ingests": []})
 
-        # fixture plumbing: tag = vec_id % 5 in {0, 1}; tag 1 written
-        # FIRST so the sequencer's reordering fires every run
-        src = os.path.join(work, "incoming")
-        os.makedirs(src)
-        both = (
-            e.filter(F.col("vec_id") % 5 <= 1)
-            .select("vec_id", "v")
-            .toPandas()
-        )
-        for t in (1, 0):
-            both[both["vec_id"] % 5 == t].to_parquet(
-                os.path.join(src, f"batch{t}.parquet"), index=False
-            )
+        # fixture plumbing: the ingest batch files (tag = vec_id % 5
+        # in {0, 1}; tag 1 mtime-older so the reorder path fires) are
+        # a published immutable artifact consumed read-only by every
+        # run's fresh checkpoint (see _ensure_stream_ivf_src)
+        src = _ensure_stream_ivf_src(spark, sf_dir)
 
         results = os.path.join(work, "probes")
         spill = os.path.join(work, "spill")
