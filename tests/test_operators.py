@@ -4414,3 +4414,62 @@ def test_probe_candidate_cap_bounds_adversarial_fanout(spark, tmp_path):
     # deterministic: the same capped set on a second run
     again = dedup_ops.probe_band_index(spark, idx, probe).collect()
     assert sorted(map(tuple, scored)) == sorted(map(tuple, again))
+
+
+def test_cubefile_roundtrip_and_quarantine(spark):
+    """GENESIS cubefile decode: parse(encode(x)) recovers every fact
+    group exactly (axes in axis order, per-measure value/quality/
+    locked, German decimals, documented missing codes -> NULL), and a
+    truncated fact line is quarantined (dropped), never a crash."""
+    from elt_data4transformation_spark.operators import cubefile
+
+    payload = cubefile.encode_cubefile(
+        "99999TEST",
+        axes=["A1", "A2"],
+        time_var="JAHR",
+        measures=[("M1", "EUR"), ("M2", "Anzahl")],
+        facts=[
+            ("x1", "y1", "2021", ("10,25", "e", "0"), ("3", "", "1")),
+            ("x2", "y2", "2022", ("...", "", "0"), ("0,5", "p", "0")),
+        ],
+    )
+    # adversarial: a fact line with too few tokens (truncated upload)
+    payload += "\nD;x3;y3;2023;1,0"
+    df = spark.createDataFrame([("c", payload)], ["cube_id", "payload"])
+    rows = {
+        (r["dims"], r["time_code"], r["measure"]): (
+            r["value"],
+            r["quality"],
+            r["locked"],
+        )
+        for r in cubefile.parse_cubefile(df).collect()
+    }
+    assert rows == {
+        ("A1=x1|A2=y1", "2021", "M1"): (10.25, "e", False),
+        ("A1=x1|A2=y1", "2021", "M2"): (3.0, None, True),
+        ("A1=x2|A2=y2", "2022", "M1"): (None, None, False),
+        ("A1=x2|A2=y2", "2022", "M2"): (0.5, "p", False),
+    }, rows  # the truncated x3 line must not appear
+
+
+def test_cubefile_headers_and_missing_codes(spark):
+    """Header extraction (axis/measure order, time var, QEI position)
+    and every documented GENESIS missing-value code -> NULL value."""
+    from elt_data4transformation_spark.operators import cubefile
+
+    codes = ["...", ".", "-", "/", "x"]
+    payload = cubefile.encode_cubefile(
+        "11111TEST",
+        axes=["REG"],
+        time_var="STAG",
+        measures=[("B1", "Anzahl")],
+        facts=[(f"r{i}", "2020", (c, "q", "0")) for i, c in enumerate(codes)],
+    )
+    df = spark.createDataFrame([("c", payload)], ["cube_id", "payload"])
+    hdr = cubefile.cube_headers(df).collect()[0]
+    assert hdr["axes"] == ["REG"]
+    assert hdr["measures"] == ["B1"]
+    assert hdr["time_var"] == "STAG"
+    out = cubefile.parse_cubefile(df).collect()
+    assert len(out) == len(codes)
+    assert all(r["value"] is None and r["quality"] == "q" for r in out)
