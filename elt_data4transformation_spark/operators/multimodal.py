@@ -45,14 +45,14 @@ def with_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _decode_real(payload: bytes, mime: str) -> dict:
-    """Real media decode: PNG images are decoded with the pure-stdlib
-    codec (operators/pngcodec.py — same no-external-libs pattern that
-    closed the PDF stub); other mimes (jpeg/audio/video) still need
-    PIL/ffmpeg, which this container lacks, and raise."""
-    if mime == "image/png":
-        from . import pngcodec
+    """Real media decode: PNG and baseline JPEG images are decoded
+    with the pure-stdlib codecs (operators/pngcodec.py,
+    operators/jpegcodec.py — same no-external-libs pattern that
+    closed the PDF stub); remaining mimes (real video containers,
+    compressed audio) still need ffmpeg, which this container lacks,
+    and raise."""
 
-        w, h, px = pngcodec.read_png(payload)
+    def _feats(w: int, h: int, px) -> dict:
         means = px.reshape(-1, 3).mean(axis=0)
         return {
             "width": int(w),
@@ -61,8 +61,17 @@ def _decode_real(payload: bytes, mime: str) -> dict:
             "mean_g": float(means[1]),
             "mean_b": float(means[2]),
         }
+
+    if mime == "image/png":
+        from . import pngcodec
+
+        return _feats(*pngcodec.read_png(payload))
+    if mime == "image/jpeg":
+        from . import jpegcodec
+
+        return _feats(*jpegcodec.read_jpeg(payload))
     raise NotImplementedError(
-        f"decode for {mime} requires PIL/ffmpeg; deterministic fake "
+        f"decode for {mime} requires ffmpeg; deterministic fake "
         "used instead"
     )
 
@@ -224,6 +233,111 @@ def encode_png_payloads(
             yield pd.DataFrame(rows, columns=["doc_id", "payload", "meta"])
 
     return df.select(id_col).mapInPandas(fn, PNG_SCHEMA)
+
+
+def _synth_pixels(d: int, w: int, h: int):
+    """The deterministic synthetic image every media fixture renders
+    (same arithmetic as encode_png_payloads / png_pixel)."""
+    import numpy as np
+
+    x = np.arange(w)
+    y = np.arange(h)[:, None]
+    px = np.empty((h, w, 3), dtype=np.int64)
+    px[:, :, 0] = (d * 7 + x * 13 + y * 31) % 256
+    px[:, :, 1] = (d * 11 + x * 3 + y * 17) % 256
+    px[:, :, 2] = (d * 5 + x * 29 + y * 7) % 256
+    return px
+
+
+def encode_jpeg_payloads(
+    df: DataFrame, id_col: str = "doc_id", quality: int = 85
+) -> DataFrame:
+    """Render each id's synthetic image to real baseline-JPEG bytes
+    (operators/jpegcodec.py) — the lossy sibling of
+    encode_png_payloads, exercising the image/jpeg decode route."""
+    import numpy as np
+
+    from . import jpegcodec
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                w, h = png_dims(d)
+                px = _synth_pixels(d, w, h)
+                jpg = jpegcodec.write_jpeg(
+                    w, h, px.astype(np.uint8).tobytes(), quality=quality
+                )
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "payload": jpg,
+                        "meta": {"mime": "image/jpeg", "n_bytes": len(jpg)},
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload", "meta"])
+
+    return df.select(id_col).mapInPandas(fn, PNG_SCHEMA)
+
+
+JPEG_RT_SCHEMA = (
+    "doc_id long, width int, height int, max_err int, mean_err double"
+)
+
+
+def decode_jpeg_roundtrip(df: DataFrame) -> DataFrame:
+    """Decode real JPEG payloads (operators/jpegcodec.read_jpeg) and
+    score them against the analytically-known synthetic source pixels
+    (regenerated from the doc id — deterministic): per-doc dimensions
+    plus max/mean absolute reconstruction error. JPEG is lossy, so the
+    contract is BOUNDED error (asserted in tests), not bit-equality;
+    corrupt payloads yield a NULL-features row (quarantine, never a
+    stage failure)."""
+    import numpy as np
+
+    from . import jpegcodec
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                d = int(doc_id)
+                try:
+                    if meta["mime"] != "image/jpeg":
+                        raise ValueError("wrong mime routed")
+                    w, h, out = jpegcodec.read_jpeg(bytes(payload))
+                    src = _synth_pixels(d, w, h)
+                    err = np.abs(out.astype(np.int64) - src)
+                    rows.append(
+                        {
+                            "doc_id": d,
+                            "width": w,
+                            "height": h,
+                            "max_err": int(err.max()),
+                            "mean_err": round(float(err.mean()), 4),
+                        }
+                    )
+                except (ValueError, struct.error):
+                    rows.append(
+                        {
+                            "doc_id": d,
+                            "width": None,
+                            "height": None,
+                            "max_err": None,
+                            "mean_err": None,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "max_err", "mean_err",
+                ],
+            )
+
+    return df.mapInPandas(fn, JPEG_RT_SCHEMA)
 
 
 def decode_png_features(df: DataFrame) -> DataFrame:

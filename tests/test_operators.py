@@ -444,11 +444,14 @@ def test_multimodal_decode_stub(spark):
     assert out["header_hex"] == "68656c6c"
     assert out["mime"] == "text/plain"
     assert out["fake_width"] == 64 + (11 % 64) * 16
-    # PNG decode is now REAL (stdlib codec); other mimes stay gated
+    # PNG and JPEG decode are REAL (stdlib codecs); remaining mimes
+    # (real video containers / compressed audio) stay gated
     with pytest.raises(NotImplementedError):
-        multimodal._decode_real(b"x", "image/jpeg")
+        multimodal._decode_real(b"x", "video/mp4")
     with pytest.raises(ValueError):  # PNG route rejects non-PNG bytes
         multimodal._decode_real(b"x", "image/png")
+    with pytest.raises(ValueError):  # JPEG route rejects non-JPEG bytes
+        multimodal._decode_real(b"x", "image/jpeg")
     from elt_data4transformation_spark.operators import pngcodec
 
     feats = multimodal._decode_real(
@@ -4473,3 +4476,79 @@ def test_cubefile_headers_and_missing_codes(spark):
     out = cubefile.parse_cubefile(df).collect()
     assert len(out) == len(codes)
     assert all(r["value"] is None and r["quality"] == "q" for r in out)
+
+
+def test_jpeg_codec_roundtrip_bounds_and_quarantine():
+    """The pure-stdlib baseline JPEG codec: encode->decode recovers a
+    smooth gradient within tight bounds, a solid color EXACTLY (all-AC
+    -zero blocks), grayscale decodes, and every corrupt-input class
+    (empty, bad SOI, truncated header, truncated entropy data,
+    progressive marker) raises ValueError — the quarantine contract."""
+    import numpy as np
+
+    from elt_data4transformation_spark.operators import jpegcodec as J
+
+    w, h = 37, 21  # non-multiple-of-8 exercises edge padding
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            px[y, x] = (x * 5 % 250, y * 9 % 250, (x + y) * 4 % 250)
+    data = J.write_jpeg(w, h, px.tobytes(), quality=95)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    w2, h2, out = J.read_jpeg(data)
+    assert (w2, h2) == (w, h)
+    err = np.abs(out.astype(int) - px.astype(int))
+    mse = float((err.astype(float) ** 2).mean())
+    psnr = 10 * np.log10(255**2 / mse)
+    assert psnr > 35, psnr
+
+    solid = np.full((16, 16, 3), (120, 200, 40), dtype=np.uint8)
+    _, _, out2 = J.read_jpeg(J.write_jpeg(16, 16, solid.tobytes(), 95))
+    assert int(np.abs(out2.astype(int) - solid.astype(int)).max()) == 0
+
+    for bad in (b"", b"\x00\x01", data[:40], data[: len(data) // 2]):
+        with pytest.raises(ValueError):
+            J.read_jpeg(bad)
+    # progressive SOF2 is out of subset -> quarantined, not misparsed
+    prog = bytearray(data)
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    with pytest.raises(ValueError):
+        J.read_jpeg(bytes(prog))
+
+
+def test_jpeg_decode_real_route_and_null_quarantine(spark):
+    """multimodal._decode_real routes image/jpeg through the stdlib
+    codec (width/height/channel means), and decode_jpeg_roundtrip
+    yields NULL rows for corrupt payloads instead of failing the
+    stage."""
+    import numpy as np
+
+    from elt_data4transformation_spark.operators import (
+        jpegcodec as J,
+        multimodal,
+    )
+
+    solid = np.full((8, 8, 3), (10, 20, 30), dtype=np.uint8)
+    payload = J.write_jpeg(8, 8, solid.tobytes(), 95)
+    feats = multimodal._decode_real(payload, "image/jpeg")
+    assert (feats["width"], feats["height"]) == (8, 8)
+    assert abs(feats["mean_r"] - 10) <= 1 and abs(feats["mean_b"] - 30) <= 1
+
+    good = multimodal.encode_jpeg_payloads(
+        spark.createDataFrame([(13,)], "doc_id long"), quality=95
+    )
+    bad = good.select(
+        (F.col("doc_id") + 1).alias("doc_id"),
+        F.expr("substring(payload, 1, 30)").alias("payload"),
+        "meta",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in multimodal.decode_jpeg_roundtrip(
+            good.unionByName(bad)
+        ).collect()
+    }
+    assert rows[13]["width"] == 8 + 13 % 8
+    assert rows[13]["max_err"] is not None and rows[13]["max_err"] <= 32
+    assert rows[14]["width"] is None and rows[14]["max_err"] is None
