@@ -340,6 +340,134 @@ def decode_jpeg_roundtrip(df: DataFrame) -> DataFrame:
     return df.mapInPandas(fn, JPEG_RT_SCHEMA)
 
 
+def _video_frame_pixels(d: int, f: int, w: int, h: int):
+    """Frame ``f`` of doc ``d``'s synthetic clip (same arithmetic as
+    encode_video_payloads)."""
+    import numpy as np
+
+    x = np.arange(w)
+    y = np.arange(h)[:, None]
+    px = np.empty((h, w, 3), dtype=np.int64)
+    px[:, :, 0] = (d * 7 + f * 19 + x * (13 + (d % 23) * 11) + y * 31) % 256
+    px[:, :, 1] = (d * 11 + f * 23 + x * (3 + (d % 29) * 7) + y * 17) % 256
+    px[:, :, 2] = (d * 5 + f * 29 + x * (29 + (d % 31) * 5) + y * 7) % 256
+    return px
+
+
+def encode_avi_payloads(
+    df: DataFrame, id_col: str = "doc_id", quality: int = 95
+) -> DataFrame:
+    """Render each id's synthetic clip as a REAL AVI MJPEG container
+    (operators/avicodec.py framing, operators/jpegcodec.py frames) —
+    the standards-compliant sibling of encode_video_payloads'
+    length-prefixed PNG container: RIFF chunk tree AND per-frame
+    codec are both real parseable bytes."""
+    import numpy as np
+
+    from . import avicodec, jpegcodec
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                w, h = png_dims(d)
+                frames = [
+                    jpegcodec.write_jpeg(
+                        w,
+                        h,
+                        _video_frame_pixels(d, f, w, h)
+                        .astype(np.uint8)
+                        .tobytes(),
+                        quality=quality,
+                    )
+                    for f in range(VIDEO_FRAMES)
+                ]
+                avi = avicodec.write_avi_mjpeg(w, h, frames)
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "payload": avi,
+                        "meta": {
+                            "mime": "video/x-msvideo",
+                            "n_bytes": len(avi),
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload", "meta"])
+
+    return df.select(id_col).mapInPandas(fn, PNG_SCHEMA)
+
+
+AVI_RT_SCHEMA = (
+    "doc_id long, width int, height int, n_frames int, "
+    "max_err int, mean_err double"
+)
+
+
+def decode_avi_roundtrip(df: DataFrame) -> DataFrame:
+    """Parse real AVI MJPEG payloads (container chunk tree via
+    avicodec, every frame via the JPEG codec) and score the decoded
+    frames against the analytically-known clip pixels: per-doc
+    (dims, frame count, max/mean per-frame reconstruction error).
+    Corrupt containers or frames quarantine to NULL rows."""
+    import numpy as np
+
+    from . import avicodec, jpegcodec
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                d = int(doc_id)
+                try:
+                    if meta["mime"] != "video/x-msvideo":
+                        raise ValueError("wrong mime routed")
+                    w, h, frames = avicodec.read_avi_mjpeg(bytes(payload))
+                    mx, tot, npx = 0, 0.0, 0
+                    for f, fb in enumerate(frames):
+                        fw, fh, out = jpegcodec.read_jpeg(fb)
+                        if (fw, fh) != (w, h):
+                            raise ValueError("frame/container dim clash")
+                        src = _video_frame_pixels(d, f, w, h)
+                        err = np.abs(out.astype(np.int64) - src)
+                        mx = max(mx, int(err.max()))
+                        tot += float(err.sum())
+                        npx += err.size
+                    rows.append(
+                        {
+                            "doc_id": d,
+                            "width": w,
+                            "height": h,
+                            "n_frames": len(frames),
+                            "max_err": mx,
+                            "mean_err": round(tot / npx, 4),
+                        }
+                    )
+                except (ValueError, struct.error):
+                    rows.append(
+                        {
+                            "doc_id": d,
+                            "width": None,
+                            "height": None,
+                            "n_frames": None,
+                            "max_err": None,
+                            "mean_err": None,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_frames",
+                    "max_err", "mean_err",
+                ],
+            )
+
+    return df.mapInPandas(fn, AVI_RT_SCHEMA)
+
+
 def decode_png_features(df: DataFrame) -> DataFrame:
     """Decode real PNG payloads back to (dims, per-channel means) with
     the stdlib codec — `_decode_real`, batch-applied. A payload that

@@ -257,6 +257,58 @@ def jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_AVI_MAX_ERR = 36  # per-pixel tolerance over all frames at quality 95
+_AVI_MEAN_ERR = 6.0
+
+
+@register(
+    "mjpeg_video_roundtrip",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(8 + doc_id % 8 AS INTEGER) AS width,
+               CAST(8 + doc_id % 5 AS INTEGER) AS height,
+               CAST({multimodal.VIDEO_FRAMES} AS INTEGER) AS n_frames,
+               true AS within_tolerance
+        FROM documents WHERE doc_id % 17 = 0
+        ORDER BY doc_id
+    """,
+    tags=("multimodal",),
+    doc="REAL video container round-trip: every sampled doc's "
+    "synthetic clip is encoded as a standards-compliant AVI MJPEG "
+    "file (operators/avicodec.py RIFF chunk tree — avih/strh/strf "
+    "headers, movi 00dc frame chunks, idx1 index — with per-frame "
+    "baseline JPEGs from operators/jpegcodec.py) and decoded back: "
+    "container parse -> per-frame Huffman/IDCT decode -> scored "
+    "against the analytically-known clip pixels. Oracle-exact "
+    "contract: dimensions, frame count, and a BOUNDED per-frame "
+    f"reconstruction error (max <= {_AVI_MAX_ERR}, mean <= "
+    f"{_AVI_MEAN_ERR} — measured envelope 24/3.5 at quality 95). "
+    "With the PNG-sequence container (video_neardup) this closes the "
+    "real-video-container gate: both the framing AND the frame codec "
+    "are real parseable bytes, no ffmpeg; corrupt containers or "
+    "frames quarantine to NULL rows.",
+)
+def mjpeg_video_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        spread(table(spark, sf_dir, "documents"))
+        .filter(F.col("doc_id") % 17 == 0)
+        .select("doc_id")
+    )
+    rt = multimodal.decode_avi_roundtrip(
+        multimodal.encode_avi_payloads(d, quality=95)
+    )
+    return rt.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_frames",
+        (
+            (F.col("max_err") <= _AVI_MAX_ERR)
+            & (F.col("mean_err") <= _AVI_MEAN_ERR)
+        ).alias("within_tolerance"),
+    ).orderBy("doc_id")
+
+
 _DE_NUMBERS = [
     "62,5",
     "6.063",

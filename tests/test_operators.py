@@ -4552,3 +4552,66 @@ def test_jpeg_decode_real_route_and_null_quarantine(spark):
     assert rows[13]["width"] == 8 + 13 % 8
     assert rows[13]["max_err"] is not None and rows[13]["max_err"] <= 32
     assert rows[14]["width"] is None and rows[14]["max_err"] is None
+
+
+def test_avi_mjpeg_container_roundtrip_and_quarantine(spark):
+    """The RIFF AVI MJPEG codec: container round-trip is byte-exact on
+    the frame payloads, dimensions come from the headers, every
+    corrupt class (empty, non-AVI, truncated, non-MJPG fourcc) raises
+    ValueError, and the Spark round-trip path yields NULL rows for
+    corrupt payloads."""
+    import numpy as np
+
+    from elt_data4transformation_spark.operators import (
+        avicodec as A,
+        jpegcodec as J,
+        multimodal,
+    )
+
+    w, h = 16, 12
+    frames = [
+        J.write_jpeg(
+            w,
+            h,
+            (
+                np.fromfunction(
+                    lambda y, x, c: (x * 7 + y * 11 + f * 19 + c * 5) % 256,
+                    (h, w, 3),
+                )
+            ).astype(np.uint8).tobytes(),
+            95,
+        )
+        for f in range(5)
+    ]
+    avi = A.write_avi_mjpeg(w, h, frames)
+    w2, h2, out = A.read_avi_mjpeg(avi)
+    assert (w2, h2) == (w, h) and out == frames  # byte-exact framing
+
+    for bad in (b"", b"RIFF\x00\x00\x00\x00XXXX", avi[:40],
+                avi[: len(avi) // 2]):
+        with pytest.raises(ValueError):
+            A.read_avi_mjpeg(bad)
+    mut = bytearray(avi)
+    i = avi.find(b"MJPG")
+    mut[i : i + 4] = b"H264"
+    with pytest.raises(ValueError):
+        A.read_avi_mjpeg(bytes(mut))
+
+    good = multimodal.encode_avi_payloads(
+        spark.createDataFrame([(17,)], "doc_id long"), quality=95
+    )
+    bad_df = good.select(
+        (F.col("doc_id") + 1).alias("doc_id"),
+        F.expr("substring(payload, 1, 64)").alias("payload"),
+        "meta",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in multimodal.decode_avi_roundtrip(
+            good.unionByName(bad_df)
+        ).collect()
+    }
+    ok = rows[17]
+    assert ok["width"] == 8 + 17 % 8 and ok["n_frames"] == multimodal.VIDEO_FRAMES
+    assert ok["max_err"] is not None and ok["max_err"] <= 36
+    assert rows[18]["width"] is None and rows[18]["n_frames"] is None
