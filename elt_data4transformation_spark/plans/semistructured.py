@@ -309,6 +309,52 @@ def mjpeg_video_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_ADPCM_MAX_ERR = 192  # per-sample tolerance (measured envelope 115)
+_ADPCM_MEAN_ERR = 16.0  # (measured envelope 6.0)
+
+
+@register(
+    "adpcm_audio_roundtrip",
+    oracle="""
+        SELECT doc_id,
+               CAST(400 + (doc_id % 50) * 8 AS BIGINT) AS n_samples,
+               true AS within_tolerance
+        FROM documents WHERE doc_id % 19 = 0
+        ORDER BY doc_id
+    """,
+    tags=("multimodal",),
+    doc="COMPRESSED audio round-trip through the pure-stdlib IMA "
+    "ADPCM codec (operators/adpcmcodec.py — WAV format tag 0x11, "
+    "4 bits/sample with adaptive step size, block headers + fact "
+    "chunk): every sampled doc's smooth synthetic signal is encoded, "
+    "the RIFF/fmt/fact/data chunks parsed back, and the blockwise "
+    "nibble decode scored against the known source PCM. Oracle-exact "
+    "contract: sample count + BOUNDED reconstruction error (max <= "
+    f"{_ADPCM_MAX_ERR}, mean <= {_ADPCM_MEAN_ERR} — measured "
+    "envelope 115/6.0; ADPCM is slope-tracking, so the fixture is a "
+    "bounded-slope triangle wave). Closes the compressed-audio decode "
+    "gate (PCM WAV was already real via the stdlib wave module); "
+    "corrupt payloads quarantine to NULL rows.",
+)
+def adpcm_audio_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        spread(table(spark, sf_dir, "documents"))
+        .filter(F.col("doc_id") % 19 == 0)
+        .select("doc_id")
+    )
+    rt = multimodal.decode_adpcm_roundtrip(
+        multimodal.encode_adpcm_payloads(d)
+    )
+    return rt.select(
+        "doc_id",
+        "n_samples",
+        (
+            (F.col("max_err") <= _ADPCM_MAX_ERR)
+            & (F.col("mean_err") <= _ADPCM_MEAN_ERR)
+        ).alias("within_tolerance"),
+    ).orderBy("doc_id")
+
+
 _DE_NUMBERS = [
     "62,5",
     "6.063",

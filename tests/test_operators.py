@@ -4615,3 +4615,50 @@ def test_avi_mjpeg_container_roundtrip_and_quarantine(spark):
     assert ok["width"] == 8 + 17 % 8 and ok["n_frames"] == multimodal.VIDEO_FRAMES
     assert ok["max_err"] is not None and ok["max_err"] <= 36
     assert rows[18]["width"] is None and rows[18]["n_frames"] is None
+
+
+def test_adpcm_codec_tracking_and_quarantine(spark):
+    """The IMA ADPCM codec: a smooth signal round-trips within the
+    slope-tracking error bound, the payload is genuinely compressed
+    (~4 bits/sample vs 16), the fact chunk trims block padding to the
+    exact sample count, every corrupt class raises ValueError, and
+    the Spark round-trip path NULL-quarantines corrupt payloads."""
+    import numpy as np
+
+    from elt_data4transformation_spark.operators import (
+        adpcmcodec as A,
+        multimodal,
+    )
+
+    t = np.arange(2000)
+    sine = (3000 * np.sin(t / 40)).astype(np.int16)
+    data = A.write_wav_adpcm(sine)
+    rate, out = A.read_wav_adpcm(data)
+    assert rate == 8000 and len(out) == len(sine)
+    err = np.abs(out.astype(int) - sine.astype(int))
+    assert err.max() <= 256 and err.mean() <= 16, (err.max(), err.mean())
+    # 4-bit codes + block headers: well under half the PCM bytes
+    assert len(data) < len(sine)  # 2000 samples = 4000 PCM bytes
+
+    for bad in (b"", b"RIFF\x00\x00\x00\x00WAVE", data[:30],
+                data[: len(data) // 2]):
+        with pytest.raises(ValueError):
+            A.read_wav_adpcm(bad)
+
+    good = multimodal.encode_adpcm_payloads(
+        spark.createDataFrame([(19,)], "doc_id long")
+    )
+    bad_df = good.select(
+        (F.col("doc_id") + 1).alias("doc_id"),
+        F.expr("substring(payload, 1, 20)").alias("payload"),
+        "meta",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in multimodal.decode_adpcm_roundtrip(
+            good.unionByName(bad_df)
+        ).collect()
+    }
+    assert rows[19]["n_samples"] == 400 + (19 % 50) * 8
+    assert rows[19]["max_err"] is not None and rows[19]["max_err"] <= 192
+    assert rows[20]["n_samples"] is None
