@@ -552,13 +552,33 @@ def _srp_bands_of(vecs: DataFrame) -> DataFrame:
     return dedup_ops.band_table(sigb, "vec_id", _SRP_BANDS)
 
 
+def _srp_twins_of(e0: DataFrame) -> DataFrame:
+    """The forged near-dup twins of the SRP fixture: vec_id < twin-N
+    gets a 0.9/0.1 neighbor-mixed copy under id + 100000 (the lossy
+    re-encode analog; mirrored verbatim in the oracle)."""
+    return e0.filter(F.col("vec_id") < _SRP_TWIN_N).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "v",
+            lambda x, i: F.round(
+                x * 0.9 + F.get(F.col("v"), (i + 1) % _SRP_DIM) * 0.1, 6
+            ),
+        ).alias("v"),
+    )
+
+
 def _srp_band_store(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stored SRP band keys for the REAL embeddings — the vector
-    sibling of the text signature store (_sigstore): published once
-    per corpus state under the same fingerprint + meta-last + atomic
-    swap protocol, read by every later run. Deterministic planes make
-    stored and fresh keys identical (the oracle recomputes from raw
-    vectors and still matches exact-hash)."""
+    """Stored SRP band keys for the REAL embeddings AND the forged
+    fixture twins — the vector sibling of the text signature store
+    (_sigstore): published once per corpus state under the same
+    fingerprint + meta-last + atomic swap protocol, read by every
+    later run. The twins are a pure function of the corpus (the
+    fixture's re-encode analog), so their keys are stored too — the
+    24-plane sign-fold projection (whose CODEGEN alone costs seconds
+    per session) never runs at query time at all. Deterministic
+    planes make stored and fresh keys identical — pinned by test; the
+    oracle recomputes everything from raw vectors and still matches
+    exact-hash."""
     import os
 
     store = os.path.join(
@@ -569,7 +589,8 @@ def _srp_band_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = artifacts.source_fingerprint(
         [os.path.join(sf_dir, "embeddings.parquet")],
         params=f"srp|planes={_SRP_PLANES}|bands={_SRP_BANDS}"
-        f"|bits={_SRP_BITS}|signs=md5-rademacher",
+        f"|bits={_SRP_BITS}|signs=md5-rademacher"
+        f"|twins=n{_SRP_TWIN_N}_off100000",
     )
 
     def build(tmp: str) -> None:
@@ -577,9 +598,10 @@ def _srp_band_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.col("embedding").cast("array<double>").alias("v"),
         )
-        _srp_bands_of(e0).write.mode("overwrite").partitionBy(
-            "band_idx"
-        ).parquet(f"{tmp}/bands")
+        twin = _srp_twins_of(e0)
+        _srp_bands_of(e0.unionByName(twin)).write.mode(
+            "overwrite"
+        ).partitionBy("band_idx").parquet(f"{tmp}/bands")
 
     artifacts.publish(store, fp, build)
     return spark.read.parquet(f"{store}/bands")
@@ -679,40 +701,50 @@ def embedding_neardup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"embedding_neardup_srp: vec_id {max_id} collides with the "
         "forged twin id space (>= 100000) — raise the twin offset"
     )
-    twin = e0.filter(F.col("vec_id") < _SRP_TWIN_N).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.transform(
-            "v",
-            lambda x, i: F.round(
-                x * 0.9 + F.get(F.col("v"), (i + 1) % _SRP_DIM) * 0.1, 6
-            ),
-        ).alias("v"),
-    )
-    e = e0.unionByName(twin)
+    e = e0.unionByName(_srp_twins_of(e0))
 
-    # the 24 sign-bit fold projections over the REAL corpus — the
-    # plan's most expensive expressions — come from a stored band-key
-    # artifact (the vector analog of the text signature store: SRP
-    # keys are pure per-row functions of (v, fixed planes), computed
-    # once per corpus state, identical whether stored or fresh); only
-    # the 80 forged fixture twins are projected at query time
-    base_bands = _srp_band_store(spark, sf_dir)
-    # persist + eager count: the candidate self-join (and the width
-    # aggregate under the cap) consumes `bands` three times — without
-    # materialization each consumer re-reads the store and re-projects
-    # the twins per consumer
+    # the 24 sign-bit fold projections — the plan's most expensive
+    # expressions, seconds of codegen alone — never run at query time:
+    # BOTH the real corpus's and the forged twins' band keys come from
+    # the stored artifact (the vector analog of the text signature
+    # store; keys are pure per-row functions of (v, fixed planes),
+    # computed once per corpus state, identical whether stored or
+    # fresh — pinned by test). persist + eager count: the candidate
+    # self-join (and the width aggregate under the cap) consumes
+    # `bands` three times
     from pyspark import StorageLevel
 
-    bands = base_bands.unionByName(_srp_bands_of(twin)).persist(
+    bands = _srp_band_store(spark, sf_dir).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     bands.count()
     cand = dedup_ops.capped_band_candidates(
         bands, "vec_id", _SRP_MAX_BUCKET
     )
-    ea = e.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("_va"))
-    eb = e.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("_vb"))
-    cos = F.round(vectors.cosine_col(F.col("_va"), F.col("_vb")), 6)
+    # rescore frame: per-row NORM precomputed once (the norm fold is a
+    # pure per-row function — dividing the per-pair dot by the stored
+    # norms' product is the IDENTICAL float expression, evaluated
+    # n times instead of n_pairs times), persisted because both sides
+    # of the pair join consume it
+    en = e.select(
+        "vec_id", "v", vectors.norm_col(F.col("v")).alias("_n")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    en.count()
+    ea = en.select(
+        F.col("vec_id").alias("doc_a"),
+        F.col("v").alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    eb = en.select(
+        F.col("vec_id").alias("doc_b"),
+        F.col("v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    cos = F.round(
+        vectors.dot_col(F.col("_va"), F.col("_vb"))
+        / F.nullif(F.col("_na") * F.col("_nb"), F.lit(0.0)),
+        6,
+    )
     return (
         cand.join(ea, "doc_a")
         .join(eb, "doc_b")

@@ -4075,6 +4075,7 @@ def test_srp_band_store_rows_equal_fresh_computation(spark):
     from elt_data4transformation_spark.plans.dedup import (
         _srp_band_store,
         _srp_bands_of,
+        _srp_twins_of,
     )
     from tests.conftest import SF_SMALL
 
@@ -4087,7 +4088,9 @@ def test_srp_band_store_rows_equal_fresh_computation(spark):
     )
     fresh = {
         (r["vec_id"], r["band_idx"], r["band_key"])
-        for r in _srp_bands_of(e0).collect()
+        for r in _srp_bands_of(
+            e0.unionByName(_srp_twins_of(e0))
+        ).collect()
     }
     assert stored == fresh
 
