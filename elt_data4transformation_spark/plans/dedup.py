@@ -1449,6 +1449,7 @@ def _ensure_stream_fixture(
     name: str,
     src_table: str,
     builder,
+    params_extra: str = "",
 ) -> str:
     """The streaming fixture's INCOMING FILES as a published artifact:
     the two ingest batch files are a pure function of the corpus, so
@@ -1468,7 +1469,7 @@ def _ensure_stream_fixture(
     )
     fp = artifacts.source_fingerprint(
         [os.path.join(sf_dir, f"{src_table}.parquet")],
-        params=f"{name}|tags=1,0|sig=v1",
+        params=f"{name}|tags=1,0|sig=v1{params_extra}",
     )
 
     def build(tmp: str) -> None:

