@@ -140,7 +140,10 @@ def read_avi_mjpeg(data: bytes) -> tuple[int, int, list[bytes]]:
                             compression = data[p3 + 4 : p3 + 8]
         elif listtype == b"movi":
             for f2, p2, n2 in _walk(data, p + 4, p + n):
-                if f2[2:4] in (b"dc", b"db"):
+                # only the declared video stream (stream 00) — a
+                # multi-stream AVI writes 01dc/01wb chunks that must
+                # not interleave foreign frames into the MJPEG list
+                if f2[:2] == b"00" and f2[2:4] in (b"dc", b"db"):
                     frames.append(data[p2 : p2 + n2])
     if compression != b"MJPG":
         raise ValueError(f"unsupported codec {compression!r}")

@@ -55,7 +55,10 @@ def _k_tag(line):
 def _section(lines, tag: str):
     """The D-row payload lines of header section ``tag``: lines
     strictly between the ``K;<tag>`` record and the next K record,
-    in file order."""
+    in file order. A cubefile missing the ``K;<tag>`` header decodes
+    to an EMPTY array (array_position returns 0 when absent; without
+    the ``start > 0`` guard every line index would satisfy the range
+    test and D rows of earlier sections would be mis-attributed)."""
     idx = F.transform(lines, lambda line, i: F.struct(i.alias("i"), line.alias("l")))
     start = F.array_position(F.transform(lines, _k_tag), F.lit(f"K;{tag}"))
     # first K line after the section header (array_position is 1-based)
@@ -68,7 +71,8 @@ def _section(lines, tag: str):
     return F.transform(
         F.filter(
             idx,
-            lambda x: (x["i"] + 1 > start)
+            lambda x: (start > 0)
+            & (x["i"] + 1 > start)
             & (x["i"] + 1 < nxt)
             & x["l"].startswith("D;"),
         ),
@@ -117,8 +121,12 @@ def parse_cubefile(
             "_ln", "_line"
         ),
     )
+    # qei_pos == 0 means the K;QEI header is absent — without the
+    # guard every header D row would be mis-read as a fact line
     j = facts.join(F.broadcast(hdr), id_col).filter(
-        (F.col("_ln") + 1 > F.col("qei_pos")) & F.col("_line").startswith("D;")
+        (F.col("qei_pos") > 0)
+        & (F.col("_ln") + 1 > F.col("qei_pos"))
+        & F.col("_line").startswith("D;")
     )
     toks = F.split(F.col("_line"), ";")
     n_axes = F.size("axes")

@@ -3,14 +3,16 @@ metadata, decoded/feature-extracted via Arrow-batched mapInPandas.
 
 The Spark-side contract is real and tested — schema (binary payload +
 metadata struct), partition-parallel batch iteration, stable output
-schema. Media decode status: PNG images are REAL (pure-stdlib codec in
-operators/pngcodec.py) and WAV audio is REAL (stdlib ``wave``), both
-exercised end-to-end by the image_decode_features /
-audio_decode_features queries against arithmetic oracles; jpeg and
-video decode still need PIL/ffmpeg, which this container lacks, so
-``decode_features`` computes deterministic byte-level pseudo-features
-for those and `_decode_real` raises NotImplementedError for such
-mimes — swap in PIL/ffmpeg at deployment and nothing else changes.
+schema. Media decode status (round 6+): ALL real via pure-stdlib
+codecs — PNG (operators/pngcodec.py), baseline JPEG incl. 4:2:0 and
+restart markers (jpegcodec.py), WAV (stdlib ``wave``), IMA ADPCM
+(adpcmcodec.py), AVI MJPEG video (avicodec.py), PDF text
+(pdftext.py) — each exercised end-to-end against a DuckDB oracle.
+``decode_features`` still offers deterministic byte-level
+pseudo-features for arbitrary mimes, and `_decode_real` raises
+NotImplementedError only as the documented mime-routing guard for
+formats outside the codec set (swap in PIL/ffmpeg at deployment and
+nothing else changes).
 """
 
 from __future__ import annotations

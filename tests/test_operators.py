@@ -4481,6 +4481,40 @@ def test_cubefile_headers_and_missing_codes(spark):
     assert all(r["value"] is None and r["quality"] == "q" for r in out)
 
 
+def test_cubefile_missing_header_sections_decode_empty(spark):
+    """ADVICE round-6 fix: a cubefile MISSING a K;<tag> header must
+    decode that section as empty — not mis-attribute earlier D rows
+    (array_position returns 0 for absent headers; unguarded, every
+    line index passed the range test). A file with no K;QEI yields
+    zero fact rows; a file with no K;DQA yields empty axes."""
+    from elt_data4transformation_spark.operators import cubefile
+
+    payload = cubefile.encode_cubefile(
+        "22222TEST",
+        axes=["REG"],
+        time_var="STAG",
+        measures=[("B1", "Anzahl")],
+        facts=[("r1", "2020", ("5", "", "0"))],
+    )
+    no_qei = "\n".join(
+        ln for ln in payload.split("\n") if not ln.startswith("K;QEI")
+    )
+    no_dqa = "\n".join(
+        ln for ln in payload.split("\n") if not ln.startswith("K;DQA")
+    )
+    df = spark.createDataFrame(
+        [("no_qei", no_qei), ("no_dqa", no_dqa)], ["cube_id", "payload"]
+    )
+    hdrs = {r["cube_id"]: r for r in cubefile.cube_headers(df).collect()}
+    # missing K;DQA -> axes empty, NOT the D rows of the K;DQ section
+    assert hdrs["no_dqa"]["axes"] == []
+    assert hdrs["no_qei"]["axes"] == ["REG"]
+    facts = cubefile.parse_cubefile(
+        df.filter(F.col("cube_id") == "no_qei")
+    ).collect()
+    assert facts == []  # no QEI header -> no fact rows, no mis-parse
+
+
 def test_jpeg_codec_roundtrip_bounds_and_quarantine():
     """The pure-stdlib baseline JPEG codec: encode->decode recovers a
     smooth gradient within tight bounds, a solid color EXACTLY (all-AC
@@ -4518,6 +4552,125 @@ def test_jpeg_codec_roundtrip_bounds_and_quarantine():
     prog[sof + 1] = 0xC2
     with pytest.raises(ValueError):
         J.read_jpeg(bytes(prog))
+
+
+def test_jpeg_subsampling_and_restart_markers():
+    """Round-7 extension: 4:2:0 / 4:2:2 chroma-subsampled encode and
+    decode (2x2-subsampled MCUs) round-trip within PSNR bounds, the
+    SOF sampling bytes are correct, and DRI/RSTn restart intervals
+    decode to EXACTLY the same pixels as the unrestarted stream."""
+    import numpy as np
+
+    from elt_data4transformation_spark.operators import jpegcodec as J
+
+    w, h = 37, 21  # non-multiple-of-16 exercises MCU edge padding
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            px[y, x] = (x * 5 % 250, y * 9 % 250, (x + y) * 4 % 250)
+
+    for mode, hv_byte, psnr_floor in (("420", 0x22, 28), ("422", 0x21, 30)):
+        data = J.write_jpeg(w, h, px.tobytes(), 95, subsampling=mode)
+        sof = data.find(b"\xff\xc0")
+        assert data[sof + 11] == hv_byte  # Y component sampling h<<4|v
+        w2, h2, out = J.read_jpeg(data)
+        assert (w2, h2) == (w, h)
+        mse = float(((out.astype(float) - px.astype(float)) ** 2).mean())
+        psnr = 10 * np.log10(255**2 / mse)
+        assert psnr > psnr_floor, (mode, psnr)
+
+    plain = J.write_jpeg(w, h, px.tobytes(), 90, subsampling="420")
+    rst = J.write_jpeg(
+        w, h, px.tobytes(), 90, subsampling="420", restart_interval=2
+    )
+    assert b"\xff\xdd" in rst and b"\xff\xdd" not in plain  # DRI present
+    assert any(bytes([0xFF, 0xD0 + i]) in rst for i in range(8))
+    _, _, out_plain = J.read_jpeg(plain)
+    _, _, out_rst = J.read_jpeg(rst)
+    # identical coefficients, only the entropy framing differs
+    assert np.array_equal(out_plain, out_rst)
+
+    # restart marker out of sequence -> quarantined
+    mut = bytearray(rst)
+    i = rst.find(b"\xff\xd0", rst.find(b"\xff\xda"))
+    assert i > 0
+    mut[i + 1] = 0xD5
+    with pytest.raises(ValueError):
+        J.read_jpeg(bytes(mut))
+
+
+def test_jpeg_malformed_inputs_raise_valueerror_only():
+    """ADVICE round-6 fix: every malformed-input class that used to
+    escape as KeyError/IndexError must surface as ValueError so the
+    callers' quarantine handlers catch it — undeclared Huffman/quant
+    table ids, scan component ids not in the frame, a file ending in
+    a lone 0xFF, and short DQT/DHT segments."""
+    import numpy as np
+
+    from elt_data4transformation_spark.operators import jpegcodec as J
+
+    solid = np.full((16, 16, 3), (120, 200, 40), dtype=np.uint8)
+    data = J.write_jpeg(16, 16, solid.tobytes(), 90)
+    sof = data.find(b"\xff\xc0")
+    sos = data.find(b"\xff\xda")
+    dqt = data.find(b"\xff\xdb")
+    dht = data.find(b"\xff\xc4")
+
+    def mutated(offset: int, value: int) -> bytes:
+        mut = bytearray(data)
+        mut[offset] = value
+        return bytes(mut)
+
+    cases = {
+        # SOS tdta of component 1 -> undeclared Huffman table id 3
+        "undeclared huffman": mutated(sos + 6, 0x33),
+        # SOS component id -> no matching SOF component
+        "scan id mismatch": mutated(sos + 5, 9),
+        # SOF tq of component 1 -> undeclared quant table id 7
+        "undeclared quant": mutated(sof + 12, 7),
+        # lone trailing 0xFF where a marker pair is expected
+        "lone 0xff": b"\xff\xd8\xff",
+        # DQT segment length shorter than one 65-byte table
+        "short dqt": data[: dqt + 2] + b"\x00\x05" + data[dqt + 4 :],
+        # DHT segment length shorter than the 17-byte header
+        "short dht": data[: dht + 2] + b"\x00\x08" + data[dht + 4 :],
+    }
+    for name, payload in cases.items():
+        with pytest.raises(ValueError):
+            J.read_jpeg(payload)
+
+
+def test_avi_foreign_stream_chunks_excluded():
+    """ADVICE round-6 fix: movi chunks from streams other than the
+    declared video stream (00) — e.g. an audio stream's 01wb/01dc —
+    must not interleave into the MJPEG frame list."""
+    import numpy as np
+
+    from elt_data4transformation_spark.operators import (
+        avicodec as A,
+        jpegcodec as J,
+    )
+
+    w, h = 16, 12
+    frames = [
+        J.write_jpeg(
+            w,
+            h,
+            np.full((h, w, 3), 40 * (f + 1), dtype=np.uint8).tobytes(),
+            95,
+        )
+        for f in range(3)
+    ]
+    avi = A.write_avi_mjpeg(w, h, frames)
+    # relabel the SECOND frame chunk as stream 01 (foreign stream)
+    first = avi.find(b"00dc")
+    second = avi.find(b"00dc", first + 4)
+    assert second > 0
+    mut = bytearray(avi)
+    mut[second : second + 2] = b"01"
+    w2, h2, out = A.read_avi_mjpeg(bytes(mut))
+    assert (w2, h2) == (w, h)
+    assert out == [frames[0], frames[2]]  # foreign chunk excluded
 
 
 def test_jpeg_decode_real_route_and_null_quarantine(spark):
