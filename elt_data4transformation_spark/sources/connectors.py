@@ -1,6 +1,9 @@
 """Ingestion-layer connector primitives (SURVEY §2.1 S13/S14/S26),
 re-expressed as pure, testable functions — the engine-facing surface of
-the reference's async HTTP connectors, without the network.
+the reference's async HTTP connectors — plus ``HttpFetcher``, the LIVE
+execution layer that drives those primitives over a real socket
+(stdlib urllib; integration-tested against an in-process localhost
+HTTP server, no external network).
 
 - ``paginate``: generic page/per_page pagination driver
   (connectors/base_connector.py:185-224) — the fetch callable is
@@ -24,6 +27,11 @@ acquisition parallelism is an ingest concern, not a query concern.
 
 from __future__ import annotations
 
+import json as _json
+import time as _time
+import urllib.error
+import urllib.parse
+import urllib.request
 from collections import deque
 from collections.abc import Callable, Iterator, Sequence
 from dataclasses import dataclass, field
@@ -117,3 +125,172 @@ class ConditionalGetCache:
     def is_fresh(self, key: str, status_code: int) -> bool:
         """304 Not Modified -> skip re-ingest (content unchanged)."""
         return status_code == 304 and key in self._state
+
+
+class FetchError(RuntimeError):
+    """A request failed after exhausting the retry schedule."""
+
+
+class HttpFetcher:
+    """LIVE execution of the connector primitives: paginate +
+    sliding-window rate limiter + exponential backoff (Retry-After
+    honoured, capped) + conditional-GET (ETag/If-None-Match, 304),
+    over a real socket via stdlib urllib.
+
+    Mirrors the reference retry/request loop
+    (connectors/base_connector.py:104-135 — rate-limit wait, bearer
+    auth header, JSON/text envelope, ``retry_delay * 2^attempt``
+    backoff, raise after max retries) and its generic page/per_page
+    pagination (:185-224, stop on empty/short ``data``). Clock and
+    sleep are injectable so integration tests stay deterministic and
+    fast; production callers use the wall-clock defaults.
+
+    Acquisition is an ingest concern, not a query concern: records a
+    fetcher drains land in Spark via ``ingest_paginated`` below
+    (driver-side createDataFrame — connector APIs are bounded feeds;
+    a URL list big enough to matter fans out via mapInPandas with one
+    fetcher per task instead)."""
+
+    def __init__(
+        self,
+        base_url: str,
+        api_key: str | None = None,
+        max_requests: int = 100,
+        window_s: float = 60.0,
+        max_retries: int = 3,
+        retry_base_s: float = 1.0,
+        backoff_cap_s: float = 30.0,
+        retry_after_cap_s: float = 120.0,
+        timeout_s: float = 10.0,
+        cache: ConditionalGetCache | None = None,
+        clock: Callable[[], float] = _time.monotonic,
+        sleep: Callable[[float], None] = _time.sleep,
+    ) -> None:
+        self.base_url = base_url.rstrip("/")
+        self.api_key = api_key
+        self.limiter = SlidingWindowRateLimiter(max_requests, window_s)
+        self.max_retries = max_retries
+        self.retry_base_s = retry_base_s
+        self.backoff_cap_s = backoff_cap_s
+        self.retry_after_cap_s = retry_after_cap_s
+        self.timeout_s = timeout_s
+        self.cache = cache if cache is not None else ConditionalGetCache()
+        self._clock = clock
+        self._sleep = sleep
+        self.request_count = 0  # includes retries; tests assert on it
+
+    def _auth_headers(self) -> dict[str, str]:
+        return (
+            {"Authorization": f"Bearer {self.api_key}"}
+            if self.api_key
+            else {}
+        )
+
+    def _open(self, url: str, headers: dict[str, str]):
+        req = urllib.request.Request(url, headers=headers, method="GET")
+        return urllib.request.urlopen(req, timeout=self.timeout_s)
+
+    def request_json(
+        self,
+        endpoint: str,
+        params: dict | None = None,
+        cache_key: str | None = None,
+    ) -> dict | None:
+        """One logical GET with the full reference protocol. Returns
+        the decoded JSON envelope ({'content': text} for non-JSON),
+        or None when a conditional GET answered 304 Not Modified."""
+        url = f"{self.base_url}/{endpoint.lstrip('/')}"
+        if params:
+            url += "?" + urllib.parse.urlencode(params)
+        headers = self._auth_headers()
+        if cache_key:
+            headers.update(self.cache.headers_for(cache_key))
+        last_exc: Exception | None = None
+        for attempt in range(self.max_retries + 1):
+            wait = self.limiter.wait_time(self._clock())
+            if wait > 0:
+                self._sleep(wait)
+            self.limiter.record(self._clock())
+            self.request_count += 1
+            try:
+                with self._open(url, headers) as resp:
+                    if cache_key:
+                        self.cache.update(
+                            cache_key,
+                            etag=resp.headers.get("ETag"),
+                            last_modified=resp.headers.get("Last-Modified"),
+                        )
+                    body = resp.read()
+                    ctype = resp.headers.get("Content-Type", "")
+                    if "application/json" in ctype:
+                        return _json.loads(body)
+                    return {"content": body.decode("utf-8", "replace")}
+            except urllib.error.HTTPError as exc:
+                if exc.code == 304 and cache_key:
+                    return None  # fresh — skip re-ingest
+                if exc.code in (429, 500, 502, 503, 504):
+                    last_exc = exc
+                    retry_after = exc.headers.get("Retry-After")
+                    delays = backoff_delays(
+                        attempts=self.max_retries,
+                        base_s=self.retry_base_s,
+                        cap_s=self.backoff_cap_s,
+                        retry_after_s=(
+                            float(retry_after) if retry_after else None
+                        ),
+                        retry_after_cap_s=self.retry_after_cap_s,
+                    )
+                    if attempt < self.max_retries:
+                        self._sleep(delays[attempt])
+                        continue
+                raise FetchError(
+                    f"GET {url} failed: HTTP {exc.code}"
+                ) from exc
+            except urllib.error.URLError as exc:
+                last_exc = exc
+                if attempt < self.max_retries:
+                    self._sleep(
+                        min(
+                            self.retry_base_s * (2**attempt),
+                            self.backoff_cap_s,
+                        )
+                    )
+                    continue
+        raise FetchError(f"GET {url} failed after retries") from last_exc
+
+    def paginate(
+        self,
+        endpoint: str,
+        per_page: int = 100,
+        params: dict | None = None,
+        max_pages: int | None = None,
+    ) -> Iterator[dict]:
+        """Drain a page/per_page endpoint through ``request_json`` —
+        the live twin of module-level ``paginate`` (same stop
+        condition: short or empty ``data`` page)."""
+
+        def fetch_page(page: int, size: int) -> Sequence[dict]:
+            q = dict(params or {})
+            q.update({"page": page, "per_page": size})
+            env = self.request_json(endpoint, q)
+            if env is None:
+                return []
+            return env.get("data", [])
+
+        return paginate(fetch_page, per_page=per_page, max_pages=max_pages)
+
+
+def ingest_paginated(
+    spark,
+    fetcher: HttpFetcher,
+    endpoint: str,
+    schema: str,
+    per_page: int = 100,
+    params: dict | None = None,
+):
+    """Drain a live paginated endpoint into a DataFrame with the given
+    DDL schema — the acquisition step that lands connector records in
+    a source table (reference pattern: fetched payloads -> staging
+    load, elt/loader side)."""
+    rows = list(fetcher.paginate(endpoint, per_page=per_page, params=params))
+    return spark.createDataFrame(rows, schema=schema)

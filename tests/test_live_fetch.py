@@ -1,0 +1,188 @@
+"""Live-fetch connector integration: the round-6 verdict's one
+remaining scope gap. Drives paginate + sliding-window rate limiter +
+exponential backoff (Retry-After honoured) + conditional-GET
+(ETag/304) through a REAL socket — an in-process localhost
+ThreadingHTTPServer, no external network — and lands the fetched
+records in a registered query's source table (region), proving the
+whole acquisition -> parquet -> query chain end-to-end.
+
+Reference semantics mirrored: connectors/base_connector.py:104-135
+(_make_request retry loop) and :185-224 (page/per_page pagination,
+stop on short page); the from_file/live parser-sharing pattern
+(sources/dawum.py:22-27) — the same registered query runs unchanged
+on the live-fetched table and on the original parquet.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import pyarrow.parquet as pq
+import pytest
+
+from elt_data4transformation_spark.plans.registry import REGISTRY
+from elt_data4transformation_spark.sources.connectors import (
+    ConditionalGetCache,
+    FetchError,
+    HttpFetcher,
+    ingest_paginated,
+)
+
+SF = os.environ.get("SPARK_GRAFT_SF_TEST", "/root/testdata/sf0.001")
+
+
+class _FixtureAPI(BaseHTTPRequestHandler):
+    """Paginated fixture API over the region table, with one injected
+    503 (Retry-After) and an ETag'd metadata endpoint."""
+
+    rows: list[dict] = []
+    hits: list[str] = []
+    failed_once = False
+    conditional_seen = False
+
+    def log_message(self, *a):  # quiet
+        pass
+
+    def _json(self, code: int, payload: dict, headers: dict | None = None):
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        for k, v in (headers or {}).items():
+            self.send_header(k, v)
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        u = urlparse(self.path)
+        q = parse_qs(u.query)
+        type(self).hits.append(u.path)
+        if u.path == "/api/region":
+            if not type(self).failed_once:
+                # first hit: transient failure with Retry-After — the
+                # fetcher must back off (honouring the header) and retry
+                type(self).failed_once = True
+                self._json(503, {"error": "warming up"}, {"Retry-After": "7"})
+                return
+            page = int(q.get("page", ["1"])[0])
+            per = int(q.get("per_page", ["100"])[0])
+            chunk = type(self).rows[(page - 1) * per : page * per]
+            self._json(200, {"data": chunk})
+        elif u.path == "/api/meta":
+            if self.headers.get("If-None-Match") == '"v1"':
+                type(self).conditional_seen = True
+                self.send_response(304)
+                self.end_headers()
+                return
+            self._json(200, {"version": 1}, {"ETag": '"v1"'})
+        else:
+            self._json(404, {"error": "not found"})
+
+
+@pytest.fixture(scope="module")
+def api_server():
+    tbl = pq.read_table(f"{SF}/region.parquet")
+    _FixtureAPI.rows = tbl.to_pylist()
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _FixtureAPI)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", _FixtureAPI
+    srv.shutdown()
+
+
+def _fake_timeline():
+    """Deterministic clock+sleep: sleeping advances the fake clock, so
+    rate-limit waits and backoff delays are observable without real
+    wall-clock time passing."""
+    t = [0.0]
+    sleeps: list[float] = []
+
+    def clock() -> float:
+        t[0] += 1e-4  # requests take non-zero fake time
+        return t[0]
+
+    def sleep(s: float) -> None:
+        sleeps.append(s)
+        t[0] += s
+
+    return clock, sleep, sleeps
+
+
+def test_live_paginated_fetch_into_registered_query_source(
+    spark, api_server, tmp_path
+):
+    base, api = api_server
+    clock, sleep, sleeps = _fake_timeline()
+    fetcher = HttpFetcher(
+        base,
+        api_key="fixture-key",
+        max_requests=2,
+        window_s=10.0,
+        max_retries=2,
+        retry_base_s=0.5,
+        clock=clock,
+        sleep=sleep,
+    )
+    df = ingest_paginated(
+        spark,
+        fetcher,
+        "api/region",
+        schema="r_regionkey int, r_name string",
+        per_page=2,
+    )
+    got = {(r["r_regionkey"], r["r_name"]) for r in df.collect()}
+    want = {(r["r_regionkey"], r["r_name"]) for r in api.rows}
+    assert got == want and len(got) == len(api.rows)
+
+    # the injected 503's Retry-After (7 s, capped schedule) was honoured
+    assert 7.0 in sleeps
+    # rate limiter engaged: the 3rd request inside the 10 s fake
+    # window had to wait (the backoff sleep is the exact 7.0 entry)
+    assert len([s for s in sleeps if s != 7.0 and s > 0]) >= 1
+    # retry accounting: ceil(n/per_page) pages + the one failed attempt
+    pages = -(-len(api.rows) // 2)
+    assert fetcher.request_count == pages + 1
+
+    # land the fetched records as the region source table; every other
+    # table links to the original dir — the registered query runs
+    # UNCHANGED on the live-fetched source (from_file/live parity)
+    sf_live = tmp_path / "sf_live"
+    sf_live.mkdir()
+    df.coalesce(1).write.parquet(str(sf_live / "region.parquet"))
+    for f in os.listdir(SF):
+        if f != "region.parquet":
+            os.symlink(os.path.join(SF, f), sf_live / f)
+    q = REGISTRY["region_revenue"].fn
+    live = [tuple(r) for r in q(spark, str(sf_live)).collect()]
+    orig = [tuple(r) for r in q(spark, SF).collect()]
+    assert live == orig and len(live) > 0
+
+
+def test_live_conditional_get_304_skips_reingest(api_server):
+    base, api = api_server
+    clock, sleep, _ = _fake_timeline()
+    cache = ConditionalGetCache()
+    fetcher = HttpFetcher(base, cache=cache, clock=clock, sleep=sleep)
+    first = fetcher.request_json("api/meta", cache_key="meta")
+    assert first == {"version": 1}
+    assert cache.headers_for("meta") == {"If-None-Match": '"v1"'}
+    second = fetcher.request_json("api/meta", cache_key="meta")
+    assert second is None  # 304 -> skip re-ingest
+    assert api.conditional_seen
+    assert cache.is_fresh("meta", 304)
+
+
+def test_live_fetch_error_after_retries(api_server):
+    base, _ = api_server
+    clock, sleep, sleeps = _fake_timeline()
+    fetcher = HttpFetcher(
+        base, max_retries=1, retry_base_s=0.25, clock=clock, sleep=sleep
+    )
+    with pytest.raises(FetchError):
+        fetcher.request_json("api/nope")  # 404: not retryable
+    # a 404 fails fast — no backoff sleeps
+    assert sleeps == []
