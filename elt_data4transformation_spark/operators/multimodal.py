@@ -251,15 +251,47 @@ def _synth_pixels(d: int, w: int, h: int):
     return px
 
 
+def _smooth_pixels(d: int, w: int, h: int):
+    """Smooth gradient image for doc ``d`` — monotone integer ramps
+    with NO mod-wrap edges, so chroma varies slowly and 4:2:0
+    subsampling reconstructs tightly (measured envelope max 10 / mean
+    2.45 across the fixture ids; _synth_pixels' wrap edges lose up to
+    212 under 2x2 chroma averaging, which is physics, not a bug)."""
+    import numpy as np
+
+    x = np.arange(w)
+    y = np.arange(h)[:, None]
+    px = np.empty((h, w, 3), dtype=np.int64)
+    px[:, :, 0] = (
+        d % 40 + (x * 120) // max(w - 1, 1) + (y * 60) // max(h - 1, 1)
+    )
+    px[:, :, 1] = (
+        d % 50 + (x * 80) // max(w - 1, 1) + (y * 100) // max(h - 1, 1)
+    )
+    px[:, :, 2] = d % 30 + ((x + y) * 90) // max(w + h - 2, 1)
+    return px
+
+
 def encode_jpeg_payloads(
-    df: DataFrame, id_col: str = "doc_id", quality: int = 85
+    df: DataFrame,
+    id_col: str = "doc_id",
+    quality: int = 85,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+    pixel_fn=None,
 ) -> DataFrame:
     """Render each id's synthetic image to real baseline-JPEG bytes
     (operators/jpegcodec.py) — the lossy sibling of
-    encode_png_payloads, exercising the image/jpeg decode route."""
+    encode_png_payloads, exercising the image/jpeg decode route.
+    ``subsampling``/``restart_interval`` pass through to the writer
+    (4:2:0 / 4:2:2 MCUs, DRI+RSTn framing); ``pixel_fn(d, w, h)``
+    overrides the synthetic image (module-level fns only — it ships
+    to executors)."""
     import numpy as np
 
     from . import jpegcodec
+
+    pix = pixel_fn or _synth_pixels
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -267,9 +299,14 @@ def encode_jpeg_payloads(
             for doc_id in pdf[id_col]:
                 d = int(doc_id)
                 w, h = png_dims(d)
-                px = _synth_pixels(d, w, h)
+                px = pix(d, w, h)
                 jpg = jpegcodec.write_jpeg(
-                    w, h, px.astype(np.uint8).tobytes(), quality=quality
+                    w,
+                    h,
+                    px.astype(np.uint8).tobytes(),
+                    quality=quality,
+                    subsampling=subsampling,
+                    restart_interval=restart_interval,
                 )
                 rows.append(
                     {
@@ -288,17 +325,20 @@ JPEG_RT_SCHEMA = (
 )
 
 
-def decode_jpeg_roundtrip(df: DataFrame) -> DataFrame:
+def decode_jpeg_roundtrip(df: DataFrame, pixel_fn=None) -> DataFrame:
     """Decode real JPEG payloads (operators/jpegcodec.read_jpeg) and
     score them against the analytically-known synthetic source pixels
-    (regenerated from the doc id — deterministic): per-doc dimensions
-    plus max/mean absolute reconstruction error. JPEG is lossy, so the
+    (regenerated from the doc id — deterministic; ``pixel_fn``
+    overrides, matching the encoder's): per-doc dimensions plus
+    max/mean absolute reconstruction error. JPEG is lossy, so the
     contract is BOUNDED error (asserted in tests), not bit-equality;
     corrupt payloads yield a NULL-features row (quarantine, never a
     stage failure)."""
     import numpy as np
 
     from . import jpegcodec
+
+    pix = pixel_fn or _synth_pixels
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -311,7 +351,7 @@ def decode_jpeg_roundtrip(df: DataFrame) -> DataFrame:
                     if meta["mime"] != "image/jpeg":
                         raise ValueError("wrong mime routed")
                     w, h, out = jpegcodec.read_jpeg(bytes(payload))
-                    src = _synth_pixels(d, w, h)
+                    src = pix(d, w, h)
                     err = np.abs(out.astype(np.int64) - src)
                     rows.append(
                         {

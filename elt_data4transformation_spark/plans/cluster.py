@@ -1251,8 +1251,20 @@ def answer_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     wt = F.pow(F.lit(0.5), (F.lit(2024) - F.col("pub_year")) / 3.0) * F.least(
         F.greatest(F.sqrt(F.col("sample_n") / 1000.0), F.lit(0.3)), F.lit(3.0)
     )
-    clustered = deduped.withColumn("cluster_id", cluster_id).withColumn(
-        "wt", wt
+    # TWO consumers (the per-position aggregate and the label
+    # election) read `clustered`; without materialization Catalyst
+    # replays the whole upstream — scan, spread, lexical+semantic
+    # union-agg, hits join, dedup window — once per branch (round-7
+    # plan audit: 17 exchanges, 6 parquet scans, zero ReusedExchange).
+    # One persist halves the plan; at 100 TB the same one-
+    # materialization-many-consumers shape is how a real pipeline
+    # stages this anyway.
+    from pyspark import StorageLevel
+
+    clustered = (
+        deduped.withColumn("cluster_id", cluster_id)
+        .withColumn("wt", wt)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     agg = clustered.groupBy("cluster_id", "position").agg(
         F.round(F.sum(F.col("pct") * F.col("wt")) / F.sum("wt"), 4).alias(
@@ -1457,7 +1469,7 @@ def levenshtein_lsh_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = d.select(
         "doc_id",
         F.array_join(F.slice(F.split("text", " "), 1, 4), " ").alias("title"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sh = t.select(
         F.col("doc_id").alias("_id"),
         T.char_shingles_col(_LEVLSH_SHINGLE, "title").alias("_sh"),
@@ -1465,18 +1477,63 @@ def levenshtein_lsh_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = dedup_ops.minhash_signature(
         sh, "_id", "_sh", _LEVLSH_HASHES, _LEVLSH_BANDS
     )
-    bands = dedup_ops.band_table(sig, "_id", _LEVLSH_BANDS).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # carry the TITLE through the band table: pairs come out of the
+    # band self-join already holding both strings, so no post-join
+    # back to the title table (round-7 profile: the two title joins +
+    # the pre-rescore distinct were ~0.8 s of pure stage floor; the
+    # rescore filter now runs BEFORE distinct, shrinking the exchange
+    # from all candidates to surviving matches). Same capped-bucket
+    # semantics as dedup_ops.capped_band_candidates, inlined to keep
+    # the payload columns; all joins are planner-chosen (broadcast at
+    # fixture scale, shuffle-on-band-key at 100 TB — the width/hub
+    # frame is bucket-cardinality and must never be hint-broadcast).
+    bt = (
+        dedup_ops.band_table(sig, "_id", _LEVLSH_BANDS)
+        .join(t, F.col("_id") == F.col("doc_id"))
+        .select("_id", "band_idx", "band_key", "title")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    bands.count()  # eager: both candidate-join sides reuse the cache
-    cand = dedup_ops.capped_band_candidates(bands, "_id", LSH_MAX_BUCKET)
-    ta = t.select(F.col("doc_id").alias("doc_a"), F.col("title").alias("_ta"))
-    tb = t.select(F.col("doc_id").alias("doc_b"), F.col("title").alias("_tb"))
+    bt.count()  # eager: widths, both self-join sides, and the star
+    # path all reuse the cached band+title frame
+    widths = bt.groupBy("band_idx", "band_key").agg(
+        F.count(F.lit(1)).alias("_w"),
+        F.min("_id").alias("_hub"),
+        F.min_by("title", "_id").alias("_hub_title"),
+    )
+    ok = widths.filter(F.col("_w") <= LSH_MAX_BUCKET).select(
+        "band_idx", "band_key"
+    )
+    okb = bt.join(ok, ["band_idx", "band_key"], "left_semi")
+    a, b = okb.alias("a"), okb.alias("b")
+    normal = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a._id") < F.col("b._id")),
+    ).select(
+        F.col("a._id").alias("doc_a"),
+        F.col("b._id").alias("doc_b"),
+        F.col("a.title").alias("_ta"),
+        F.col("b.title").alias("_tb"),
+    )
+    mega = widths.filter(F.col("_w") > LSH_MAX_BUCKET).select(
+        "band_idx", "band_key", "_hub", "_hub_title"
+    )
+    star = (
+        bt.join(mega, ["band_idx", "band_key"])
+        .filter(F.col("_id") > F.col("_hub"))
+        .select(
+            F.col("_hub").alias("doc_a"),
+            F.col("_id").alias("doc_b"),
+            F.col("_hub_title").alias("_ta"),
+            F.col("title").alias("_tb"),
+        )
+    )
     return (
-        cand.join(ta, "doc_a")
-        .join(tb, "doc_b")
+        normal.unionByName(star)
         .withColumn("dist", F.levenshtein("_ta", "_tb"))
         .filter(F.col("dist") <= _LEV_MAX)
         .select("doc_a", "doc_b", "dist")
+        .distinct()
         .orderBy("doc_a", "doc_b")
     )

@@ -22,6 +22,13 @@ from pyspark.sql import types as Ty
 
 _COUNTER = itertools.count()
 
+# StreamingQueryProgress state metrics of the most recent
+# _run_to_memory job: one row per (micro-batch, stateful operator)
+# with numRowsTotal / memoryUsedBytes. scripts/stream_stress.py reads
+# this to measure state-store growth at 10x — the metrics are
+# observability, never an input to any query result.
+LAST_STATE_METRICS: list[dict] = []
+
 def _events_schema(spark: SparkSession, sf_dir: str, glob: str) -> Ty.StructType:
     """Probe the parquet footer (cheap batch read, no data scan) so the
     stream schema matches whatever physical ts type the file carries —
@@ -43,16 +50,24 @@ def read_events_stream(
     (micros-typed files stream as-is). ``max_files_per_trigger`` forces
     multi-micro-batch runs (tests use it to prove batch-count
     independence)."""
-    schema = _events_schema(spark, sf_dir, glob)
-    # the file source wants a directory; glob-filter to the events table
-    reader = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", glob)
+    # two physical layouts: the testdata dirs hold events.parquet as a
+    # single FILE (stream the parent dir, glob-filtered to that file);
+    # replicated stress dirs hold it as a parquet DIRECTORY of part
+    # files (stream that directory itself — a pathGlobFilter of the
+    # dir name would match no leaf file and read nothing)
+    table_path = os.path.join(sf_dir, glob)
+    as_dir = "*" not in glob and os.path.isdir(table_path)
+    schema = (
+        spark.read.parquet(table_path).schema
+        if as_dir
+        else _events_schema(spark, sf_dir, glob)
     )
+    reader = spark.readStream.schema(schema).format("parquet")
+    if not as_dir:
+        reader = reader.option("pathGlobFilter", glob)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.load(sf_dir)
+    raw = reader.load(table_path if as_dir else sf_dir)
     if isinstance(schema["ts"].dataType, Ty.LongType):
         # integer div: double division would round the microsecond up
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -95,6 +110,17 @@ def _run_to_memory(
             .start()
         )
         q.processAllAvailable()
+        LAST_STATE_METRICS.clear()
+        for p in q.recentProgress:
+            for so in p.get("stateOperators") or []:
+                LAST_STATE_METRICS.append(
+                    {
+                        "batch_id": p.get("batchId"),
+                        "operator": so.get("operatorName"),
+                        "numRowsTotal": so.get("numRowsTotal"),
+                        "memoryUsedBytes": so.get("memoryUsedBytes"),
+                    }
+                )
         q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -5,6 +5,14 @@ Usage: python scripts/bench_duckdb.py [sf_dir] [out.json]
 Default sf_dir /root/testdata/sf0.1. Oracles are full materializations
 (``.df()``), mirroring bench.py's noop-sink full execution. DuckDB runs
 with all cores (default), same box as the Spark bench.
+
+MEASUREMENT ASYMMETRY (see BENCH_NOTES.md): for the ~19 queries whose
+Spark side probes a prebuilt store (registry ``prepare`` hooks, run
+UNTIMED by bench.py), the oracle here recomputes signatures/centroids/
+anchors from raw text inline EVERY run — those ratios compare Spark's
+amortized steady-state probe against a DuckDB full rebuild, not
+like-for-like. BENCH_NOTES.md publishes the probe-only and
+construct+probe numbers side by side.
 """
 
 from __future__ import annotations

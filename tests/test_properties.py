@@ -329,3 +329,43 @@ def test_partitioned_misra_gries_union_is_superset(xs, k, cuts):
     for item, c in Counter(xs).items():
         if c > len(xs) / k:
             assert item in cand, (item, c, len(xs), k)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.integers(0, 10_000),
+    st.lists(
+        st.tuples(st.integers(0, 5_000), st.integers(0, 255)),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(0, 5_000),
+)
+def test_jpeg_decode_mutations_only_raise_valueerror(seed, muts, cut):
+    """The quarantine contract as a PROPERTY (ADVICE round-6): for a
+    valid JPEG arbitrarily byte-mutated and/or truncated, read_jpeg
+    either decodes or raises ValueError — never KeyError/IndexError/
+    struct.error, which would escape the callers' quarantine handlers
+    and kill a Spark stage. Covers both writer shapes (4:4:4 plain and
+    4:2:0 with restart markers)."""
+    import numpy as np
+
+    from elt_data4transformation_spark.operators import jpegcodec as J
+
+    rng = np.random.default_rng(seed)
+    w, h = 8 + seed % 12, 8 + seed % 7
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    if seed % 2:
+        data = J.write_jpeg(w, h, px.tobytes(), 90)
+    else:
+        data = J.write_jpeg(
+            w, h, px.tobytes(), 90, subsampling="420", restart_interval=2
+        )
+    mut = bytearray(data)
+    for off, val in muts:
+        mut[off % len(mut)] = val
+    payload = bytes(mut)[: max(2, cut % (len(mut) + 1))]
+    try:
+        J.read_jpeg(payload)
+    except ValueError:
+        pass  # the one permitted failure mode
