@@ -369,3 +369,53 @@ def test_jpeg_decode_mutations_only_raise_valueerror(seed, muts, cut):
         J.read_jpeg(payload)
     except ValueError:
         pass  # the one permitted failure mode
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(0, 10_000),
+    st.lists(
+        st.tuples(st.integers(0, 5_000), st.integers(0, 255)),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(0, 5_000),
+)
+def test_container_codecs_mutations_only_raise_valueerror(seed, muts, cut):
+    """Same quarantine property for the other binary decoders: AVI
+    MJPEG containers, IMA ADPCM WAV, and PNG under arbitrary byte
+    mutation/truncation either decode or raise ValueError (zlib.error
+    and struct.error are also caught by every mapInPandas caller and
+    count as quarantined) — nothing else may escape."""
+    import struct as _struct
+    import zlib
+
+    import numpy as np
+
+    from elt_data4transformation_spark.operators import (
+        adpcmcodec,
+        avicodec,
+        jpegcodec,
+        pngcodec,
+    )
+
+    rng = np.random.default_rng(seed)
+    w, h = 8 + seed % 8, 8 + seed % 5
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    frame = jpegcodec.write_jpeg(w, h, px.tobytes(), 90)
+    samples = (rng.integers(-3000, 3000, size=64)).astype(np.int16)
+    payloads = {
+        "avi": (avicodec.read_avi_mjpeg, avicodec.write_avi_mjpeg(w, h, [frame] * 2)),
+        "adpcm": (adpcmcodec.read_wav_adpcm, adpcmcodec.write_wav_adpcm(samples, 8000)),
+        "png": (pngcodec.read_png, pngcodec.write_png(w, h, px.tobytes())),
+    }
+    quarantine = (ValueError, zlib.error, _struct.error)
+    for name, (reader, data) in payloads.items():
+        mut = bytearray(data)
+        for off, val in muts:
+            mut[off % len(mut)] = val
+        payload = bytes(mut)[: max(2, cut % (len(mut) + 1))]
+        try:
+            reader(payload)
+        except quarantine:
+            pass  # the permitted (caller-caught) failure modes
