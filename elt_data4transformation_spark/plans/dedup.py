@@ -1887,6 +1887,189 @@ def _register_decon_fuzzy() -> None:
 _register_decon_fuzzy()
 
 
+def _stream_decon_oracle() -> str:
+    """Twin of stream_decontaminate: the capped incremental-probe
+    oracle with the TEST split as the (fixed) index and the arriving
+    train-candidate docs as the probe, LEFT-joined back onto the full
+    arrival set so clean docs surface with status 'clean'. Because the
+    index never changes between micro-batches and probes are pure
+    per-doc functions, the streamed result equals this one-shot batch
+    query regardless of how arrivals are split into files."""
+    from .text import _SPLIT_TRAIN_MAX, _SPLIT_VAL_MAX
+
+    bucket = "SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2)"
+    inner = _incremental_probe_oracle(
+        idx_pred=f"{bucket} >= '{_SPLIT_VAL_MAX}'",
+        probe_pred=(
+            f"{bucket} < '{_SPLIT_TRAIN_MAX}' AND doc_id % {DELTA_MOD} = 0"
+        ),
+    )
+    return f"""
+        WITH arrivals AS (
+            SELECT doc_id FROM documents
+            WHERE {bucket} < '{_SPLIT_TRAIN_MAX}'
+              AND doc_id % {DELTA_MOD} = 0
+        ),
+        matched AS ({inner})
+        SELECT a.doc_id,
+               CASE WHEN m.matched_doc_id IS NULL
+                    THEN 'clean' ELSE 'contaminated' END AS status,
+               m.matched_doc_id AS test_doc_id,
+               m.jaccard
+        FROM arrivals a
+        LEFT JOIN matched m ON a.doc_id = m.new_doc_id
+        ORDER BY a.doc_id
+    """
+
+
+def _register_stream_decon() -> None:
+    """Registered via a builder so dataset_split's md5 bucket bounds
+    import lazily from text.py (same pattern as decontamination_fuzzy)."""
+    from .text import _SPLIT_TRAIN_MAX, _SPLIT_VAL_MAX
+
+    @register(
+        "stream_decontaminate",
+        oracle=_stream_decon_oracle(),
+        tags=("streaming", "text", "dedup", "composite"),
+        prepare=_prep_sigstore,
+        doc="STREAMING test-set leakage guard — decontamination moved "
+        "to where a production pipeline actually needs it: the ingest "
+        "path. Train-candidate documents arrive as file micro-batches "
+        "(readStream, maxFilesPerTrigger=1, availableNow); inside "
+        "foreachBatch each batch's STORED signatures (signature "
+        "store, zero re-shingling) probe the FIXED eval-set fuzzy "
+        "index (the test split's band keys — small by construction, "
+        "an eval set vs a corpus), and every arriving doc's "
+        "disposition lands in an append-only parquet sink: "
+        "'contaminated' with its best-matching test doc and Jaccard, "
+        "or 'clean'. Contaminated docs are thereby quarantined BEFORE "
+        "they enter the training corpus, instead of detected after "
+        "the fact (decontamination_fuzzy's batch shape). The index "
+        "never mutates between batches and probes are pure per-doc "
+        "functions, so results are deterministic regardless of file "
+        "batching — the oracle is the one-shot batch query. State is "
+        "bounded: no streaming state store, the sink absorbs match "
+        "volume, the driver holds nothing. Composition of "
+        "_sigstore + probe_band_index + the stream-loop machinery; "
+        "reference analog: the gold-set eval harness (eval/"
+        "harness.py:52-151) guarded at ingest (main.py ingest loop).",
+    )
+    def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import shutil
+        import tempfile
+
+        store = _sigstore(spark, sf_dir)
+        bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+        # the store frames are read ONCE and cached for the whole loop
+        # (three micro-batches each slice the same frames — without the
+        # cache every batch re-scans the shingle store's wide arrays);
+        # no eager count: the drains run sequentially, the first probe
+        # materializes the cache while doing its own work
+        from pyspark import StorageLevel
+
+        bands = spark.read.parquet(f"{store}/bands").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        sh = spark.read.parquet(f"{store}/shingles").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        # the FIXED eval-set index: test-split slices of the store
+        test_bands = bands.filter(bucket >= _SPLIT_VAL_MAX)
+        test_sh = sh.filter(bucket >= _SPLIT_VAL_MAX)
+        arriving = (bucket < _SPLIT_TRAIN_MAX) & (
+            F.col("doc_id") % DELTA_MOD == 0
+        )
+        best = Window.partitionBy("new_doc_id").orderBy(
+            F.desc("jaccard_raw"), F.asc("matched_doc_id")
+        )
+        work = tempfile.mkdtemp(prefix="stream_decon_")
+        try:
+            ids = (
+                table(spark, sf_dir, "documents")
+                .filter(arriving)
+                .select("doc_id")
+            )
+            # three arrival files -> three micro-batches (any split
+            # works: the fixed index makes batching invisible)
+            for t in range(3):
+                ids.filter(F.col("doc_id") % 3 == t).coalesce(1).write.parquet(
+                    os.path.join(work, "in", f"b{t}")
+                )
+            log = os.path.join(work, "log")
+
+            def guard(batch_df: DataFrame, _batch_id: int) -> None:
+                batch_ids = batch_df.select("doc_id")
+                scored = dedup_ops.probe_band_index(
+                    spark,
+                    store,
+                    id_col="doc_id",
+                    threshold=0.5,
+                    delta_sh=sh.join(batch_ids, "doc_id", "left_semi"),
+                    delta_bands=bands.join(
+                        batch_ids, "doc_id", "left_semi"
+                    ),
+                    idx_bands=test_bands,
+                    idx_sh=test_sh,
+                )
+                hit = (
+                    scored.withColumn("rn", F.row_number().over(best))
+                    .filter(F.col("rn") == 1)
+                    .select("new_doc_id", "matched_doc_id", "jaccard_raw")
+                )
+                (
+                    batch_ids.join(
+                        hit,
+                        batch_ids["doc_id"] == hit["new_doc_id"],
+                        "left",
+                    )
+                    .select(
+                        "doc_id",
+                        F.when(
+                            F.col("matched_doc_id").isNull(), "clean"
+                        )
+                        .otherwise("contaminated")
+                        .alias("status"),
+                        F.col("matched_doc_id").alias("test_doc_id"),
+                        F.round("jaccard_raw", 6).alias("jaccard"),
+                    )
+                    .coalesce(1)
+                    .write.mode("append")
+                    .parquet(log)
+                )
+
+            q = (
+                spark.readStream.schema("doc_id long")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(os.path.join(work, "in", "*"))
+                .writeStream.foreachBatch(guard)
+                .option(
+                    "checkpointLocation", os.path.join(work, "ckpt")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            out_schema = (
+                "doc_id long, status string, test_doc_id long, "
+                "jaccard double"
+            )
+            # localCheckpoint so the returned frame survives cleanup
+            return (
+                spark.read.schema(out_schema)
+                .parquet(log)
+                .orderBy("doc_id")
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            bands.unpersist()
+            sh.unpersist()
+            shutil.rmtree(work, ignore_errors=True)
+
+
+_register_stream_decon()
+
+
 def _stream_ingest_oracle() -> str:
     """Twin of stream_index_ingest: per ingest tag t, the best match of
     each tag-t document against corpus ∪ {tags < t} — the sequential
