@@ -1990,10 +1990,12 @@ def _register_stream_decon() -> None:
                 .filter(arriving)
                 .select("doc_id")
             )
-            # three arrival files -> three micro-batches (any split
-            # works: the fixed index makes batching invisible)
-            for t in range(3):
-                ids.filter(F.col("doc_id") % 3 == t).coalesce(1).write.parquet(
+            # two arrival files -> two micro-batches, matching the
+            # ingest loop's 2-tag fixture convention (any split works:
+            # the fixed index makes batching invisible — the oracle is
+            # the one-shot batch query either way)
+            for t in range(2):
+                ids.filter(F.col("doc_id") % 2 == t).coalesce(1).write.parquet(
                     os.path.join(work, "in", f"b{t}")
                 )
             log = os.path.join(work, "log")

@@ -755,3 +755,231 @@ def poll_quality_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(bad_pct)
         .orderBy("issue_type", "id")
     )
+
+
+@register(
+    "canonical_metadata",
+    oracle="""
+        WITH src AS (
+            SELECT doc_id,
+                   ['destatis', 'eurostat', 'soep'][CAST(doc_id % 3 AS INTEGER) + 1]
+                       AS source,
+                   LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+                                  w -> REGEXP_REPLACE(w, '[^A-Za-z0-9]', '', 'g'))
+                       AS w
+            FROM documents WHERE doc_id % 7 = 0
+        ), raw AS (
+            SELECT doc_id, source,
+                   TRIM(CONCAT_WS(' ', w[1], w[2], w[3])) AS title_raw,
+                   TRIM(CONCAT_WS(' ', w[4], w[5], w[6], w[7])) AS desc_raw,
+                   CASE source
+                     WHEN 'soep' THEN '["' || w[1] || '","' || w[2] || '"]'
+                     WHEN 'destatis' THEN w[1] || ';' || w[2] || ', ' || w[3]
+                     ELSE w[1]
+                   END AS keywords_raw,
+                   CASE source
+                     WHEN 'soep' THEN ['sex:' || w[3], 'age:' || w[4]]
+                     ELSE CAST([] AS VARCHAR[])
+                   END AS variables_raw,
+                   CASE source
+                     WHEN 'destatis' THEN
+                       '2024-0' || CAST(doc_id % 9 + 1 AS VARCHAR) || '-15'
+                     WHEN 'eurostat' THEN ''
+                     ELSE 'not-a-date'
+                   END AS lu_raw
+            FROM src
+        ), cleaned AS (
+            SELECT doc_id, source,
+                   source || '-' || CAST(doc_id AS VARCHAR) AS dataset_id,
+                   CASE WHEN LENGTH(title_raw) > 0 THEN title_raw
+                        ELSE 'Dataset ' || CAST(doc_id AS VARCHAR) END AS title,
+                   CASE WHEN LENGTH(desc_raw) > 0 THEN desc_raw
+                        WHEN LENGTH(title_raw) > 0 THEN title_raw
+                        ELSE 'Dataset ' || CAST(doc_id AS VARCHAR) END
+                       AS description,
+                   LIST_FILTER(LIST_TRANSFORM(
+                       CASE WHEN LEFT(TRIM(keywords_raw), 1) = '['
+                                 AND RIGHT(TRIM(keywords_raw), 1) = ']'
+                                 AND JSON_VALID(TRIM(keywords_raw))
+                            THEN FROM_JSON(TRIM(keywords_raw), '["VARCHAR"]')
+                            ELSE STRING_SPLIT(
+                                REPLACE(TRIM(keywords_raw), ';', ','), ',')
+                       END, x -> TRIM(x)), x -> LENGTH(x) > 0) AS keywords,
+                   LIST_FILTER(LIST_TRANSFORM(variables_raw, x -> TRIM(x)),
+                               x -> LENGTH(x) > 0) AS variables,
+                   TRY_CAST(lu_raw AS TIMESTAMP) AS latest_update
+            FROM raw
+        )
+        SELECT source, dataset_id, title, description,
+               COALESCE(ARRAY_TO_STRING(
+                   LIST_SORT(LIST_DISTINCT(keywords)), ','), '')
+                   AS keywords,
+               COALESCE(ARRAY_TO_STRING(
+                   LIST_SORT(LIST_DISTINCT(variables)), ','), '')
+                   AS variables,
+               STRFTIME(latest_update, '%Y-%m-%dT%H:%M:%S') AS latest_update,
+               MD5(CONCAT('source=', source, '|dataset_id=', dataset_id,
+                   '|title=', title, '|description=', description,
+                   '|keywords=',
+                   COALESCE(ARRAY_TO_STRING(
+                       LIST_SORT(LIST_DISTINCT(keywords)), ','), ''),
+                   '|variables=',
+                   COALESCE(ARRAY_TO_STRING(
+                       LIST_SORT(LIST_DISTINCT(variables)), ','), ''),
+                   '|latest_update=',
+                   COALESCE(STRFTIME(latest_update, '%Y-%m-%dT%H:%M:%S'),
+                            'null'))) AS metadata_hash,
+               ARRAY_TO_STRING(LIST_FILTER(
+                   [title, description,
+                    COALESCE(ARRAY_TO_STRING(keywords, ' '), ''),
+                    COALESCE(ARRAY_TO_STRING(variables, ' '), '')],
+                   x -> LENGTH(x) > 0), ' ') AS text_blob
+        FROM cleaned
+        ORDER BY dataset_id
+    """,
+    tags=("mart", "semistructured", "composite"),
+    doc="Canonical metadata ADAPTER — the reference's per-source "
+    "normalization IR made an explicit operator (elt/adapters/"
+    "metadata.py:19-60 CanonicalDatasetMetadata + :63-87 "
+    "_clean_list_values, pinned by tests/unit/test_soep_adapter.py "
+    "and test_metadata_adapters.py): heterogeneous catalog rows "
+    "(destatis / eurostat / soep shapes synthesized per doc) are "
+    "normalized to one struct — title with dataset-id fallback, "
+    "description falling back to title, keyword lists accepted as "
+    "EITHER a JSON array string OR a comma/semicolon-delimited "
+    "string (the adapter's dual-shape rule: parse when it looks like "
+    "JSON and validates, else split on ;/, — then trim and drop "
+    "empties), variables as dim:category expansions, best-effort "
+    "ISO timestamp (NULL when unparseable, the adapter's logged "
+    "fallback), an md5 metadata_hash over the canonical "
+    "sorted-deduped payload (compute_hash, :35-49), and the "
+    "text_blob concatenation used for keyword/embedding matching "
+    "(:51-60). Pure column expressions — at 100 TB this is a "
+    "projection fused into the catalog scan.",
+)
+def canonical_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    w = F.transform(
+        F.split("text", " "),
+        lambda x: F.regexp_replace(x, "[^A-Za-z0-9]", ""),
+    )
+    src = d.select(
+        "doc_id",
+        F.element_at(
+            F.array(F.lit("destatis"), F.lit("eurostat"), F.lit("soep")),
+            (F.col("doc_id") % 3).cast("int") + 1,
+        ).alias("source"),
+        w.alias("w"),
+    )
+    el = lambda i: F.element_at("w", i)  # noqa: E731
+    raw = src.select(
+        "doc_id",
+        "source",
+        F.trim(F.concat_ws(" ", el(1), el(2), el(3))).alias("title_raw"),
+        F.trim(F.concat_ws(" ", el(4), el(5), el(6), el(7))).alias(
+            "desc_raw"
+        ),
+        F.when(
+            F.col("source") == "soep",
+            F.concat(
+                F.lit('["'), el(1), F.lit('","'), el(2), F.lit('"]')
+            ),
+        )
+        .when(
+            F.col("source") == "destatis",
+            F.concat(el(1), F.lit(";"), el(2), F.lit(", "), el(3)),
+        )
+        .otherwise(el(1))
+        .alias("keywords_raw"),
+        F.when(
+            F.col("source") == "soep",
+            F.array(
+                F.concat(F.lit("sex:"), el(3)),
+                F.concat(F.lit("age:"), el(4)),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("variables_raw"),
+        F.when(
+            F.col("source") == "destatis",
+            F.concat(
+                F.lit("2024-0"),
+                (F.col("doc_id") % 9 + 1).cast("string"),
+                F.lit("-15"),
+            ),
+        )
+        .when(F.col("source") == "eurostat", F.lit(""))
+        .otherwise(F.lit("not-a-date"))
+        .alias("lu_raw"),
+    )
+    # _clean_list_values: JSON-array string OR ;/,-delimited string ->
+    # trimmed non-empty list (reference elt/adapters/metadata.py:63-87)
+    kt = F.trim("keywords_raw")
+    parsed = F.from_json(kt, "array<string>")
+    kw_list = F.filter(
+        F.transform(
+            F.when(
+                kt.startswith("[") & kt.endswith("]") & parsed.isNotNull(),
+                parsed,
+            ).otherwise(F.split(F.replace(kt, F.lit(";"), F.lit(",")), ",")),
+            lambda x: F.trim(x),
+        ),
+        lambda x: F.length(x) > 0,
+    )
+    var_list = F.filter(
+        F.transform("variables_raw", lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+    fallback = F.concat(F.lit("Dataset "), F.col("doc_id").cast("string"))
+    cleaned = raw.select(
+        "doc_id",
+        "source",
+        F.concat(
+            "source", F.lit("-"), F.col("doc_id").cast("string")
+        ).alias("dataset_id"),
+        F.when(F.length("title_raw") > 0, F.col("title_raw"))
+        .otherwise(fallback)
+        .alias("title"),
+        F.when(F.length("desc_raw") > 0, F.col("desc_raw"))
+        .when(F.length("title_raw") > 0, F.col("title_raw"))
+        .otherwise(fallback)
+        .alias("description"),
+        kw_list.alias("keywords"),
+        var_list.alias("variables"),
+        F.expr("try_cast(lu_raw as timestamp)").alias("latest_update"),
+    )
+    kws = F.array_join(F.array_sort(F.array_distinct("keywords")), ",")
+    vrs = F.array_join(F.array_sort(F.array_distinct("variables")), ",")
+    iso = F.date_format("latest_update", "yyyy-MM-dd'T'HH:mm:ss")
+    return cleaned.select(
+        "source",
+        "dataset_id",
+        "title",
+        "description",
+        kws.alias("keywords"),
+        vrs.alias("variables"),
+        iso.alias("latest_update"),
+        F.md5(
+            F.concat(
+                F.lit("source="), "source",
+                F.lit("|dataset_id="), "dataset_id",
+                F.lit("|title="), "title",
+                F.lit("|description="), "description",
+                F.lit("|keywords="), kws,
+                F.lit("|variables="), vrs,
+                F.lit("|latest_update="), F.coalesce(iso, F.lit("null")),
+            )
+        ).alias("metadata_hash"),
+        F.array_join(
+            F.filter(
+                F.array(
+                    F.col("title"),
+                    F.col("description"),
+                    F.array_join("keywords", " "),
+                    F.array_join("variables", " "),
+                ),
+                lambda x: F.length(x) > 0,
+            ),
+            " ",
+        ).alias("text_blob"),
+    ).orderBy("dataset_id")
