@@ -983,3 +983,121 @@ def canonical_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("text_blob"),
     ).orderBy("dataset_id")
+
+
+@register(
+    "coverage_funnel",
+    oracle="""
+        WITH unified AS (
+            SELECT o_orderpriority AS source, o_custkey AS dataset_id,
+                   o_orderstatus AS status
+            FROM orders
+        ),
+        source_totals AS (
+            SELECT source, COUNT(DISTINCT dataset_id) AS total_datasets
+            FROM unified GROUP BY source
+        ),
+        handled AS (
+            SELECT DISTINCT source, dataset_id, 'topic' AS status
+            FROM unified WHERE status = 'F'
+            UNION ALL
+            SELECT DISTINCT source, dataset_id, 'review' AS status
+            FROM unified WHERE status = 'O'
+            UNION ALL
+            SELECT DISTINCT source, dataset_id, 'excluded' AS status
+            FROM unified WHERE status = 'P'
+        ),
+        status_counts AS (
+            SELECT source,
+                   COUNT(DISTINCT dataset_id)
+                       FILTER (WHERE status = 'topic') AS labeled_datasets,
+                   COUNT(DISTINCT dataset_id)
+                       FILTER (WHERE status = 'review') AS review_datasets,
+                   COUNT(DISTINCT dataset_id)
+                       FILTER (WHERE status = 'excluded')
+                       AS excluded_datasets,
+                   COUNT(DISTINCT dataset_id) AS handled_datasets
+            FROM handled GROUP BY source
+        )
+        SELECT t.source, t.total_datasets,
+               COALESCE(s.labeled_datasets, 0) AS labeled_datasets,
+               COALESCE(s.review_datasets, 0) AS review_datasets,
+               COALESCE(s.excluded_datasets, 0) AS excluded_datasets,
+               t.total_datasets - COALESCE(s.handled_datasets, 0)
+                   AS unlabeled_datasets
+        FROM source_totals t
+        LEFT JOIN status_counts s ON t.source = s.source
+        ORDER BY t.source
+    """,
+    tags=("mart", "aggregate", "setop", "composite"),
+    doc="Per-source classification coverage funnel — the ops "
+    "dashboard's headline table as one composite (reference "
+    "streamlit_app/pages/3_Topic_Browser.py:75-120): per-source "
+    "dataset totals, three DISTINCT status streams (assigned / "
+    "review / excluded) UNION'd, conditional-DISTINCT counts per "
+    "status (ClickHouse uniqExactIf -> countDistinct(when)), and a "
+    "LEFT JOIN back onto totals with ifNull-zero defaults and the "
+    "residual unlabeled = total - handled (handled counts each "
+    "dataset ONCE even when it sits in several status streams — the "
+    "uniqExact-over-union semantics, not a sum of the three "
+    "columns). Two aggregate shuffles on the same source/dataset key "
+    "family + one broadcast-size join of per-source rows; at 100 TB "
+    "the status streams are dashboard-bounded, the unified scan "
+    "dominates and combines map-side.",
+)
+def coverage_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("source"),
+        F.col("o_custkey").alias("dataset_id"),
+        F.col("o_orderstatus").alias("raw_status"),
+    )
+    totals = o.groupBy("source").agg(
+        F.countDistinct("dataset_id").alias("total_datasets")
+    )
+
+    def stream(raw: str, label: str) -> DataFrame:
+        return (
+            o.filter(F.col("raw_status") == raw)
+            .select("source", "dataset_id")
+            .distinct()
+            .withColumn("status", F.lit(label))
+        )
+
+    handled = (
+        stream("F", "topic")
+        .unionByName(stream("O", "review"))
+        .unionByName(stream("P", "excluded"))
+    )
+    counts = handled.groupBy("source").agg(
+        F.countDistinct(
+            F.when(F.col("status") == "topic", F.col("dataset_id"))
+        ).alias("labeled_datasets"),
+        F.countDistinct(
+            F.when(F.col("status") == "review", F.col("dataset_id"))
+        ).alias("review_datasets"),
+        F.countDistinct(
+            F.when(F.col("status") == "excluded", F.col("dataset_id"))
+        ).alias("excluded_datasets"),
+        F.countDistinct("dataset_id").alias("handled_datasets"),
+    )
+    return (
+        totals.join(counts, "source", "left")
+        .select(
+            "source",
+            "total_datasets",
+            F.coalesce("labeled_datasets", F.lit(0)).alias(
+                "labeled_datasets"
+            ),
+            F.coalesce("review_datasets", F.lit(0)).alias(
+                "review_datasets"
+            ),
+            F.coalesce("excluded_datasets", F.lit(0)).alias(
+                "excluded_datasets"
+            ),
+            (
+                F.col("total_datasets")
+                - F.coalesce("handled_datasets", F.lit(0))
+            ).alias("unlabeled_datasets"),
+        )
+        .orderBy("source")
+    )
