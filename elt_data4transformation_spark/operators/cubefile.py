@@ -96,7 +96,11 @@ def cube_headers(
         F.col(id_col),
         name_of(_section(lines, "DQA")).alias("axes"),
         name_of(_section(lines, "DQI")).alias("measures"),
-        F.element_at(name_of(_section(lines, "DQZ")), 1).alias("time_var"),
+        # try_element_at: a cube missing its DQZ D-row has no time
+        # variable (NULL), not an ANSI out-of-bounds stage failure
+        F.try_element_at(name_of(_section(lines, "DQZ")), F.lit(1)).alias(
+            "time_var"
+        ),
         F.array_position(F.transform(lines, _k_tag), F.lit("K;QEI")).alias(
             "qei_pos"
         ),
@@ -144,7 +148,9 @@ def parse_cubefile(
             ),
             "|",
         ).alias("dims"),
-        F.element_at(toks, n_axes + 2).alias("time_code"),
+        # try_element_at: a mangled fact line shorter than the axis
+        # count must quarantine to NULL, not ANSI-error the stage
+        F.try_element_at(toks, n_axes + 2).alias("time_code"),
         F.posexplode("measures").alias("_mi", "measure"),
         toks.alias("_toks"),
         n_axes.alias("_na"),
@@ -165,7 +171,12 @@ def parse_cubefile(
                 raw_val.isin(*MISSING_CODES), F.lit(None).cast("double")
             )
             .otherwise(
-                F.replace(raw_val, F.lit(","), F.lit(".")).cast("double")
+                # try_cast: an undocumented junk value token decodes to
+                # NULL (quality flag retained) instead of an ANSI
+                # cast error killing the whole cube
+                F.replace(raw_val, F.lit(","), F.lit(".")).try_cast(
+                    "double"
+                )
             )
             .alias("value"),
             F.nullif(F.element_at("_toks", base + 2), F.lit("")).alias(

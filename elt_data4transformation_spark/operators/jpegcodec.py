@@ -34,6 +34,11 @@ import struct
 
 import numpy as np
 
+# hard ceiling on decoded frame size: fixture/pipeline payloads are far
+# smaller, and a forged SOF claiming 65535x65535 would otherwise demand
+# ~100 GB of planes before the entropy check could reject it
+_MAX_DECODE_PIXELS = 1 << 24  # 16.7 MP
+
 # standard Annex-K base quantization tables (row-major 8x8)
 _QL = np.array(
     [
@@ -450,6 +455,8 @@ def _read_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
             if seg[0] != 8:
                 raise ValueError("only 8-bit precision supported")
             height, width = struct.unpack(">HH", seg[1:5])
+            if width * height > _MAX_DECODE_PIXELS:
+                raise ValueError("SOF dimensions exceed decoder pixel cap")
             ncomp = seg[5]
             if ncomp not in (1, 3):
                 raise ValueError("only 1- or 3-component supported")
@@ -510,6 +517,12 @@ def _read_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
     vmax = max(c["v"] for c in comps)
     mcux = (width + 8 * hmax - 1) // (8 * hmax)
     mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    # a declared frame needs >= 1 entropy bit per 8x8 block (EOB);
+    # reject before allocating planes so a tiny payload claiming huge
+    # SOF dims raises ValueError, not MemoryError
+    blocks = mcux * mcuy * sum(c["h"] * c["v"] for c in comps)
+    if blocks > 8 * max(0, end - pos):
+        raise ValueError("SOF dimensions exceed entropy data size")
     planes = [
         np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8)) for c in comps
     ]

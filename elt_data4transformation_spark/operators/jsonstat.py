@@ -41,28 +41,60 @@ def decode_jsonstat(doc: dict) -> Iterator[tuple[dict[str, str], float]]:
         yield dims, v
 
 
+def _mapping(node: object) -> dict:
+    """The dict at ``node``, or {} when the payload put something else
+    there — the 'malformed → skipped' rule applied to structure."""
+    return node if isinstance(node, dict) else {}
+
+
 def _decode_points(doc: dict) -> Iterator[tuple[int, dict[str, str], float]]:
-    """Core decoder: yields (offset, dims, value) per surviving point."""
-    dim_ids: list[str] = doc.get("id") or []
-    sizes: list[int] = doc.get("size") or []
+    """Core decoder: yields (offset, dims, value) per surviving point.
+
+    Quarantine contract (pinned by tests/test_properties.py fuzz
+    props): ANY malformed payload shape — wrong-typed nodes,
+    non-integer or non-positive sizes, id/size length mismatch,
+    non-numeric values, broken index maps — yields nothing or skips
+    the malformed points; it NEVER raises, because the mapInPandas
+    callers trap only json.loads errors and an escaping TypeError/
+    ZeroDivisionError would kill the Spark stage."""
+    if not isinstance(doc, dict):
+        return
+    dim_ids = doc.get("id") or []
+    sizes = doc.get("size") or []
+    if not isinstance(dim_ids, list) or not isinstance(sizes, list):
+        return
     if len(dim_ids) != len(sizes) or not dim_ids:
         return
+    if not all(isinstance(s, int) and not isinstance(s, bool) and s > 0
+               for s in sizes):
+        return  # malformed size vector: no offset is decodable
     # per-dim position -> label lookup
     lookups: list[dict[int, str]] = []
     for d in dim_ids:
-        cat = (doc.get("dimension", {}).get(d) or {}).get("category", {})
+        if not isinstance(d, str):
+            return
+        cat = _mapping(
+            _mapping(_mapping(doc.get("dimension")).get(d)).get("category")
+        )
         index = cat.get("index") or {}
-        labels = cat.get("label") or {}
+        labels = _mapping(cat.get("label"))
         if isinstance(index, list):  # JSON-stat allows list form
-            index = {cid: i for i, cid in enumerate(index)}
+            index = {
+                cid: i
+                for i, cid in enumerate(index)
+                if isinstance(cid, str)  # category ids are strings
+            }
+        if not isinstance(index, dict):
+            index = {}
         lk: dict[int, str] = {}
         for cid, pos in index.items():
-            if not isinstance(pos, int):
+            if not isinstance(pos, int) or isinstance(pos, bool):
                 try:
                     pos = int(pos)
                 except (TypeError, ValueError):
                     continue  # malformed index entry: skip
-            lk[pos] = labels.get(cid, cid)
+            label = labels.get(cid, cid)
+            lk[pos] = label if isinstance(label, str) else str(cid)
         lookups.append(lk)
 
     value = doc.get("value")
@@ -81,8 +113,12 @@ def _decode_points(doc: dict) -> Iterator[tuple[int, dict[str, str], float]]:
         return
 
     for offset, v in points:
-        if v is None or offset < 0 or offset >= total:
+        if v is None or isinstance(v, bool) or offset < 0 or offset >= total:
             continue
+        try:
+            fv = float(v)
+        except (TypeError, ValueError):
+            continue  # non-numeric data point: skip
         dims: dict[str, str] = {}
         rem = offset
         ok = True
@@ -96,7 +132,7 @@ def _decode_points(doc: dict) -> Iterator[tuple[int, dict[str, str], float]]:
                 break
             dims[d] = lk[pos]
         if ok:
-            yield offset, dims, float(v)
+            yield offset, dims, fv
 
 
 def flatten_jsonstat(
@@ -133,11 +169,12 @@ def decode_jsonstat_status(
     ({str(offset): code} map, JSON-stat 1.x/eurostat style — reference
     connectors/eurostat_connector.py:436-541). Decode semantics are
     shared with decode_jsonstat via _decode_points."""
-    status_map = doc.get("status") or {}
+    status_map = doc.get("status") if isinstance(doc, dict) else {}
     if not isinstance(status_map, dict):
         status_map = {}
     for offset, dims, v in _decode_points(doc):
-        yield dims, v, status_map.get(str(offset))
+        st = status_map.get(str(offset))
+        yield dims, v, st if isinstance(st, str) else None
 
 
 def flatten_jsonstat_status(

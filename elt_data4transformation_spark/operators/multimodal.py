@@ -251,6 +251,13 @@ def _synth_pixels(d: int, w: int, h: int):
     return px
 
 
+def _wide_dims(doc_id: int) -> tuple[int, int]:
+    """Past-one-MCU 4:2:0 fixture dims: width 33..48 spans three 16px
+    MCU columns, so a restart interval of 2 emits an actual RSTn mid-
+    scan (png_dims' max 15x12 fits ONE 4:2:0 MCU — DRI only)."""
+    return 33 + doc_id % 16, 8 + doc_id % 5
+
+
 def _smooth_pixels(d: int, w: int, h: int):
     """Smooth gradient image for doc ``d`` — monotone integer ramps
     with NO mod-wrap edges, so chroma varies slowly and 4:2:0
@@ -279,26 +286,28 @@ def encode_jpeg_payloads(
     subsampling: str = "444",
     restart_interval: int = 0,
     pixel_fn=None,
+    dims_fn=None,
 ) -> DataFrame:
     """Render each id's synthetic image to real baseline-JPEG bytes
     (operators/jpegcodec.py) — the lossy sibling of
     encode_png_payloads, exercising the image/jpeg decode route.
     ``subsampling``/``restart_interval`` pass through to the writer
-    (4:2:0 / 4:2:2 MCUs, DRI+RSTn framing); ``pixel_fn(d, w, h)``
-    overrides the synthetic image (module-level fns only — it ships
-    to executors)."""
+    (4:2:0 / 4:2:2 MCUs, DRI+RSTn framing); ``pixel_fn(d, w, h)`` /
+    ``dims_fn(d)`` override the synthetic image and its dimensions
+    (module-level fns only — they ship to executors)."""
     import numpy as np
 
     from . import jpegcodec
 
     pix = pixel_fn or _synth_pixels
+    dims = dims_fn or png_dims
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id in pdf[id_col]:
                 d = int(doc_id)
-                w, h = png_dims(d)
+                w, h = dims(d)
                 px = pix(d, w, h)
                 jpg = jpegcodec.write_jpeg(
                     w,

@@ -248,6 +248,23 @@ def pdf_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def html_extract_text(raw):
+    """Visible-text extraction as column expressions, mirroring the
+    reference's extract_text_from_html (study_scraper/fulltext.py:
+    98-111): script/style/noscript elements are decomposed — their
+    CONTENT is dropped, not just their tags — then remaining tags act
+    as separators and whitespace collapses to single spaces. Keeps a
+    `<script>var x=1</script>` body out of the text that feeds claims
+    extraction."""
+    no_invisible = F.regexp_replace(
+        raw,
+        r"(?is)<(script|style|noscript)[^>]*>.*?</\1\s*>",
+        " ",
+    )
+    no_tags = F.regexp_replace(no_invisible, "<[^>]*>", " ")
+    return F.trim(F.regexp_replace(no_tags, r"\s+", " "))
+
+
 @register(
     "fulltext_detect",
     oracle="""
@@ -271,7 +288,12 @@ def pdf_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN 'pdf-extract-stub'
                     WHEN starts_with(lower(raw), '<!doctype html')
                          OR starts_with(lower(raw), '<html')
-                    THEN regexp_replace(raw, '<[^>]*>', '', 'g')
+                    THEN TRIM(regexp_replace(regexp_replace(regexp_replace(
+                        raw,
+                        '(?is)<(script|style|noscript)[^>]*>.*?</\\1\\s*>',
+                        ' ', 'g'),
+                        '<[^>]*>', ' ', 'g'),
+                        '\\s+', ' ', 'g'))
                     ELSE raw END AS extracted_prefix_src
         FROM fetched
         ORDER BY doc_id
@@ -279,8 +301,13 @@ def pdf_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("source", "fulltext"),
     doc="S23 fetched-document sniffing (study_scraper/fulltext.py): "
     "%PDF / HTML magic detection and per-type text-extraction routing. "
-    "HTML extraction is tag-stripping; the PDF branch routes to the "
-    "real extractor exercised end-to-end by `pdf_extract` (this "
+    "HTML extraction mirrors reference extract_text_from_html "
+    "(study_scraper/fulltext.py:98-111): script/style/noscript spans "
+    "are DECOMPOSED (content dropped, not just tags), remaining tags "
+    "become separators, and whitespace collapses to single spaces — "
+    "this is the text that feeds claims extraction, so invisible "
+    "script bodies must not leak into it. The PDF branch routes to "
+    "the real extractor exercised end-to-end by `pdf_extract` (this "
     "query's oracle predates it and keeps the sentinel string). "
     "Per-row, no shuffle.",
 )
@@ -312,7 +339,7 @@ def fulltext_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("content_type"),
             F.length("raw").cast("long").alias("n_bytes"),
             F.when(is_pdf, F.lit("pdf-extract-stub"))
-            .when(is_html, F.regexp_replace("raw", "<[^>]*>", ""))
+            .when(is_html, html_extract_text(F.col("raw")))
             .otherwise(F.col("raw"))
             .alias("extracted_prefix_src"),
         )

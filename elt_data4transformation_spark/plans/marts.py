@@ -871,7 +871,10 @@ def canonical_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("source"),
         w.alias("w"),
     )
-    el = lambda i: F.element_at("w", i)  # noqa: E731
+    # try_element_at: a doc with fewer tokens than the source shape
+    # assumes must yield NULL (duckdb list-index semantics), not an
+    # ANSI out-of-bounds error
+    el = lambda i: F.try_element_at("w", F.lit(i))  # noqa: E731
     raw = src.select(
         "doc_id",
         "source",
@@ -948,8 +951,17 @@ def canonical_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         var_list.alias("variables"),
         F.expr("try_cast(lu_raw as timestamp)").alias("latest_update"),
     )
-    kws = F.array_join(F.array_sort(F.array_distinct("keywords")), ",")
-    vrs = F.array_join(F.array_sort(F.array_distinct("variables")), ",")
+    # coalesce('') mirrors the oracle: a doc with too few tokens for
+    # its source's keyword shape yields NULL lists, and bare NULL would
+    # null-propagate through the metadata_hash concat
+    kws = F.coalesce(
+        F.array_join(F.array_sort(F.array_distinct("keywords")), ","),
+        F.lit(""),
+    )
+    vrs = F.coalesce(
+        F.array_join(F.array_sort(F.array_distinct("variables")), ","),
+        F.lit(""),
+    )
     iso = F.date_format("latest_update", "yyyy-MM-dd'T'HH:mm:ss")
     return cleaned.select(
         "source",

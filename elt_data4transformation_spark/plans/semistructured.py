@@ -257,15 +257,15 @@ def jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-_JPEG420_MAX_ERR = 16  # measured envelope 10 on the smooth fixtures
-_JPEG420_MEAN_ERR = 4.0  # measured envelope 2.45
+_JPEG420_MAX_ERR = 16  # measured envelope 9 on the wide smooth fixtures
+_JPEG420_MEAN_ERR = 4.0  # measured envelope 2.56
 
 
 @register(
     "jpeg_roundtrip_420",
     oracle="""
         SELECT doc_id,
-               CAST(8 + doc_id % 8 AS INTEGER) AS width,
+               CAST(33 + doc_id % 16 AS INTEGER) AS width,
                CAST(8 + doc_id % 5 AS INTEGER) AS height,
                true AS within_tolerance
         FROM documents WHERE doc_id % 17 = 0
@@ -274,17 +274,19 @@ _JPEG420_MEAN_ERR = 4.0  # measured envelope 2.45
     tags=("multimodal",),
     doc="4:2:0 chroma-subsampled JPEG round-trip WITH restart markers "
     "(operators/jpegcodec.py round-7 extension): each sampled doc's "
-    "smooth-gradient image is encoded at quality 95 with 2x2-"
-    "subsampled chroma MCUs and a DRI/RSTn restart interval of 2, "
-    "then fully decoded (subsampled MCU parse -> per-interval DC "
-    "reset -> chroma upsample) and scored against the analytic "
-    "source. Smooth gradients (no mod-wrap edges) are the honest "
-    "fixture here: 2x2 chroma averaging reconstructs them within "
-    f"max <= {_JPEG420_MAX_ERR} / mean <= {_JPEG420_MEAN_ERR} "
-    "(measured envelope 10 / 2.45), whereas the wrap-edge fixture "
-    "legitimately loses ~212 — that is subsampling physics, pinned "
-    "in the operator tests. The dominant real-world baseline-JPEG "
-    "shape (camera/web 4:2:0 + restart intervals), oracle-checked.",
+    "smooth-gradient image — 33..48px wide, i.e. THREE 16px 4:2:0 "
+    "MCU columns, so a restart interval of 2 emits an actual RSTn "
+    "mid-scan (not just the DRI segment) — is encoded at quality 95 "
+    "with 2x2-subsampled chroma MCUs, then fully decoded (subsampled "
+    "MCU parse -> per-interval DC reset + marker consume -> chroma "
+    "upsample) and scored against the analytic source. Smooth "
+    "gradients (no mod-wrap edges) are the honest fixture: 2x2 "
+    "chroma averaging reconstructs them within "
+    f"max <= {_JPEG420_MAX_ERR} / mean <= {_JPEG420_MEAN_ERR}, "
+    "whereas the wrap-edge fixture legitimately loses ~212 — that is "
+    "subsampling physics, pinned in the operator tests. The dominant "
+    "real-world baseline-JPEG shape (camera/web 4:2:0 + restart "
+    "intervals), oracle-checked.",
 )
 def jpeg_roundtrip_420(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
@@ -299,6 +301,7 @@ def jpeg_roundtrip_420(spark: SparkSession, sf_dir: str) -> DataFrame:
             subsampling="420",
             restart_interval=2,
             pixel_fn=multimodal._smooth_pixels,
+            dims_fn=multimodal._wide_dims,
         ),
         pixel_fn=multimodal._smooth_pixels,
     )

@@ -131,6 +131,25 @@ class FetchError(RuntimeError):
     """A request failed after exhausting the retry schedule."""
 
 
+def parse_retry_after(value: str | None) -> float | None:
+    """Seconds to wait from a Retry-After header, or None when absent
+    or unparseable (caller falls back to exponential backoff). Accepts
+    both RFC-7231 forms: delta-seconds and HTTP-date."""
+    if value is None:
+        return None
+    try:
+        return max(0.0, float(value))
+    except ValueError:
+        pass
+    try:
+        from email.utils import parsedate_to_datetime
+
+        dt = parsedate_to_datetime(value)
+        return max(0.0, dt.timestamp() - _time.time())
+    except (ValueError, TypeError, OverflowError):
+        return None
+
+
 class HttpFetcher:
     """LIVE execution of the connector primitives: paginate +
     sliding-window rate limiter + exponential backoff (Retry-After
@@ -230,18 +249,23 @@ class HttpFetcher:
                     return None  # fresh — skip re-ingest
                 if exc.code in (429, 500, 502, 503, 504):
                     last_exc = exc
-                    retry_after = exc.headers.get("Retry-After")
-                    delays = backoff_delays(
-                        attempts=self.max_retries,
-                        base_s=self.retry_base_s,
-                        cap_s=self.backoff_cap_s,
-                        retry_after_s=(
-                            float(retry_after) if retry_after else None
-                        ),
-                        retry_after_cap_s=self.retry_after_cap_s,
-                    )
                     if attempt < self.max_retries:
-                        self._sleep(delays[attempt])
+                        # Retry-After (either RFC-7231 form) wins on
+                        # WHICHEVER attempt it arrives, capped like the
+                        # schedule in ``backoff_delays``; unparseable or
+                        # absent -> exponential.
+                        ra = parse_retry_after(
+                            exc.headers.get("Retry-After")
+                        )
+                        delay = (
+                            min(ra, self.retry_after_cap_s)
+                            if ra is not None
+                            else min(
+                                self.retry_base_s * (2**attempt),
+                                self.backoff_cap_s,
+                            )
+                        )
+                        self._sleep(delay)
                         continue
                 raise FetchError(
                     f"GET {url} failed: HTTP {exc.code}"

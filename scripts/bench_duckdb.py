@@ -6,13 +6,17 @@ Default sf_dir /root/testdata/sf0.1. Oracles are full materializations
 (``.df()``), mirroring bench.py's noop-sink full execution. DuckDB runs
 with all cores (default), same box as the Spark bench.
 
-MEASUREMENT ASYMMETRY (see BENCH_NOTES.md): for the ~19 queries whose
-Spark side probes a prebuilt store (registry ``prepare`` hooks, run
-UNTIMED by bench.py), the oracle here recomputes signatures/centroids/
-anchors from raw text inline EVERY run — those ratios compare Spark's
-amortized steady-state probe against a DuckDB full rebuild, not
-like-for-like. BENCH_NOTES.md publishes the probe-only and
-construct+probe numbers side by side.
+LIKE-FOR-LIKE (round-8 fix of the standing asymmetry, BENCH_NOTES.md):
+for the ~20 queries whose Spark side probes a prebuilt store (registry
+``prepare`` hooks, run UNTIMED by bench.py), this bench now runs an
+UNTIMED duck prepare too — scripts/duck_prepared.py materializes the
+oracle's store CTEs (signatures/centroids/fingerprints/anchors) as
+temp tables, and the TIMED query is the probe over them, mirroring
+what the Spark side measures. ``queries`` holds the like-for-like
+probe times; ``full_queries`` additionally records the old
+rebuild-inline times for those queries so prior rounds stay
+comparable. Prepared probes are pinned result-identical to the full
+oracles by tests/test_duck_prepared.py.
 """
 
 from __future__ import annotations
@@ -28,6 +32,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from elt_data4transformation_spark.plans import REGISTRY  # noqa: E402
 from elt_data4transformation_spark.sources import TABLES  # noqa: E402
+from scripts.duck_prepared import (  # noqa: E402
+    PREPARED_STORE_CTES,
+    ensure_prepared,
+)
 
 
 def main() -> None:
@@ -40,13 +48,33 @@ def main() -> None:
     con.execute("SELECT COUNT(*) FROM lineitem").fetchall()
 
     timings: dict[str, float] = {}
+    full_timings: dict[str, float] = {}
+    built: set[str] = set()
     for name in sorted(REGISTRY):
         spec = REGISTRY[name]
         if not spec.oracle:
             continue
+        sql = spec.oracle
+        if name in PREPARED_STORE_CTES:
+            # UNTIMED store build (the duck twin of bench.py running
+            # the Spark prepare hooks untimed); the timed query is the
+            # probe. Also record the old rebuild-inline time so prior
+            # rounds' numbers stay comparable.
+            try:
+                sql = ensure_prepared(con, name, spec.oracle, built)
+            except Exception as exc:  # noqa: BLE001
+                print(f"# duckdb PREPARE FAILED {name}: {exc}",
+                      file=sys.stderr)
+            t0 = time.perf_counter()
+            try:
+                con.execute(spec.oracle).df()
+                full_timings[name] = round(time.perf_counter() - t0, 3)
+            except Exception as exc:  # noqa: BLE001
+                full_timings[name] = -1.0
+                print(f"# duckdb FULL FAILED {name}: {exc}", file=sys.stderr)
         t0 = time.perf_counter()
         try:
-            con.execute(spec.oracle).df()
+            con.execute(sql).df()
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # noqa: BLE001
             timings[name] = -1.0
@@ -63,6 +91,7 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "queries": timings,
+            "full_queries": full_timings,
             "sf": sf,
             "n_queries": len(timings),
         }

@@ -671,6 +671,69 @@ def test_backoff_policy_bounds():
     assert backoff_delays(3, retry_after_s=7200.0)[0] == 120.0
 
 
+def test_retry_after_parse_forms():
+    """ADVICE round-7 fix: both RFC-7231 Retry-After forms parse;
+    garbage returns None (caller falls back to exponential backoff)
+    instead of raising ValueError mid-fetch."""
+    import email.utils
+    import time
+
+    from elt_data4transformation_spark.sources.connectors import (
+        parse_retry_after,
+    )
+
+    assert parse_retry_after("7") == 7.0
+    assert parse_retry_after(None) is None
+    assert parse_retry_after("not-a-delay") is None
+    # HTTP-date in the past clamps to 0 (retry now), never negative
+    assert parse_retry_after("Wed, 21 Oct 2015 07:28:00 GMT") == 0.0
+    future = email.utils.formatdate(time.time() + 50, usegmt=True)
+    assert 40.0 <= parse_retry_after(future) <= 51.0
+
+
+def test_retry_after_honoured_on_later_attempts():
+    """ADVICE round-7 fix: Retry-After must govern the sleep on
+    WHICHEVER attempt it arrives (the old schedule only wrote it into
+    delays[0]), and an unparseable header falls back to the
+    exponential delay for that attempt."""
+    import io
+    import urllib.error
+
+    from elt_data4transformation_spark.sources.connectors import (
+        FetchError,
+        HttpFetcher,
+    )
+
+    def run(headers_by_attempt):
+        sleeps: list[float] = []
+        f = HttpFetcher(
+            "http://fixture",
+            max_retries=2,
+            retry_base_s=1.0,
+            clock=lambda: 0.0,
+            sleep=sleeps.append,
+        )
+        attempts = iter(headers_by_attempt)
+
+        def fail_open(url, headers):
+            raise urllib.error.HTTPError(
+                url, 503, "busy", next(attempts), io.BytesIO(b"")
+            )
+
+        f._open = fail_open
+        with pytest.raises(FetchError):
+            f.request_json("api/x")
+        return sleeps
+
+    # header only on the SECOND failure: attempt 0 sleeps exponential
+    # 1.0, attempt 1 sleeps the header's 9.0 (old code slept 2.0)
+    assert run([{}, {"Retry-After": "9"}, {}]) == [1.0, 9.0]
+    # unparseable header -> exponential fallback, not a crash
+    assert run([{"Retry-After": "soon"}, {}, {}]) == [1.0, 2.0]
+    # header capped at retry_after_cap_s
+    assert run([{"Retry-After": "7200"}, {}, {}]) == [120.0, 2.0]
+
+
 def test_conditional_get_cache():
     from elt_data4transformation_spark.sources.connectors import (
         ConditionalGetCache,
@@ -4599,6 +4662,32 @@ def test_jpeg_subsampling_and_restart_markers():
         J.read_jpeg(bytes(mut))
 
 
+def test_jpeg_forged_sof_dims_raise_before_allocation():
+    """ADVICE round-7 fix: a tiny payload whose SOF claims huge
+    dimensions must raise ValueError in the quarantine contract, not
+    MemoryError from allocating ~100 GB of decode planes."""
+    import struct
+
+    import numpy as np
+
+    from elt_data4transformation_spark.operators import jpegcodec as J
+
+    px = np.zeros((16, 16, 3), dtype=np.uint8)
+    data = J.write_jpeg(16, 16, px.tobytes(), 90)
+    sof = data.find(b"\xff\xc0")
+
+    forged = bytearray(data)
+    forged[sof + 5 : sof + 9] = struct.pack(">HH", 65535, 65535)
+    with pytest.raises(ValueError, match="pixel cap"):
+        J.read_jpeg(bytes(forged))
+
+    # dims under the pixel cap but impossible for the entropy bytes
+    forged2 = bytearray(data)
+    forged2[sof + 5 : sof + 9] = struct.pack(">HH", 4000, 4000)
+    with pytest.raises(ValueError, match="entropy data size"):
+        J.read_jpeg(bytes(forged2))
+
+
 def test_jpeg_malformed_inputs_raise_valueerror_only():
     """ADVICE round-6 fix: every malformed-input class that used to
     escape as KeyError/IndexError must surface as ValueError so the
@@ -4818,3 +4907,62 @@ def test_adpcm_codec_tracking_and_quarantine(spark):
     assert rows[19]["n_samples"] == 400 + (19 % 50) * 8
     assert rows[19]["max_err"] is not None and rows[19]["max_err"] <= 192
     assert rows[20]["n_samples"] is None
+
+
+def test_canonical_metadata_null_keywords_match_oracle(spark, tmp_path):
+    """ADVICE round-7 fix: a doc whose text has fewer tokens than its
+    source's keyword shape assumes yields NULL keyword lists; Spark
+    must COALESCE them to '' (as the oracle does) so metadata_hash
+    stays a real hash instead of null-propagating through the concat."""
+    import duckdb
+
+    from elt_data4transformation_spark.plans import REGISTRY
+    from tests.conftest import assert_frames_match
+
+    # doc_id 14 -> soep shape (needs w[1..4]); 21 -> destatis (w[1..3]);
+    # 35 -> eurostat (w[1]); all % 7 == 0. One-token text starves every
+    # shape; a NULL-text row exercises the split(NULL) path too.
+    docs = spark.createDataFrame(
+        [(14, "solo"), (21, "einzel"), (35, "single"), (70, None)],
+        "doc_id long, text string",
+    )
+    docs.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    spec = REGISTRY["canonical_metadata"]
+    got = spec.fn(spark, str(tmp_path)).toPandas()
+    assert got["metadata_hash"].notna().all(), got
+    assert (got["keywords"] == "").all()
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    oracle = con.execute(spec.oracle).df()
+    con.close()
+    assert_frames_match(got, oracle, "canonical_metadata_null_keywords")
+
+
+def test_html_extract_text_decomposes_invisible_elements(spark):
+    """Round-7 VERDICT fidelity fix: HTML extraction must mirror
+    reference extract_text_from_html (study_scraper/fulltext.py:
+    98-111) — script/style/noscript CONTENT dropped (decompose, not
+    tag-strip), tags become separators, whitespace collapsed."""
+    from elt_data4transformation_spark.plans.fulltext import (
+        html_extract_text,
+    )
+
+    html = (
+        "<!DOCTYPE html><html><head>"
+        "<style type='text/css'>body { color: red }</style>"
+        "<SCRIPT src='x.js'>var x = 1;</SCRIPT>"
+        "</head><body><h1>Umfrage</h1>\n\n  <p>SPD   25 %</p>"
+        "<noscript>enable js</noscript>"
+        "<table><tr><td>CDU</td><td>30 %</td></tr></table>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(html,)], "raw string")
+    out = df.select(html_extract_text(F.col("raw")).alias("t")).head()["t"]
+    assert out == "Umfrage SPD 25 % CDU 30 %"
+    for leaked in ("var x", "color: red", "enable js", "<"):
+        assert leaked not in out

@@ -419,3 +419,179 @@ def test_container_codecs_mutations_only_raise_valueerror(seed, muts, cut):
             reader(payload)
         except quarantine:
             pass  # the permitted (caller-caught) failure modes
+
+
+# --- round-8 ask #5: fuzz the remaining decoders ---------------------------
+
+_JSON_VALS = st.recursive(
+    st.none()
+    | st.booleans()
+    | st.integers(-5, 10**6)
+    | st.floats(allow_nan=False, allow_infinity=False)
+    | st.text(max_size=8),
+    lambda ch: st.lists(ch, max_size=4)
+    | st.dictionaries(st.text(max_size=6), ch, max_size=4),
+    max_leaves=8,
+)
+
+# every structural location the decoder touches
+_JSONSTAT_PATHS = [
+    ("id",),
+    ("size",),
+    ("size", 0),
+    ("size", 1),
+    ("value",),
+    ("value", 2),
+    ("status",),
+    ("status", "3"),
+    ("dimension",),
+    ("dimension", "geo"),
+    ("dimension", "geo", "category"),
+    ("dimension", "geo", "category", "index"),
+    ("dimension", "geo", "category", "index", "DE"),
+    ("dimension", "geo", "category", "label"),
+    ("dimension", "geo", "category", "label", "DE"),
+    ("dimension", "time", "category", "index"),
+]
+
+
+def _valid_jsonstat() -> dict:
+    return {
+        "id": ["geo", "time"],
+        "size": [2, 3],
+        "value": [1.0, None, 3.0, 4.0, 5.0, 6.0],
+        "status": {"0": "p", "3": "e"},
+        "dimension": {
+            "geo": {
+                "category": {
+                    "index": {"DE": 0, "FR": 1},
+                    "label": {"DE": "Germany", "FR": "France"},
+                }
+            },
+            "time": {
+                "category": {"index": {"2020": 0, "2021": 1, "2022": 2}}
+            },
+        },
+    }
+
+
+def _set_path(doc, path, val):
+    node = doc
+    for p in path[:-1]:
+        try:
+            node = node[p]
+        except (KeyError, IndexError, TypeError):
+            return  # an earlier mutation already changed the shape
+    try:
+        node[path[-1]] = val
+    except (IndexError, TypeError):
+        pass
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(_JSONSTAT_PATHS), _JSON_VALS),
+        min_size=1,
+        max_size=4,
+    ),
+    _JSON_VALS,
+)
+def test_jsonstat_decode_mutations_never_raise(muts, whole):
+    """SURVEY M1's 'malformed indexes skipped' rule as a PROPERTY
+    (round-7 VERDICT ask #5): decode_jsonstat / decode_jsonstat_status
+    over a structurally mutated payload either yield well-typed points
+    or skip — they may NEVER raise, because the mapInPandas callers
+    trap only json.loads errors and anything escaping kills the Spark
+    stage. Also feeds a wholly arbitrary JSON value as the doc."""
+    import json as _j
+
+    from elt_data4transformation_spark.operators.jsonstat import (
+        decode_jsonstat,
+        decode_jsonstat_status,
+    )
+
+    doc = _valid_jsonstat()
+    for path, val in muts:
+        _set_path(doc, path, val)
+    # round-trip through JSON so the doc is exactly what json.loads
+    # would hand the decoder (str keys, no tuples)
+    doc = _j.loads(_j.dumps(doc))
+    for dims, v in decode_jsonstat(doc):
+        assert isinstance(v, float)
+        assert all(
+            isinstance(k, str) and isinstance(x, str)
+            for k, x in dims.items()
+        )
+    for dims, v, stt in decode_jsonstat_status(doc):
+        assert isinstance(v, float)
+        assert stt is None or isinstance(stt, str)
+    for _ in decode_jsonstat(whole if isinstance(whole, dict) else whole):
+        pass
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(
+                ["drop", "dup", "truncate_line", "mangle_k", "junk",
+                 "swap", "cut_fields", "badval"]
+            ),
+            st.integers(0, 50),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_cubefile_parse_mutations_never_raise(spark, muts):
+    """Round-7 VERDICT ask #5 / round-6 ADVICE bug class as a
+    PROPERTY: GENESIS cubefiles with missing/mangled/reordered
+    K-headers, truncated or junk fact lines, and undecodable value
+    tokens must parse to well-typed rows or drop the malformed lines
+    — the column-expression decode may never raise (ANSI element_at/
+    cast errors would kill the stage for EVERY cube in the batch)."""
+    from elt_data4transformation_spark.operators import cubefile
+
+    payload = cubefile.encode_cubefile(
+        "99999FUZZ",
+        axes=["A1", "A2"],
+        time_var="JAHR",
+        measures=[("M1", "EUR"), ("M2", "Anzahl")],
+        facts=[
+            ("x1", "y1", "2021", ("10,25", "e", "0"), ("3", "", "1")),
+            ("x2", "y2", "2022", ("...", "", "0"), ("0,5", "p", "0")),
+        ],
+    )
+    lines = payload.split("\n")
+    for op, i in muts:
+        if not lines:
+            break
+        i %= len(lines)
+        if op == "drop":
+            del lines[i]
+        elif op == "dup":
+            lines.insert(i, lines[i])
+        elif op == "truncate_line":
+            lines[i] = lines[i][: max(1, len(lines[i]) // 2)]
+        elif op == "mangle_k":
+            lines[i] = "K;" + lines[i]
+        elif op == "junk":
+            lines.insert(i, "Z;\x00;;;not;a;record")
+        elif op == "swap":
+            j = (i * 7 + 3) % len(lines)
+            lines[i], lines[j] = lines[j], lines[i]
+        elif op == "cut_fields":
+            lines[i] = ";".join(lines[i].split(";")[:2])
+        elif op == "badval":
+            lines[i] = "D;x9;y9;2029;NaNe;q;0;0;zz,z;;0;0"
+    mutated = "\n".join(lines)
+    df = spark.createDataFrame(
+        [("c0", mutated), ("c1", payload)], ["cube_id", "payload"]
+    )
+    hdr = cubefile.cube_headers(df).collect()
+    assert len(hdr) == 2
+    for r in cubefile.parse_cubefile(df).collect():
+        assert r["value"] is None or isinstance(r["value"], float)
+        assert r["locked"] is None or isinstance(r["locked"], bool)
+        assert r["dims"] is None or isinstance(r["dims"], str)
