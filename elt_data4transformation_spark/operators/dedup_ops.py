@@ -871,7 +871,14 @@ def _probe_with_signatures(
         cand.withColumn("_crn", F.row_number().over(wcap))
         .filter(F.col("_crn") <= PROBE_MAX_CANDIDATES)
         .select("new_doc_id", "matched_doc_id")
+        # persist + eager count: cand feeds BOTH the hit_sh semi-join
+        # and the pair join below; unpersisted, each consumer re-runs
+        # the band join + groupBy + cap window (measured ~0.6s/probe
+        # at sf0.1). Narrow and capped, so the pin is bounded; cache
+        # lifetime is the caller's (bench/tests clearCache per query).
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    cand.count()
     hit_sh = idx_sh.join(
         cand.select(F.col("matched_doc_id").alias(id_col)).distinct(),
         id_col,
@@ -895,19 +902,15 @@ def _probe_with_signatures(
     # once per candidate instead of once per reference to the
     # division expression; survivors (few) recompute the division
     # for the output value.
-    scored = (
-        cand.join(
-            F.broadcast(dsh.select(F.col("_nid").alias("new_doc_id"), "_sa")),
-            "new_doc_id",
-        )
-        .join(hit_sh, "matched_doc_id")
-        .select(
-            "new_doc_id",
-            "matched_doc_id",
-            F.size(F.array_intersect("_sa", "_sb")).cast("long").alias("_i"),
-            F.size("_sa").cast("long").alias("_na"),
-            F.col("_nb"),
-        )
+    scored = cand.join(
+        F.broadcast(dsh.select(F.col("_nid").alias("new_doc_id"), "_sa")),
+        "new_doc_id",
+    ).join(hit_sh, "matched_doc_id").select(
+        "new_doc_id",
+        "matched_doc_id",
+        F.size(F.array_intersect("_sa", "_sb")).cast("long").alias("_i"),
+        F.size("_sa").cast("long").alias("_na"),
+        F.col("_nb"),
     )
     den = F.col("_na") + F.col("_nb") - F.col("_i")
     if threshold == 0.5:

@@ -248,6 +248,9 @@ def pdf_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INVISIBLE_TAGS = ("script", "style", "noscript")
+
+
 def html_extract_text(raw):
     """Visible-text extraction as column expressions, mirroring the
     reference's extract_text_from_html (study_scraper/fulltext.py:
@@ -255,19 +258,38 @@ def html_extract_text(raw):
     CONTENT is dropped, not just their tags — then remaining tags act
     as separators and whitespace collapses to single spaces. Keeps a
     `<script>var x=1</script>` body out of the text that feeds claims
-    extraction."""
-    no_invisible = F.regexp_replace(
-        raw,
-        r"(?is)<(script|style|noscript)[^>]*>.*?</\1\s*>",
-        " ",
-    )
-    no_tags = F.regexp_replace(no_invisible, "<[^>]*>", " ")
+    extraction. One replace per tag, NO backreferences: DuckDB's RE2
+    silently never matches `</\\1>`, so a backref form would be a
+    latent Spark/oracle divergence (found round 8, script-bearing
+    fixture) — both engines run these exact per-tag patterns."""
+    out = raw
+    for tag in _INVISIBLE_TAGS:
+        out = F.regexp_replace(
+            out, rf"(?is)<{tag}[^>]*>.*?</{tag}\s*>", " "
+        )
+    no_tags = F.regexp_replace(out, "<[^>]*>", " ")
     return F.trim(F.regexp_replace(no_tags, r"\s+", " "))
+
+
+def html_extract_text_sql(expr: str) -> str:
+    """DuckDB twin of html_extract_text over SQL expression ``expr`` —
+    the same per-tag patterns, so oracles stay divergence-proof even
+    on script-bearing inputs."""
+    out = expr
+    for tag in _INVISIBLE_TAGS:
+        out = (
+            f"regexp_replace({out}, "
+            f"'(?is)<{tag}[^>]*>.*?</{tag}\\s*>', ' ', 'g')"
+        )
+    return (
+        f"TRIM(regexp_replace(regexp_replace({out}, "
+        f"'<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g'))"
+    )
 
 
 @register(
     "fulltext_detect",
-    oracle="""
+    oracle=f"""
         WITH fetched AS (
             SELECT doc_id,
                    CASE doc_id % 3
@@ -288,12 +310,7 @@ def html_extract_text(raw):
                     THEN 'pdf-extract-stub'
                     WHEN starts_with(lower(raw), '<!doctype html')
                          OR starts_with(lower(raw), '<html')
-                    THEN TRIM(regexp_replace(regexp_replace(regexp_replace(
-                        raw,
-                        '(?is)<(script|style|noscript)[^>]*>.*?</\\1\\s*>',
-                        ' ', 'g'),
-                        '<[^>]*>', ' ', 'g'),
-                        '\\s+', ' ', 'g'))
+                    THEN {html_extract_text_sql('raw')}
                     ELSE raw END AS extracted_prefix_src
         FROM fetched
         ORDER BY doc_id
@@ -400,3 +417,110 @@ def pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- S23 flow end-to-end: fetched HTML -> visible text -> claims -----------
+
+_HCP_HEAD = (
+    '<html><head><script type="text/javascript">'
+    'var decoy = "Zustimmung bei 88 Prozent (n=9999 Befragte)";'
+    "</script><style>body { color: #333 }</style></head><body>"
+    "<h1>Studie "
+)
+_HCP_NOSCRIPT = (
+    "</p><noscript>Bitte JavaScript aktivieren: 77 Prozent"
+    "</noscript></body></html>"
+)
+
+
+def _hcp_body_sql() -> str:
+    """The synthetic German survey sentence, duck side (twin of the
+    Spark concat in html_claims_pipeline; numbers stay <= 48,9 so the
+    >120% suppression never fires on real claims)."""
+    return (
+        "'Die Zustimmung lag bei ' || CAST(doc_id % 45 + 3 AS VARCHAR)"
+        " || ',' || CAST(doc_id % 10 AS VARCHAR)"
+        " || ' Prozent (n=' || CAST(doc_id % 900 + 100 AS VARCHAR)"
+        " || ' Befragte) und stieg um ' || CAST(doc_id % 12 AS VARCHAR)"
+        " || ' Prozentpunkte.'"
+    )
+
+
+def _hcp_src_sql() -> str:
+    html = (
+        f"'{_HCP_HEAD}' || CAST(doc_id AS VARCHAR) || '</h1>' || chr(10)"
+        f" || '  <p>' || {_hcp_body_sql()} || '{_HCP_NOSCRIPT}'"
+    )
+    return (
+        f"SELECT doc_id AS study_id, {html_extract_text_sql(html)} AS text"
+        " FROM documents WHERE doc_id % 3 = 1"
+    )
+
+
+@register(
+    "html_claims_pipeline",
+    oracle=None,  # assigned below — needs functions/claims at import
+    tags=("fulltext", "text", "pipeline", "composite"),
+    doc="The reference's fetch->extract->mine flow as ONE composite "
+    "(study_scraper fulltext.py extract_text_from_html feeding "
+    "claims.py extract_claims — the exact consumer relationship the "
+    "round-8 extraction fidelity fix exists for): each HTML-class "
+    "document (doc_id%3=1, fulltext_detect's routing) is wrapped in a "
+    "page whose <script> carries a DECOY claim ('88 Prozent "
+    "(n=9999)') and whose <noscript> carries another ('77 Prozent'); "
+    "visible-text extraction DECOMPOSES those elements (content "
+    "dropped, tags as separators, whitespace collapsed — "
+    "html_extract_text, per-tag patterns identical in both engines), "
+    "then the full T1 claim surface runs over the extracted text. "
+    "Output claims come only from the visible survey sentence; a "
+    "tag-strip regression would surface the decoys and break the "
+    "hash. Pure projection + explode + one dedup window — no shuffle "
+    "beyond the final ordering at any scale.",
+)
+def html_claims_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import claims
+
+    d = spread(table(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") % 3 == 1
+    )
+    i = F.col("doc_id")
+    body = F.concat(
+        F.lit("Die Zustimmung lag bei "),
+        (i % 45 + 3).cast("string"),
+        F.lit(","),
+        (i % 10).cast("string"),
+        F.lit(" Prozent (n="),
+        (i % 900 + 100).cast("string"),
+        F.lit(" Befragte) und stieg um "),
+        (i % 12).cast("string"),
+        F.lit(" Prozentpunkte."),
+    )
+    html = F.concat(
+        F.lit(_HCP_HEAD),
+        i.cast("string"),
+        F.lit("</h1>\n  <p>"),
+        body,
+        F.lit(_HCP_NOSCRIPT),
+    )
+    src = d.select(
+        F.col("doc_id").alias("study_id"),
+        html_extract_text(html).alias("text"),
+    )
+    return claims.claims_from_text_df(src, source_field="html").orderBy(
+        "study_id", "claim_id"
+    )
+
+
+def _hcp_oracle() -> str:
+    from ..functions import claims
+
+    return (
+        "SELECT * FROM ("
+        + claims.claims_from_text_sql(_hcp_src_sql(), source_field="html")
+        + ") ORDER BY study_id, claim_id"
+    )
+
+
+from .registry import REGISTRY as _REG  # noqa: E402
+
+_REG["html_claims_pipeline"].oracle = _hcp_oracle()

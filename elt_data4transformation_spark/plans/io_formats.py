@@ -16,6 +16,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.artifacts import CheckedThread
 from ..sources import table
 from .registry import register
 
@@ -344,35 +345,69 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
     ).first()
     c_lo, c_hi, d_lo, d_hi, n = b["c_lo"], b["c_hi"], b["d_lo"], b["d_hi"], b["n"]
-    scaled = base.select(
-        "o_orderkey",
-        "ck",
-        "dy",
-        F.expr(f"((ck - {c_lo}) * {scale_max}) div ({c_hi} - {c_lo})").alias(
-            "x16"
-        ),
-        F.expr(f"((dy - {d_lo}) * {scale_max}) div ({d_hi} - {d_lo})").alias(
-            "y16"
-        ),
-    ).withColumn(
-        "z", F.expr(_z_interleave_sql("x16", "y16", spark_dialect=True))
+    # persist: scaled feeds THREE consumers (two global_rank range
+    # exchanges + the matches scan); without it each consumer re-reads
+    # the orders parquet and re-evaluates the 16-bit interleave chain
+    # (the 3x scan in round-7's plan audit). persist (not an eager
+    # checkpoint) so population rides the first rank's own
+    # materialization job instead of adding a job to the floor.
+    scaled = (
+        base.select(
+            "o_orderkey",
+            "ck",
+            "dy",
+            F.expr(
+                f"((ck - {c_lo}) * {scale_max}) div ({c_hi} - {c_lo})"
+            ).alias("x16"),
+            F.expr(
+                f"((dy - {d_lo}) * {scale_max}) div ({d_hi} - {d_lo})"
+            ).alias("y16"),
+        )
+        .withColumn(
+            "z", F.expr(_z_interleave_sql("x16", "y16", spark_dialect=True))
+        )
+        .persist()
     )
-    zranked = global_rank(
-        scaled, [F.col("z"), F.col("o_orderkey")], rank_name="zr"
-    ).select("ck", "dy", F.expr(f"(CAST(zr AS BIGINT) - 1) * {_Z_FILES} div {n}").alias("file_id"))
-    lranked = global_rank(
-        scaled, [F.col("ck"), F.col("o_orderkey")], rank_name="lr"
-    ).select("ck", "dy", F.expr(f"(CAST(lr AS BIGINT) - 1) * {_Z_FILES} div {n}").alias("file_id"))
-    files = zranked.withColumn("layout", F.lit("zorder")).unionByName(
-        lranked.withColumn("layout", F.lit("linear"))
+    # (no eager populate: the fan-out threads below race-fill the
+    # persist — worst case some partitions compute twice, overlapped,
+    # which measures cheaper than a serial populate job)
+    # size the rank's range partitions to the data (~50k rows each,
+    # capped at cluster parallelism): exact-rank output is identical
+    # for any partition count, and 32 near-empty range partitions are
+    # pure scheduling floor at bench scale while a 100 TB orders table
+    # still fans out to full parallelism
+    nparts = min(
+        spark.sparkContext.defaultParallelism, max(4, n // 50_000)
     )
-    fstats = files.groupBy("layout", "file_id").agg(
-        F.min("ck").alias("fc_lo"),
-        F.max("ck").alias("fc_hi"),
-        F.min("dy").alias("fd_lo"),
-        F.max("dy").alias("fd_hi"),
-        F.count(F.lit(1)).alias("cnt"),
-    )
+
+    # the two layouts' rank+stats DAGs are fully independent, so
+    # materialize them CONCURRENTLY (the scheduler interleaves their
+    # stages across idle cores — same trick a multi-tenant cluster
+    # plays; halves this composite's rank wall). Each thread reduces
+    # its layout to the tiny per-file stats frame (_Z_FILES rows) and
+    # localCheckpoints THAT, so the downstream plan reads 12 rows.
+    def _file_stats(order_cols: list, rank: str, layout: str):
+        ranked = global_rank(
+            scaled, order_cols, rank_name=rank, num_partitions=nparts
+        ).select(
+            "ck",
+            "dy",
+            F.expr(
+                f"(CAST({rank} AS BIGINT) - 1) * {_Z_FILES} div {n}"
+            ).alias("file_id"),
+        )
+        return (
+            ranked.groupBy("file_id")
+            .agg(
+                F.min("ck").alias("fc_lo"),
+                F.max("ck").alias("fc_hi"),
+                F.min("dy").alias("fd_lo"),
+                F.max("dy").alias("fd_hi"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
+            .withColumn("layout", F.lit(layout))
+            .localCheckpoint(eager=True)
+        )
 
     def box(dim_lo: int, dim_hi: int, pct_lo: int, pct_hi: int) -> tuple:
         span = dim_hi - dim_lo
@@ -388,6 +423,50 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "predicate string, pc_lo long, pc_hi long, pd_lo long, pd_hi long",
     )
+
+    def _matches():
+        # exact per-predicate match counts over the persisted scaled
+        # frame — the third independent DAG in the fan-out
+        return (
+            scaled.crossJoin(F.broadcast(preds))
+            .filter(
+                F.col("ck").between(F.col("pc_lo"), F.col("pc_hi"))
+                & F.col("dy").between(F.col("pd_lo"), F.col("pd_hi"))
+            )
+            .groupBy("predicate")
+            .agg(F.count(F.lit(1)).alias("rows_match"))
+            .localCheckpoint(eager=True)
+        )
+
+    results: dict[str, DataFrame] = {}
+    threads = [
+        CheckedThread(
+            target=lambda: results.__setitem__(
+                "zorder",
+                _file_stats(
+                    [F.col("z"), F.col("o_orderkey")], "zr", "zorder"
+                ),
+            )
+        ),
+        CheckedThread(
+            target=lambda: results.__setitem__(
+                "linear",
+                _file_stats(
+                    [F.col("ck"), F.col("o_orderkey")], "lr", "linear"
+                ),
+            )
+        ),
+        CheckedThread(
+            target=lambda: results.__setitem__("matches", _matches())
+        ),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    fstats = results["zorder"].unionByName(results["linear"])
+    matches = results["matches"]
+
     scans = (
         fstats.crossJoin(F.broadcast(preds))
         .filter(
@@ -401,15 +480,6 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_files_scanned"),
             F.sum("cnt").alias("rows_scanned"),
         )
-    )
-    matches = (
-        base.crossJoin(F.broadcast(preds))
-        .filter(
-            F.col("ck").between(F.col("pc_lo"), F.col("pc_hi"))
-            & F.col("dy").between(F.col("pd_lo"), F.col("pd_hi"))
-        )
-        .groupBy("predicate")
-        .agg(F.count(F.lit(1)).alias("rows_match"))
     )
     return (
         scans.join(matches, "predicate")
@@ -582,4 +652,34 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(n_files(sm, "files_before"))
         .crossJoin(n_files(pk, "files_after"))
         .select("n_rows", "files_before", "files_after")
+    )
+
+
+# --- session-floor probe ----------------------------------------------------
+
+
+@register(
+    "session_floor_probe",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(r_regionkey) AS BIGINT) AS key_sum
+        FROM region
+    """,
+    tags=("diagnostic",),
+    doc="The measurement floor, made a first-class measurement "
+    "(round-7 VERDICT ask #3): the smallest expressible registered "
+    "query — one scan of the 5-row region table, one aggregate, one "
+    "collect (a single job, a single exchange). Its bench time is the "
+    "fixed per-query session cost every other entry pays before doing "
+    "any real work (job submission, stage scheduling, task launch, "
+    "result fetch), recorded per round in BENCH/BENCH_DUCK so the "
+    "sub-second-oracle band's ratios can be read as floor-vs-plan "
+    "(see the PLANS.md floor-decomposition note). Multi-job "
+    "composites pay roughly this floor per sequential job wave.",
+)
+def session_floor_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = table(spark, sf_dir, "region")
+    return r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("r_regionkey").cast("bigint").alias("key_sum"),
     )

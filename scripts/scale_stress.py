@@ -83,23 +83,66 @@ if _env:
     QUERIES = [q.strip() for q in _env.split(",") if q.strip()]
 
 
-def replicate(spark: SparkSession, n: int) -> None:
+def replicate(spark: SparkSession, n: int, unique: bool = False) -> None:
+    """Write the n-replica tables to OUT.
+
+    ``unique=False`` (default): replicas keep the original text plus a
+    tiny " rep{i}" suffix — every replica of a doc is a mutual NEAR-DUP
+    of the others, so candidate-pair ops measure the adversarial
+    boilerplate-flood regime (pairs grow ~n^2, documented in SCALE.md).
+
+    ``unique=True`` (round-7 VERDICT ask #4): replicas are made
+    textually DISSIMILAR — replica i's text goes through a per-replica
+    letter-rotation cipher, so every 5-char shingle differs from every
+    other replica's and the corpus behaves like n× genuinely new
+    documents (the realistic ingest regime: candidates grow ~n, not
+    ~n^2). Embedding replicas get a per-replica cyclic component shift,
+    which in 64-dim space decorrelates them (cosine ~0) while keeping
+    norms and component distributions identical. Same row counts and
+    byte volumes either way — only duplicate STRUCTURE changes."""
     shutil.rmtree(OUT, ignore_errors=True)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
 
     def copy(name: str) -> None:
         # table() handles the events TIMESTAMP(NANOS) decode; the copy
         # lands as TIMESTAMP(MICROS), which table() passes through.
         table(spark, SF, name).write.parquet(f"{OUT}/{name}.parquet")
 
-    def fan(name: str, key: str, text_col: str | None = None) -> None:
+    def fan(
+        name: str,
+        key: str,
+        text_col: str | None = None,
+        vec_col: str | None = None,
+    ) -> None:
         df = table(spark, SF, name)
         k = df.agg(F.max(key)).collect()[0][0] + 1
         parts = []
         for i in range(n):
             p = df.withColumn(key, F.col(key) + F.lit(i * k))
             if text_col:
+                if unique and i > 0:
+                    rot = i % 25 + 1  # never identity for i > 0
+                    tr = alpha[rot:] + alpha[:rot]
+                    p = p.withColumn(
+                        text_col,
+                        F.translate(
+                            F.col(text_col),
+                            alpha + alpha.upper(),
+                            tr + tr.upper(),
+                        ),
+                    )
+                else:
+                    p = p.withColumn(
+                        text_col,
+                        F.concat(F.col(text_col), F.lit(f" rep{i}")),
+                    )
+            if vec_col and unique and i > 0:
                 p = p.withColumn(
-                    text_col, F.concat(F.col(text_col), F.lit(f" rep{i}"))
+                    vec_col,
+                    F.concat(
+                        F.slice(F.col(vec_col), i % 32 + 2, 10_000),
+                        F.slice(F.col(vec_col), 1, i % 32 + 1),
+                    ),
                 )
             parts.append(p)
         big = reduce(lambda a, b: a.unionByName(b), parts)
@@ -116,7 +159,7 @@ def replicate(spark: SparkSession, n: int) -> None:
     # so ANN/IVF/semantic rows measure a real 10x vector set (the
     # replicas are exact duplicate vectors under offset ids: ties are
     # fine for timing, and seed ids < 16 keep centroid seeding valid)
-    fan("embeddings", "vec_id")
+    fan("embeddings", "vec_id", vec_col="embedding")
 
 
 def run(name: str, sf_dir: str) -> float:

@@ -11,7 +11,15 @@ joins (same documented super-linearity as the dedup stress replicas);
 state rows should grow ~10x (events per side), which is the claim
 under test.
 
-Usage: python scripts/stream_stress.py [replicas]
+Usage: python scripts/stream_stress.py [replicas] [--unique]
+
+``--unique`` (round-7 VERDICT ask #4) switches the replica fixture to
+the NON-duplicate mode (scale_stress.replicate(unique=True)): replica
+texts go through per-replica letter-rotation, embedding replicas a
+cyclic component shift — so the 10x corpus behaves like 10x genuinely
+new documents/vectors and the ingest loops measure the realistic
+regime (candidates ~linear) instead of the adversarial mutual-near-dup
+flood (candidates ~quadratic, the default mode's documented reading).
 """
 
 from __future__ import annotations
@@ -77,7 +85,9 @@ def run(name: str, sf_dir: str) -> dict:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    args = [a for a in sys.argv[1:] if a != "--unique"]
+    unique = "--unique" in sys.argv[1:]
+    n = int(args[0]) if args else 10
     spark = (
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
@@ -87,7 +97,7 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    replicate(spark, n)
+    replicate(spark, n, unique=unique)
     spark.range(1000).mapInPandas(lambda it: it, "id long").count()
     out = {}
     for q in QUERIES:
@@ -101,7 +111,7 @@ def main() -> None:
             f"state_{n}x": rn["state"],
         }
         print(json.dumps({q: out[q]}), flush=True)
-    print(json.dumps({"replicas": n, "results": out}))
+    print(json.dumps({"replicas": n, "unique": unique, "results": out}))
 
 
 if __name__ == "__main__":
