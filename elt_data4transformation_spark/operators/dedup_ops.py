@@ -379,15 +379,36 @@ def minhash_lsh_pairs(
     )
     # |A∪B| from precomputed set sizes — array_distinct(concat(a,b))
     # would re-hash every element per candidate pair for a number the
-    # sizes already determine.
-    inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
-    jac: Column = inter / (F.col("_na") + F.col("_nb") - inter)
-    return (
+    # sizes already determine. Project the intersect SIZE into a
+    # narrow column BEFORE the threshold gate: Catalyst does not CSE
+    # a repeated expensive subexpression across a division's
+    # numerator/denominator/filter, so the inline form evaluated the
+    # intersect 2-3x per pair (same fix as _probe_with_signatures;
+    # the 0.5 operating point gates on the exact integer equivalence
+    # jac >= 0.5 <=> 2i >= na+nb-i, so survivors alone pay the
+    # division).
+    narrow = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn("jaccard_raw", jac)
-        .filter(F.col("jaccard_raw") >= threshold)
-        .select("doc_a", "doc_b", "jaccard_raw")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("_sa", "_sb")).cast("long").alias(
+                "_i"
+            ),
+            F.col("_na").cast("long").alias("_na"),
+            F.col("_nb").cast("long").alias("_nb"),
+        )
+    )
+    den = F.col("_na") + F.col("_nb") - F.col("_i")
+    if threshold == 0.5:
+        gated = narrow.filter(F.col("_i") * 2 >= den)
+    else:
+        gated = narrow.filter(F.col("_i").cast("double") / den >= threshold)
+    return gated.select(
+        "doc_a",
+        "doc_b",
+        (F.col("_i").cast("double") / den).alias("jaccard_raw"),
     )
 
 
