@@ -320,6 +320,10 @@ def minhash_lsh_pairs(
     the text, so stored and computed rows are identical and every
     downstream value (candidates, jaccard) is unchanged."""
     if pre_bands is not None:
+        # stored path: the band table is a cheap narrow parquet read —
+        # persisting still pays once, but the eager-count JOB WAVE is
+        # pure floor (re-scanning the store beats a scheduling round
+        # trip; measured round 8, ~0.3-0.4 s per wave at sf0.1)
         bands = pre_bands.select(
             F.col(id_col).alias("_id"), "band_idx", "band_key"
         ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -335,12 +339,13 @@ def minhash_lsh_pairs(
             # computation from running once per side of the self-join
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-    bands.count()  # eager: concurrent self-join sides can't dedupe a cold cache
+        bands.count()  # eager: self-join sides can't dedupe a cold cache
     cand = (
         capped_band_candidates(bands, "_id", max_bucket)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    cand.count()  # eager: ids feed the semi-join below
+    # (no eager count on cand: the sh_c count below is its first
+    # consumer and populates the cache in the same job wave)
     ids = cand.select(F.col("doc_a").alias(id_col)).union(
         cand.select(F.col("doc_b").alias(id_col))
     ).distinct()
