@@ -236,14 +236,24 @@ def flatten_jsonstat_spark(
         F.col("d.dimension").alias("dimension"),
         F.posexplode("d.value").alias("offset", "value"),
     ).filter(F.col("value").isNotNull())
-    # one row per (point, dimension k)
+    # one row per (point, dimension k); _nd = expected dim count, so
+    # the final aggregate can drop POINTS with any failed lookup
+    # (the decoder skips the whole point, not just the broken dim)
     k = pts.select(
         "record_id",
         "offset",
         "value",
         "sizes",
         "dimension",
+        F.size("dim_ids").alias("_nd"),
         F.posexplode("dim_ids").alias("k", "dim_name"),
+    )
+    # malformed-payload guards (the pure decoder's skip rules, ANSI-
+    # safe: unguarded element_at/% would THROW on a size/id mismatch,
+    # a zero size, or a missing dimension key instead of skipping)
+    k = k.filter(
+        (F.size("sizes") == F.size("dim_ids"))
+        & ~F.exists("sizes", lambda s: s.isNull() | (s <= 0))
     )
     # stride_k = product of sizes after k
     stride = F.aggregate(
@@ -251,26 +261,34 @@ def flatten_jsonstat_spark(
         F.lit(1).cast("long"),
         lambda acc, x: acc * x,
     )
-    coord = (F.col("offset") / stride).cast("long") % F.element_at(
+    coord = (F.col("offset") / stride).cast("long") % F.try_element_at(
         "sizes", F.col("k") + 1
     )
-    cat = F.element_at("dimension", F.col("dim_name"))["category"]
-    # invert index map: position -> category id, then label fallback
-    inv = F.map_from_entries(
-        F.transform(
-            F.map_entries(cat["index"]),
-            lambda e: F.struct(e["value"].alias("pos"), e["key"].alias("cid")),
-        )
+    cat = F.try_element_at("dimension", F.col("dim_name"))["category"]
+    # invert index map: position -> category id, then label fallback;
+    # duplicate positions (malformed) would make map_from_entries
+    # throw, so the inversion is guarded on position uniqueness —
+    # a dim with a broken index yields NULL cids and its points drop,
+    # the decoder's 'pos not in lookup' rule
+    entries = F.transform(
+        F.map_entries(cat["index"]),
+        lambda e: F.struct(e["value"].alias("pos"), e["key"].alias("cid")),
     )
-    cid = F.element_at(inv, coord)
-    label = F.coalesce(F.element_at(cat["label"], cid), cid)
+    positions = F.transform(entries, lambda e: e["pos"])
+    inv = F.when(
+        F.size(F.array_distinct(positions)) == F.size(positions),
+        F.map_from_entries(entries),
+    )
+    cid = F.try_element_at(inv, coord)
+    label = F.coalesce(F.try_element_at(cat["label"], cid), cid)
     coords = k.select(
         "record_id",
         "offset",
         "value",
+        "_nd",
         F.col("dim_name"),
         label.alias("category"),
-    )
+    ).filter(F.col("category").isNotNull())
     return (
         coords.groupBy("record_id", "offset")
         .agg(
@@ -278,6 +296,9 @@ def flatten_jsonstat_spark(
                 F.collect_list(F.struct("dim_name", "category"))
             ).alias("dims"),
             F.first("value").alias("value"),
+            F.count(F.lit(1)).alias("_ok"),
+            F.first("_nd").alias("_nd"),
         )
+        .filter(F.col("_ok") == F.col("_nd"))  # every dim resolved
         .select("record_id", "dims", "value")
     )

@@ -404,10 +404,17 @@ def test_container_codecs_mutations_only_raise_valueerror(seed, muts, cut):
     px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
     frame = jpegcodec.write_jpeg(w, h, px.tobytes(), 90)
     samples = (rng.integers(-3000, 3000, size=64)).astype(np.int16)
+    from elt_data4transformation_spark.operators import pdftext
+
     payloads = {
         "avi": (avicodec.read_avi_mjpeg, avicodec.write_avi_mjpeg(w, h, [frame] * 2)),
         "adpcm": (adpcmcodec.read_wav_adpcm, adpcmcodec.write_wav_adpcm(samples, 8000)),
         "png": (pngcodec.read_png, pngcodec.write_png(w, h, px.tobytes())),
+        # best-effort extractor: partial/empty text is fine, raising isn't
+        "pdf": (
+            lambda b: (pdftext.extract_pdf_text(b), pdftext.count_pdf_pages(b)),
+            pdftext.make_pdf("Umfrage 42 Prozent " * 30),
+        ),
     }
     quarantine = (ValueError, zlib.error, _struct.error)
     for name, (reader, data) in payloads.items():
@@ -595,3 +602,38 @@ def test_cubefile_parse_mutations_never_raise(spark, muts):
         assert r["value"] is None or isinstance(r["value"], float)
         assert r["locked"] is None or isinstance(r["locked"], bool)
         assert r["dims"] is None or isinstance(r["dims"], str)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(_JSONSTAT_PATHS), _JSON_VALS),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_jsonstat_spark_variant_mutations_never_raise(spark, muts):
+    """The pure-DataFrame flattener must share the decoder's
+    quarantine contract: ANSI element_at on a size/id mismatch, %
+    by a zero size, a missing dimension map key, or duplicate index
+    positions would otherwise kill the stage for the whole batch.
+    Several mutated payloads ride one DataFrame per example."""
+    import json as _j
+
+    from elt_data4transformation_spark.operators.jsonstat import (
+        flatten_jsonstat_spark,
+    )
+
+    docs = []
+    for i in range(3):
+        doc = _valid_jsonstat()
+        for path, val in muts[i % len(muts) :]:
+            _set_path(doc, path, val)
+        docs.append((f"r{i}", _j.dumps(doc)))
+    docs.append(("ok", _j.dumps(_valid_jsonstat())))
+    df = spark.createDataFrame(docs, "record_id string, payload string")
+    rows = flatten_jsonstat_spark(df).collect()
+    # the untouched payload always decodes its 5 non-null points
+    assert len([r for r in rows if r["record_id"] == "ok"]) == 5
+    for r in rows:
+        assert r["value"] is None or isinstance(r["value"], float)
