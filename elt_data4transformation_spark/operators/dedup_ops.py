@@ -897,41 +897,41 @@ def _probe_with_signatures(
         cand.withColumn("_crn", F.row_number().over(wcap))
         .filter(F.col("_crn") <= PROBE_MAX_CANDIDATES)
         .select("new_doc_id", "matched_doc_id")
-        # persist + eager count: cand feeds BOTH the hit_sh semi-join
-        # and the pair join below; unpersisted, each consumer re-runs
-        # the band join + groupBy + cap window (measured ~0.6s/probe
-        # at sf0.1). Narrow and capped, so the pin is bounded; cache
-        # lifetime is the caller's (bench/tests clearCache per query).
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    cand.count()
-    hit_sh = idx_sh.join(
-        cand.select(F.col("matched_doc_id").alias(id_col)).distinct(),
-        id_col,
-        "left_semi",
-    ).select(
-        F.col(id_col).alias("matched_doc_id"),
-        F.col("sh_hash").alias("_sb"),
-        F.col("n_sh").alias("_nb"),
     )
     # Rescore cost shape: candidates fan out ~tens of pairs per delta
     # doc, so the intersect over ~10^3-element shingle-hash LONG
     # arrays is the hot loop (packed at rest — integer compares, ~1.8x
-    # over the string arrays they replace). Three measured levers (sf0.1: 6.9s -> 3.2s, under the
-    # oracle's own cost): (1) broadcast the delta shingles into the
-    # pair join — the delta is small by definition; (2) project the
-    # intersect SIZE into a narrow column list first, so the wide
-    # arrays never reach the filter/output; (3) gate with an
-    # integer comparison — for the 0.5 operating point
-    # jac >= 0.5 <=> 2*|A∩B| >= |A|+|B|-|A∩B|, EXACTLY (small-int
-    # doubles are exact), so the expensive intersect is evaluated
-    # once per candidate instead of once per reference to the
-    # division expression; survivors (few) recompute the division
-    # for the output value.
-    scored = cand.join(
+    # over the string arrays they replace). Measured levers (sf0.1:
+    # 6.9s -> 3.2s, under the oracle's own cost): (1) broadcast the
+    # delta shingles into the pair join — the delta is small by
+    # definition; (2) project the intersect SIZE into a narrow column
+    # list first, so the wide arrays never reach the filter/output;
+    # (3) gate with an integer comparison — for the 0.5 operating
+    # point jac >= 0.5 <=> 2*|A∩B| >= |A|+|B|-|A∩B|, EXACTLY
+    # (small-int doubles are exact), so the expensive intersect is
+    # evaluated once per candidate instead of once per reference to
+    # the division expression; survivors (few) recompute the division
+    # for the output value. (4, round 8) FUSED single-pass shape: the
+    # NARROW capped candidate table is broadcast straight into an
+    # inner join against the stored shingles (the BHJ is the filter
+    # the old hit_sh semi-join provided), then the (broadcast) delta
+    # shingles attach per-pair — the former persist + eager-count job
+    # wave and the separate semi-join pass collapse into the main
+    # job (the broadcast subplan computes cand exactly once), so a
+    # probe is one action: idx_bands scan -> cap -> broadcast ->
+    # idx_sh scan + 2xBHJ + gate. Both broadcasts stay at their
+    # natural sizes: cand is (id, id) pairs, dsh is one array per
+    # DELTA DOC — never join them before broadcasting, a per-PAIR
+    # array replication inflates the exchange by the candidate cap
+    # (measured 2x regression on the artifact-read probes).
+    scored = idx_sh.select(
+        F.col(id_col).alias("matched_doc_id"),
+        F.col("sh_hash").alias("_sb"),
+        F.col("n_sh").alias("_nb"),
+    ).join(F.broadcast(cand), "matched_doc_id").join(
         F.broadcast(dsh.select(F.col("_nid").alias("new_doc_id"), "_sa")),
         "new_doc_id",
-    ).join(hit_sh, "matched_doc_id").select(
+    ).select(
         "new_doc_id",
         "matched_doc_id",
         F.size(F.array_intersect("_sa", "_sb")).cast("long").alias("_i"),
