@@ -346,9 +346,11 @@ def minhash_lsh_pairs(
     )
     # (no eager count on cand: the sh_c count below is its first
     # consumer and populates the cache in the same job wave)
+    # no .distinct(): a left_semi probe dedups by construction, and the
+    # distinct would be one more exchange on the narrow id stream
     ids = cand.select(F.col("doc_a").alias(id_col)).union(
         cand.select(F.col("doc_b").alias(id_col))
-    ).distinct()
+    )
     if pre_sh is not None:
         # stored shape carries the packed sh_hash LONG arrays — the
         # rescore intersects integers, never the raw shingle strings

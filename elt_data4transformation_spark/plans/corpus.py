@@ -888,7 +888,12 @@ def pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = topk_per_group(
         dfreq, [], [F.desc("df"), F.asc("token")], _PMI_VOCAB, rank_name="_vr"
     ).drop("_vr")
-    n_docs = tok.select("doc_id").distinct().count()
+    # corpus size stays a 1-row FRAME crossJoined in below (never a
+    # driver-side .count() — that is a whole extra job wave for one
+    # scalar the plan can carry)
+    nd = tok.agg(
+        F.countDistinct("doc_id").cast("double").alias("_n_docs")
+    )
     vt = tok.join(F.broadcast(vocab), "token")
     a = vt.select(
         "doc_id",
@@ -907,14 +912,14 @@ def pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("co_docs"))
         .filter(F.col("co_docs") >= _PMI_MIN_CO)
     )
-    scored = pairs.select(
+    scored = pairs.crossJoin(F.broadcast(nd)).select(
         "token_a",
         "token_b",
         "co_docs",
         F.round(
             F.log(
                 F.col("co_docs").cast("double")
-                * F.lit(float(n_docs))
+                * F.col("_n_docs")
                 / (F.col("df_a") * F.col("df_b"))
             ),
             6,
@@ -984,13 +989,14 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()  # reused by df-stats, n_docs and the scoring join
     )
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = tf.select("doc_id").distinct().count()
-    scored = tf.join(dfreq, "token").select(
+    # 1-row frame, not a driver .count() — see pmi_cooccurrence
+    nd = tf.agg(F.countDistinct("doc_id").alias("_n_docs"))
+    scored = tf.join(dfreq, "token").crossJoin(F.broadcast(nd)).select(
         "doc_id",
         "token",
         F.round(
             F.col("tf")
-            * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)),
+            * F.log((F.col("_n_docs") + 1.0) / (F.col("df") + 1.0)),
             6,
         ).alias("tfidf"),
     )

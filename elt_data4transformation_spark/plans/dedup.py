@@ -694,12 +694,29 @@ def embedding_neardup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the forged-twin id space starts at 100000 (a constant BOTH
     # engines bake into their twin ids); a real vec_id at or above it
     # would collide with a twin and silently corrupt the shared ground
-    # truth in a way parity checking cannot see — guard it (one
-    # single-column min/max scan of the small embeddings table)
-    max_id = e0.agg(F.max("vec_id")).first()[0]
-    assert max_id is None or max_id < 100000, (
-        f"embedding_neardup_srp: vec_id {max_id} collides with the "
-        "forged twin id space (>= 100000) — raise the twin offset"
+    # truth in a way parity checking cannot see — guard it PER ROW
+    # inside the main job (assert_true fails the job on violation; a
+    # driver-side max()+assert was a whole extra job wave for the same
+    # guarantee). The assert is folded INTO the vec_id expression —
+    # assert_true yields NULL on success, so the coalesce passes the
+    # id through — because a standalone asserted column that nothing
+    # reads would be pruned by Catalyst and never evaluate.
+    e0 = e0.select(
+        F.coalesce(
+            F.assert_true(
+                F.col("vec_id") < 100000,
+                F.concat(
+                    F.lit("embedding_neardup_srp: vec_id "),
+                    F.col("vec_id").cast("string"),
+                    F.lit(
+                        " collides with the forged twin id space"
+                        " (>= 100000) — raise the twin offset"
+                    ),
+                ),
+            ).cast("long"),
+            F.col("vec_id"),
+        ).alias("vec_id"),
+        "v",
     )
     e = e0.unionByName(_srp_twins_of(e0))
 

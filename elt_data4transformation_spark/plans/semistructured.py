@@ -491,32 +491,80 @@ def parse_best_effort_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("text", "semistructured"),
     doc="T15 OpenAlex abstract reconstruction: build the inverted index "
-    "(word -> positions) from each document, then reconstruct the text "
-    "by exploding positions, sorting, and joining — the oracle asserts "
-    "an exact round trip (discovery/openalex.py:15-17: {word:[pos...]} "
-    "-> ordered text).",
+    "({word: [pos...]}, as OpenAlex publishes it) for each document, "
+    "then reconstruct the text from the index alone — the oracle "
+    "asserts an exact round trip (discovery/openalex.py:15-17). The "
+    "index is PER-WORK in the reference and the round trip touches one "
+    "document at a time, so the plan is per-row column expressions — "
+    "zero shuffles, whole-stage codegen end to end (the earlier "
+    "posexplode->groupBy->explode->groupBy form shuffled ~10M (doc, "
+    "word, pos) rows twice for an embarrassingly parallel transform; "
+    "at 100 TB the per-row form scales with the scan alone).",
 )
 def abstract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(table(spark, sf_dir, "documents"))
-    # 1. inverted index, as OpenAlex publishes it
-    inverted = (
-        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
-        .groupBy("doc_id", "word")
-        .agg(F.collect_list("pos").alias("positions"))
-    )
-    # 2. reconstruction from the index alone
-    return (
-        inverted.select("doc_id", "word", F.explode("positions").alias("pos"))
-        .groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
-                    lambda s: s["word"],
-                ),
-                " ",
-            ).alias("reconstructed")
+    # 1. inverted index, per document: sort (word, pos) pairs by word
+    # (positions stay ascending within a word — array_sort on the
+    # struct orders by word then pos), find each word's run start via
+    # index lookups (linear: element_at is O(1) into the sorted
+    # array), and slice out each run's positions.
+    pairs = F.array_sort(
+        F.transform(
+            F.split("text", " "),
+            lambda w, i: F.struct(w.alias("word"), i.alias("pos")),
         )
+    )
+    n = F.size(F.col("_pairs"))
+    word_at = lambda i: F.element_at(F.col("_pairs"), i + 1)["word"]  # noqa: E731
+    # when() keeps the i-1 lookup out of the i == 0 branch — ANSI mode
+    # makes element_at(arr, 0) an error, not a NULL
+    starts = F.filter(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.when(i == 0, F.lit(True)).otherwise(
+            word_at(i) != word_at(i - 1)
+        ),
+    )
+    nxt = lambda j: F.coalesce(  # noqa: E731
+        F.try_element_at(F.col("_starts"), j + 2), n
+    )
+    inverted = F.map_from_entries(
+        F.transform(
+            F.col("_starts"),
+            lambda s, j: F.struct(
+                word_at(s).alias("word"),
+                F.transform(
+                    F.slice(F.col("_pairs"), s + 1, nxt(j) - s),
+                    lambda p: p["pos"],
+                ).alias("positions"),
+            ),
+        )
+    )
+    # 2. reconstruction from the index alone: flatten {word: [pos...]}
+    # back to (pos, word), sort by position, join.
+    recon = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.flatten(
+                    F.transform(
+                        F.map_entries(F.col("_idx")),
+                        lambda e: F.transform(
+                            e["value"],
+                            lambda p: F.struct(
+                                p.alias("pos"), e["key"].alias("word")
+                            ),
+                        ),
+                    )
+                )
+            ),
+            lambda s: s["word"],
+        ),
+        " ",
+    )
+    return (
+        d.select("doc_id", pairs.alias("_pairs"))
+        .withColumn("_starts", starts)
+        .select("doc_id", inverted.alias("_idx"))
+        .select("doc_id", recon.alias("reconstructed"))
         .orderBy("doc_id")
     )
 
