@@ -31,7 +31,21 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # single-JVM local mode puts driver + executors + broadcasts +
+        # Arrow buffers in ONE heap; 8g measurably GC-thrashed the
+        # tail of full-registry bench runs (Arrow-batched decode
+        # queries ran 5-15x slow once ~200 queries' stores/broadcasts
+        # accumulated — round 8). 16g, not more: 32g measurably
+        # SLOWED allocation-bursty single-query plans ~2.5x
+        # (title_dedup_merge 2.6 -> 6.6 s steady — G1 region/young-gen
+        # geometry at large heaps), while 16g holds both families.
+        # Override via SPARK_GRAFT_DRIVER_MEM. On a real cluster the
+        # driver never holds executor state, so this is a local-mode
+        # sizing concern, not a scale parameter.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
