@@ -890,7 +890,13 @@ def pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("_vr")
     # corpus size stays a 1-row FRAME crossJoined in below (never a
     # driver-side .count() — that is a whole extra job wave for one
-    # scalar the plan can carry)
+    # scalar the plan can carry). Dropping that count also drops the
+    # eager cache warm it incidentally provided: tok's consumers may
+    # now race a cold cache and re-read the dropDuplicates shuffle
+    # output. Accepted trade — the shuffle is computed once either
+    # way (its files are reused), a duplicate shuffle READ is bounded
+    # by one pass over the token stream, and the saved scheduling
+    # wave measured larger at sf0.1 (2.8 -> 2.6 s).
     nd = tok.agg(
         F.countDistinct("doc_id").cast("double").alias("_n_docs")
     )

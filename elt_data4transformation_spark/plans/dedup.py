@@ -704,7 +704,11 @@ def embedding_neardup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     e0 = e0.select(
         F.coalesce(
             F.assert_true(
-                F.col("vec_id") < 100000,
+                # isNull mirrors the old driver-side max() guard, which
+                # ignored NULL ids (max() skips NULLs); assert_true
+                # raises on a NULL condition, so the tolerance must be
+                # explicit
+                F.col("vec_id").isNull() | (F.col("vec_id") < 100000),
                 F.concat(
                     F.lit("embedding_neardup_srp: vec_id "),
                     F.col("vec_id").cast("string"),

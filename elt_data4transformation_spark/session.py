@@ -13,6 +13,22 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_heap() -> str:
+    """16g on the bench-class host, halved down on smaller ones
+    (heap findings documented at the config call below)."""
+    try:
+        total_gb = (
+            os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        ) / (1024**3)
+    except (ValueError, OSError):
+        return "8g"
+    if total_gb >= 64:
+        return "16g"
+    if total_gb >= 32:
+        return "8g"
+    return "4g"
+
+
 def get_spark(
     app_name: str = "elt_data4transformation_spark",
     cpus: str | int | None = None,
@@ -39,12 +55,14 @@ def get_spark(
         # SLOWED allocation-bursty single-query plans ~2.5x
         # (title_dedup_merge 2.6 -> 6.6 s steady — G1 region/young-gen
         # geometry at large heaps), while 16g holds both families.
-        # Override via SPARK_GRAFT_DRIVER_MEM. On a real cluster the
-        # driver never holds executor state, so this is a local-mode
-        # sizing concern, not a scale parameter.
+        # Scaled down on small hosts so a memory-limited container
+        # isn't handed an -Xmx it cannot back. Override via
+        # SPARK_GRAFT_DRIVER_MEM. On a real cluster the driver never
+        # holds executor state, so this is a local-mode sizing
+        # concern, not a scale parameter.
         .config(
             "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_heap()),
         )
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -37,11 +37,18 @@ def main() -> None:
     names = set(docs[0]["queries"])
     for d in docs[1:]:
         assert set(d["queries"]) == names, "runs cover different registries"
-    queries = {
-        n: round(min(d["queries"][n] for d in docs), 3) for n in names
-    }
+    def best(vals: list[float]) -> float:
+        # bench.py records -1.0 for a query that FAILED in that run;
+        # a failure is a missing measurement, not a fast one — min()
+        # over raw values would select the sentinel and corrupt the
+        # total. Keep the min of the real measurements; only if every
+        # run failed does the sentinel survive.
+        ok = [v for v in vals if v >= 0]
+        return round(min(ok), 3) if ok else -1.0
+
+    queries = {n: best([d["queries"][n] for d in docs]) for n in names}
     base["queries"] = queries
-    base["value"] = round(sum(queries.values()), 3)
+    base["value"] = round(sum(v for v in queries.values() if v >= 0), 3)
     base["runs"] = [d["value"] for d in docs]
     base["basis"] = f"per-query min of {len(docs)} sequential runs"
     # min-reduce any side-specific per-query dicts (e.g. full_queries)
