@@ -4966,3 +4966,94 @@ def test_html_extract_text_decomposes_invisible_elements(spark):
     assert out == "Umfrage SPD 25 % CDU 30 %"
     for leaked in ("var x", "color: red", "enable js", "<"):
         assert leaked not in out
+
+
+def test_probe_plan_is_fused_single_pass(spark, tmp_path):
+    """Round-8 fusion pin: _probe_with_signatures must run as ONE
+    action — no persisted candidate intermediate (InMemoryTableScan)
+    and both probe-side joins broadcast (the capped candidate pairs
+    and the delta arrays each broadcast SEPARATELY into the stored-
+    shingle scan; joining them before the broadcast replicates wide
+    arrays per pair and measured a 2x regression)."""
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    corpus = spark.createDataFrame(
+        [(i, base + f"tail {i}") for i in range(4)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    dedup_ops.write_band_index(corpus, idx, id_col="doc_id",
+                               text_col="text")
+    delta = spark.createDataFrame(
+        [(100, base.replace("lazy", "sleepy"))],
+        "doc_id long, text string",
+    )
+    # stored-segment delta shape (the plans' path): signatures arrive
+    # precomputed, so NOTHING in the probe plan may persist — the
+    # raw-text path legitimately caches the delta's shingle pass, which
+    # is why that path is not the one pinned here
+    dsh = delta.select(
+        "doc_id",
+        T.char_shingles_col(5).alias("shingles"),
+    ).select(
+        "doc_id",
+        "shingles",
+        F.size("shingles").cast("long").alias("n_sh"),
+        F.transform("shingles", lambda s: F.xxhash64(s)).alias("sh_hash"),
+    )
+    dsig = dedup_ops.minhash_signature(
+        delta.select(
+            F.col("doc_id"), T.char_shingles_col(5).alias("_sh")
+        ),
+        "doc_id",
+        "_sh",
+        8,
+        2,
+    )
+    dbands = dedup_ops.pack_band_keys(
+        dedup_ops.band_table(dsig, "doc_id", 2)
+    )
+    scored = dedup_ops.probe_band_index(
+        spark, idx, delta_sh=dsh, delta_bands=dbands, threshold=0.5
+    )
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" not in plan, (
+        "probe re-grew a persisted intermediate — the fused "
+        "single-action shape regressed to the persist+count form"
+    )
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    # and the probe still finds the near-dups (full value correctness
+    # is the oracle suite's job; this test pins the plan shape)
+    rows = {(r["new_doc_id"], r["matched_doc_id"]) for r in scored.collect()}
+    assert rows and all(n == 100 and m in range(4) for n, m in rows)
+
+
+def test_pair_min_ignores_failure_sentinel(tmp_path):
+    """scripts/pair_min.py: a -1.0 failure sentinel in one run must
+    not win the per-query min (a failed run is a missing measurement);
+    only an all-runs failure keeps the sentinel, and the recomputed
+    total never sums negatives."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    runs = []
+    for i, q in enumerate(
+        [
+            {"a": 2.0, "b": -1.0, "c": -1.0},
+            {"a": 3.0, "b": 1.5, "c": -1.0},
+        ]
+    ):
+        p = tmp_path / f"run{i}.json"
+        p.write_text(json.dumps(
+            {"metric": "m", "value": sum(v for v in q.values() if v >= 0),
+             "unit": "sec", "queries": q, "sf": 0.1}
+        ))
+        runs.append(str(p))
+    out = tmp_path / "min.json"
+    subprocess.run(
+        [_sys.executable, "scripts/pair_min.py", str(out), *runs],
+        check=True, capture_output=True, cwd="/root/repo",
+    )
+    got = json.loads(out.read_text())
+    assert got["queries"] == {"a": 2.0, "b": 1.5, "c": -1.0}
+    assert got["value"] == 3.5
