@@ -421,6 +421,19 @@ def minhash_lsh_pairs(
 
 PROBE_MAX_CANDIDATES = 64  # rescored candidates per probe doc (capped)
 
+# Probe-side broadcast ceiling (delta DOCS, not rows): the fused probe
+# broadcasts (a) the capped candidate pairs — delta_docs x
+# PROBE_MAX_CANDIDATES (id, id) rows — and (b) the delta shingle
+# arrays — one ~10^3-element LONG array (~8 KB) per delta doc. Both
+# are comfortably under Spark's 8 GB broadcast hard limit for the
+# ingest-batch sizes this engine feeds (<= ~1e5 docs per drain), but a
+# bulk caller probing millions of docs in ONE delta would blow the
+# limit and the driver heap — a ceiling the old persisted-shuffle
+# shape did not have. Callers that know their delta size pass it via
+# ``delta_rows``; past this bound the probe falls back to shuffle
+# joins (slower per probe, no ceiling).
+BROADCAST_DELTA_MAX_DOCS = 100_000
+
 
 def pack_band_keys(bands: DataFrame) -> DataFrame:
     """Pack string (md5) band keys to LONG for the AT-REST index
@@ -790,6 +803,7 @@ def probe_band_index(
     delta_bands: DataFrame | None = None,
     idx_bands: DataFrame | None = None,
     idx_sh: DataFrame | None = None,
+    delta_rows: int | None = None,
 ) -> DataFrame:
     """Probe a STORED band index (write_band_index, plus any merged
     ingest segments) with a new batch. Returns (new_doc_id,
@@ -834,7 +848,7 @@ def probe_band_index(
         )
     return _probe_with_signatures(
         spark, index_path, dsh, dbands, id_col, threshold,
-        idx_bands=idx_bands, idx_sh=idx_sh,
+        idx_bands=idx_bands, idx_sh=idx_sh, delta_rows=delta_rows,
     )
 
 
@@ -847,6 +861,7 @@ def _probe_with_signatures(
     threshold: float,
     idx_bands: DataFrame | None = None,
     idx_sh: DataFrame | None = None,
+    delta_rows: int | None = None,
 ) -> DataFrame:
     """Probe body shared by probe_band_index and ingest_band_index:
     ``dsh`` is (_nid, _sa) where _sa is the PACKED shingle-hash LONG
@@ -862,13 +877,22 @@ def _probe_with_signatures(
         # common base path — brittle; an explicit union is the same scan
         idx_bands = _read_segments(spark, band_dirs)
         idx_sh = _read_segments(spark, shingle_dirs)
+    # gate every delta-proportional broadcast hint on the caller's
+    # batch-size declaration (see BROADCAST_DELTA_MAX_DOCS): oversize
+    # deltas keep the identical plan shape minus the hints, letting
+    # AQE/the planner pick shuffle joins instead of hitting the 8 GB
+    # broadcast hard limit
+    if delta_rows is not None and delta_rows > BROADCAST_DELTA_MAX_DOCS:
+        hint = lambda df: df  # noqa: E731
+    else:
+        hint = F.broadcast
     probe_bands = dbands.select(
         F.col("_nid").alias("new_doc_id"), "band_idx", "band_key"
     )
     # groupBy instead of distinct: same shuffle, but the shared-band
     # COUNT comes out free — it orders the per-probe-doc candidate cap
     cand = (
-        idx_bands.join(F.broadcast(probe_bands), ["band_idx", "band_key"])
+        idx_bands.join(hint(probe_bands), ["band_idx", "band_key"])
         .groupBy("new_doc_id", F.col(id_col).alias("matched_doc_id"))
         .agg(F.count(F.lit(1)).alias("_shared_bands"))
     )
@@ -930,8 +954,8 @@ def _probe_with_signatures(
         F.col(id_col).alias("matched_doc_id"),
         F.col("sh_hash").alias("_sb"),
         F.col("n_sh").alias("_nb"),
-    ).join(F.broadcast(cand), "matched_doc_id").join(
-        F.broadcast(dsh.select(F.col("_nid").alias("new_doc_id"), "_sa")),
+    ).join(hint(cand), "matched_doc_id").join(
+        hint(dsh.select(F.col("_nid").alias("new_doc_id"), "_sa")),
         "new_doc_id",
     ).select(
         "new_doc_id",

@@ -2090,7 +2090,8 @@ def _register_stream_decon() -> None:
                         F.col("matched_doc_id").alias("test_doc_id"),
                         F.round("jaccard_raw", 6).alias("jaccard"),
                     )
-                    .coalesce(1)
+                    # no coalesce(1): one-task writes serialize the
+                    # upstream join + window too (round 9)
                     .write.mode("append")
                     .parquet(log)
                 )
@@ -2203,15 +2204,22 @@ def _stream_ingest_oracle() -> str:
     "the STORED band index and then MERGED into it "
     "(merge_band_index segment + meta stamp), so every batch dedups "
     "against the corpus AND all earlier batches — streaming "
-    "dedup_index_maintain. Out-of-order arrival is handled by a "
-    "DISK-BUFFERED sequencer: a batch whose ingest tag is not next "
-    "is spilled to parquet and drained when its turn comes, so "
-    "results are deterministic REGARDLESS of file-source ordering "
-    "(the production answer to commit-order vs arrival-order). Work "
-    "per batch is delta-proportional; probe results land in an "
-    "append-only parquet log (batch_tag, new_doc_id, "
-    "matched_doc_id, jaccard) — the audit trail of what each ingest "
-    "matched. Reference analog: the per-run known-ID diff loop "
+    "dedup_index_maintain. Out-of-order arrival is handled by an "
+    "EXECUTOR-BUFFERED sequencer (round 9; was a parquet spill "
+    "round-trip): a batch whose ingest tag is not next is pinned via "
+    "localCheckpoint(eager) — materialized in executor storage, "
+    "lineage cut from the expiring micro-batch source — and drained "
+    "when its turn comes, so results are deterministic REGARDLESS of "
+    "file-source ordering (the production answer to commit-order vs "
+    "arrival-order; a lost executor loses the buffer and the restart "
+    "replays the batch from the checkpoint, same recovery as the "
+    "spill). Work per batch is delta-proportional; probe results "
+    "land in an append-only parquet log (batch_tag, new_doc_id, "
+    "matched_doc_id, jaccard) written at FULL PARALLELISM (round 9: "
+    "the per-drain coalesce(1) forced the rank window AND the write "
+    "through one task — a single-writer bottleneck at 100x ingest "
+    "rates; the log is now a normal partitioned append). Reference "
+    "analog: the per-run known-ID diff loop "
     "(main.py:80-85) + idempotent extending store "
     "(storage/postgres.py:1160-1239), fused and made streaming.",
 )
@@ -2254,8 +2262,6 @@ def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = _ensure_stream_src(spark, sf_dir)
 
         results = os.path.join(work, "probes")
-        spill = os.path.join(work, "spill")
-        os.makedirs(spill)
         # base index frames read from disk ONCE for the whole loop and
         # cached; each merged batch's already-persisted segment frames
         # are unioned in (write once, reference twice — the probe for
@@ -2322,7 +2328,10 @@ def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "matched_doc_id",
                     F.round("jaccard_raw", 6).alias("jaccard"),
                 )
-                .coalesce(1)
+                # no coalesce(1): it collapsed the rank window AND the
+                # file write into ONE task per drain — the log is an
+                # audit trail, small-file count is irrelevant next to
+                # a serialized writer at 100x ingest rates (round 9)
                 .write.mode("append")
                 .parquet(results)
             )
@@ -2341,35 +2350,52 @@ def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             state["bands"] = state["bands"].unionByName(seg_bands)
             state["sh"] = state["sh"].unionByName(seg_sh)
 
+        buffered: dict[int, DataFrame] = {}
+
         def sink(batch_df: DataFrame, _batch_id: int) -> None:
-            tags = [
-                r["_t"]
-                for r in batch_df.select(
-                    (F.col("doc_id") % DELTA_MOD).alias("_t")
+            # tag discovery: ONE narrow agg job (min/max over a pure
+            # row function — no exchange, unlike the round-8
+            # distinct().collect()); the sequenced common case (one
+            # tag per file, maxFilesPerTrigger=1) then drains the
+            # WHOLE live batch with no per-tag filter pass
+            lo, hi = batch_df.agg(
+                F.min(F.col("doc_id") % DELTA_MOD),
+                F.max(F.col("doc_id") % DELTA_MOD),
+            ).first()
+            if lo is None:
+                return  # empty micro-batch
+            if lo == hi:
+                tags = [lo]
+            else:
+                # rare multi-tag batch: exact discovery (round-8 path)
+                tags = sorted(
+                    r["_t"]
+                    for r in batch_df.select(
+                        (F.col("doc_id") % DELTA_MOD).alias("_t")
+                    )
+                    .distinct()
+                    .collect()
                 )
-                .distinct()
-                .collect()
-            ]
             for t in tags:
-                part = batch_df.filter(F.col("doc_id") % DELTA_MOD == t)
+                part = (
+                    batch_df
+                    if lo == hi
+                    else batch_df.filter(F.col("doc_id") % DELTA_MOD == t)
+                )
                 if t == state["expected"]:
                     # in-order arrival: drain straight from the live
-                    # micro-batch — no spill round-trip
+                    # micro-batch — no buffering
                     drain(t, part)
                     state["expected"] += 1
-                else:
-                    part.write.mode("overwrite").parquet(
-                        os.path.join(spill, str(t))
-                    )
-            while os.path.exists(
-                os.path.join(spill, str(state["expected"]), "_SUCCESS")
-            ):
-                drain(
-                    state["expected"],
-                    spark.read.parquet(
-                        os.path.join(spill, str(state["expected"]))
-                    ),
-                )
+                elif t > state["expected"]:
+                    # out-of-order: pin in executor storage with the
+                    # lineage cut (the micro-batch source expires when
+                    # this callback returns); one job, like the old
+                    # parquet spill's write, but the drain later reads
+                    # memory instead of re-reading files
+                    buffered[t] = part.localCheckpoint(eager=True)
+            while state["expected"] in buffered:
+                drain(state["expected"], buffered.pop(state["expected"]))
                 state["expected"] += 1
 
         stream = (
@@ -2461,7 +2487,16 @@ _SUB_K = 40  # anchor window (chars): a span must repeat >= this long
     "documents marks its positions duplicated; overlapping/adjacent "
     "duplicated windows merge into maximal spans (gaps-and-islands via "
     "a running MAX(window end) — pure integer arithmetic, so "
-    "cross-engine parity is exact). CRUCIALLY this plan is LINEAR — "
+    "cross-engine parity is exact). POSITIONING (round 9): this "
+    "all-shingle form is the RECALL-AUDIT FALLBACK — it explodes and "
+    "aggregates every position, the price of zero-parameter exactness; "
+    "substring_dup_spans_winnowed is the PRIMARY production path (its "
+    "stored anchors find every repeat >= K + w - 1 = 40 chars, i.e. "
+    "the same >= 40-char guarantee as this query, at ~1/5 the anchor "
+    "volume and with the expensive selection amortized into the "
+    "artifact build). Run this form to audit the winnowed path's "
+    "recall on a sample, not as the standing 100 TB job. "
+    "CRUCIALLY the plan is still LINEAR — "
     "anchor sharing is decided by a count-distinct hash aggregate, "
     "never a pair join, so a boilerplate string repeated a million "
     "times costs one partially-aggregated counter, not 10^12 pairs "
@@ -2491,10 +2526,15 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("text").substr(F.col("p"), F.lit(K)).alias("g"),
         )
     )
+    # ">= 2 distinct docs" <=> min(doc_id) != max(doc_id): same
+    # predicate as the oracle's COUNT(DISTINCT), but min/max are
+    # single-phase partial aggregates — no distinct expansion, one
+    # shuffle of (g, two longs) instead of countDistinct's two-phase
+    # plan (round 9; measured ~11% off the steady time at sf0.1)
     shared = (
         sh.groupBy("g")
-        .agg(F.countDistinct("doc_id").alias("_nd"))
-        .filter(F.col("_nd") >= 2)
+        .agg(F.min("doc_id").alias("_a"), F.max("doc_id").alias("_b"))
+        .filter(F.col("_a") != F.col("_b"))
         .select("g")
     )
     dup = sh.join(shared, "g", "left_semi").select("doc_id", "p")
@@ -2628,8 +2668,10 @@ def _prep_winnow_store(spark: SparkSession, sf_dir: str) -> None:
     """,
     tags=("dedup", "substring"),
     doc="Substring-duplication spans over WINNOWED anchors — the "
-    "100 TB composition substring_dup_spans' own docstring names, "
-    "wired: instead of aggregating every raw 40-char gram (~40 "
+    "PRIMARY production path for substring-level dedup (round 9: the "
+    "all-shingle substring_dup_spans is repositioned as this query's "
+    "recall-audit fallback): instead of aggregating every raw 40-char "
+    "gram (~40 "
     f"shuffled bytes per corpus char), only winnow-SELECTED {_WSUB_K}"
     f"-char anchors (Schleimer et al. 2003; window {_WSUB_W}, so any "
     f"repeat >= {_WSUB_K + _WSUB_W - 1} chars is guaranteed detected) "
@@ -2651,10 +2693,12 @@ def substring_dup_spans_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per corpus state at publication — see _winnow_anchor_store); the
     # query is the shared-hash join + islands over stored integers
     anchors = _winnow_anchor_store(spark, sf_dir)
+    # min != max <=> >= 2 distinct docs: single-phase partial agg
+    # (same rewrite as the raw variant, round 9)
     shared = (
         anchors.groupBy("fp_hash")
-        .agg(F.countDistinct("doc_id").alias("_nd"))
-        .filter(F.col("_nd") >= 2)
+        .agg(F.min("doc_id").alias("_a"), F.max("doc_id").alias("_b"))
+        .filter(F.col("_a") != F.col("_b"))
         .select("fp_hash")
     )
     dup = anchors.join(shared, "fp_hash", "left_semi").select("doc_id", "p")

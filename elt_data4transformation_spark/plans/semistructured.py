@@ -761,6 +761,396 @@ def oai_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return oai.parse_oai_responses(responses).orderBy("external_id")
 
 
+# --- S17: GESIS SPARQL JSON-results decode --------------------------------
+
+_SPARQL_TITLE_PROPS = (
+    "https://schema.org/name",
+    "http://purl.org/dc/terms/title",
+)
+_SPARQL_LICENSE_PROPS = (
+    "https://schema.org/license",
+    "http://purl.org/dc/terms/license",
+)
+_SPARQL_DOI_PROPS = (
+    "https://schema.org/sameAs",
+    "https://schema.org/identifier",
+    "http://purl.org/dc/terms/identifier",
+)
+_SPARQL_DEFAULT_LICENSE = "GESIS terms of use (public catalog)"
+
+
+def _sparql_json_col() -> F.Column:
+    """Deterministic per-doc SPARQL SELECT results payload
+    (application/sparql-results+json) in the exact W3C shape the
+    reference's batch-detail query returns (gesis.py _BATCH_DETAIL_QUERY
+    binds ?d ?p ?o): head.vars + results.bindings, one binding per
+    (dataset, predicate, object) triple, literal bindings carrying
+    xml:lang. Built with to_json so string escaping is the real JSON
+    rule, and optional bindings are array elements dropped via filter
+    (to_json omits null struct fields — absent keys, like live
+    endpoints emit)."""
+    i = F.col("doc_id").cast("string")
+    uri = F.concat(F.lit("https://data.example.org/kg/Dataset/ds"), i)
+
+    def node(typ: str, value: F.Column, lang: F.Column | None = None):
+        return F.struct(
+            F.lit(typ).alias("type"),
+            value.alias("value"),
+            (lang if lang is not None else F.lit(None).cast("string")).alias(
+                "xml:lang"
+            ),
+        )
+
+    def binding(p: str, o: F.Column) -> F.Column:
+        return F.struct(
+            F.struct(F.lit("uri").alias("type"), uri.alias("value")).alias(
+                "d"
+            ),
+            F.struct(
+                F.lit("uri").alias("type"), F.lit(p).alias("value")
+            ).alias("p"),
+            o.alias("o"),
+        )
+
+    title = F.concat_ws(" ", F.slice(F.split("text", " "), 1, 4))
+    mod4 = F.col("doc_id") % 4
+    bindings = F.array(
+        binding(
+            "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            node("uri", F.lit("https://schema.org/Dataset")),
+        ),
+        binding(
+            "https://schema.org/name",
+            node("literal", title, F.col("lang")),
+        ),
+        binding(
+            "https://schema.org/description",
+            node("literal", F.substring("text", 1, 60), F.col("lang")),
+        ),
+        # DOI exercises all three extraction branches of the
+        # reference's _first_doi (gesis.py:335-357): doi.org URL,
+        # doi:-prefixed, bare 10.x — plus the "doi in predicate"
+        # predicate-match path on the third
+        F.when(
+            mod4 == 0,
+            binding(
+                "https://schema.org/sameAs",
+                node(
+                    "literal",
+                    F.concat(F.lit("https://doi.org/10.1234/kg."), i),
+                ),
+            ),
+        ).when(
+            mod4 == 2,
+            binding(
+                "http://purl.org/dc/terms/identifier",
+                node("literal", F.concat(F.lit("doi:10.9999/alt."), i)),
+            ),
+        ).when(
+            mod4 == 3,
+            binding(
+                "https://example.org/vocab/doiRef",
+                node("literal", F.concat(F.lit("10.7777/bare."), i)),
+            ),
+        ),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            binding(
+                "https://schema.org/license",
+                node(
+                    "uri",
+                    F.lit("https://creativecommons.org/licenses/by/4.0/"),
+                ),
+            ),
+        ),
+    )
+    return F.to_json(
+        F.struct(
+            F.struct(
+                F.array(F.lit("d"), F.lit("p"), F.lit("o")).alias("vars")
+            ).alias("head"),
+            F.struct(
+                F.filter(bindings, lambda x: x.isNotNull()).alias("bindings")
+            ).alias("results"),
+        )
+    )
+
+
+_SPARQL_SCHEMA = (
+    "STRUCT<head: STRUCT<vars: ARRAY<STRING>>, results: STRUCT<bindings: "
+    "ARRAY<STRUCT<d: STRUCT<type: STRING, value: STRING>, "
+    "p: STRUCT<type: STRING, value: STRING>, "
+    "o: STRUCT<type: STRING, value: STRING, `xml:lang`: STRING, "
+    "datatype: STRING>>>>>"
+)
+
+
+@register(
+    "sparql_results_decode",
+    oracle=f"""
+        SELECT 'https://data.example.org/kg/Dataset/ds' || doc_id
+                   AS dataset_uri,
+               'ds' || doc_id AS record_id,
+               ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:4], ' ') AS title,
+               lang AS title_lang,
+               CASE WHEN doc_id % 3 = 0
+                    THEN 'https://creativecommons.org/licenses/by/4.0/'
+                    ELSE '{_SPARQL_DEFAULT_LICENSE}' END AS license,
+               CASE WHEN doc_id % 4 = 0 THEN '10.1234/kg.' || doc_id
+                    WHEN doc_id % 4 = 2 THEN '10.9999/alt.' || doc_id
+                    WHEN doc_id % 4 = 3 THEN '10.7777/bare.' || doc_id
+                    END AS doi,
+               SUBSTR(text, 1, 60) AS abstract,
+               CAST(3 + CASE WHEN doc_id % 4 <> 1 THEN 1 ELSE 0 END
+                      + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                    AS BIGINT) AS n_triples
+        FROM documents
+        ORDER BY dataset_uri
+    """,
+    tags=("source", "json"),
+    doc="S17 GESIS Knowledge Graph SPARQL-results decode "
+    "(study_scraper/sources/gesis.py:222-357): typed decoder for the "
+    "W3C application/sparql-results+json shape the batch-detail query "
+    "(?d ?p ?o) returns — from_json + posexplode the bindings, group "
+    "by dataset URI, then first-in-response-order extraction exactly "
+    "as the reference: title = first TITLE-predicate LITERAL binding "
+    "(xml:lang carried through), license = first LICENSE-predicate "
+    "value with the GESIS catalog fallback, DOI fished from "
+    "identifier-ish predicates via all three reference branches "
+    "(doi.org/ URL split, doi: prefix strip, bare 10.x/y), record id "
+    "= last URI segment. 'First' is implemented ORDER-DETERMINISTICALLY "
+    "as min over (binding position, value) structs — a distributed "
+    "argmin, not a collect. Zero UDFs; one shuffle (the per-dataset "
+    "aggregate). The oracle regenerates expected rows from the same "
+    "deterministic fixture formulas, proving the encode -> parse -> "
+    "extract round trip.",
+)
+def sparql_results_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents"))
+    parsed = d.select(
+        F.from_json(_sparql_json_col(), _SPARQL_SCHEMA).alias("r")
+    )
+    b = parsed.select(
+        F.posexplode("r.results.bindings").alias("pos", "bind")
+    ).select(
+        F.col("bind.d.value").alias("dataset_uri"),
+        "pos",
+        F.col("bind.p.value").alias("p"),
+        F.col("bind.o.value").alias("o"),
+        F.col("bind.o.type").alias("otype"),
+        F.col("bind.o.`xml:lang`").alias("olang"),
+    )
+    v = F.col("o")
+    doi_val = (
+        F.when(
+            v.contains("doi.org/"),
+            F.trim(F.substring_index(v, "doi.org/", -1)),
+        )
+        .when(F.lower(v).startswith("doi:"), F.trim(F.expr("substring(o, 5)")))
+        .when(v.startswith("10.") & v.contains("/"), F.trim(v))
+    )
+    is_doi_p = F.col("p").isin(*_SPARQL_DOI_PROPS) | F.lower(
+        F.col("p")
+    ).contains("doi")
+    rows = b.withColumn("doi_cand", F.when(is_doi_p, doi_val))
+
+    def first_where(cond: F.Column, val: F.Column) -> F.Column:
+        # order-deterministic "first binding": min over (pos, value)
+        # structs — null conds drop out of min, pos breaks ties
+        return F.min(F.when(cond, F.struct(F.col("pos").alias("_o"),
+                                           val.alias("_v"))))["_v"]
+
+    is_title = F.col("p").isin(*_SPARQL_TITLE_PROPS) & (
+        F.col("otype") == "literal"
+    )
+    agg = rows.groupBy("dataset_uri").agg(
+        first_where(is_title, F.col("o")).alias("title"),
+        first_where(is_title, F.col("olang")).alias("title_lang"),
+        F.coalesce(
+            first_where(
+                F.col("p").isin(*_SPARQL_LICENSE_PROPS) & F.col("o").isNotNull(),
+                F.col("o"),
+            ),
+            F.lit(_SPARQL_DEFAULT_LICENSE),
+        ).alias("license"),
+        first_where(F.col("doi_cand").isNotNull(), F.col("doi_cand")).alias(
+            "doi"
+        ),
+        first_where(
+            (F.col("p") == "https://schema.org/description")
+            & (F.col("otype") == "literal"),
+            F.col("o"),
+        ).alias("abstract"),
+        F.count(F.lit(1)).alias("n_triples"),
+    )
+    # last URI segment (gesis.py _extract_source_record_id: fragment
+    # first, else final path segment)
+    record_id = F.when(
+        F.col("dataset_uri").contains("#"),
+        F.substring_index("dataset_uri", "#", -1),
+    ).otherwise(F.substring_index("dataset_uri", "/", -1))
+    return agg.select(
+        "dataset_uri",
+        record_id.alias("record_id"),
+        "title",
+        "title_lang",
+        "license",
+        "doi",
+        "abstract",
+        "n_triples",
+    ).orderBy("dataset_uri")
+
+
+# --- S18: GovData CKAN package_search decode -------------------------------
+
+_CKAN_DEFAULT_LICENSE = "Data License Germany 2.0 (dl-de/by-2-0)"
+
+
+def _ckan_json_col() -> F.Column:
+    """Deterministic per-doc CKAN package_search response (the real
+    {"success": ..., "result": {"count": ..., "results": [...]}} shape
+    of govdata.py's fixture and live paths). Each response carries the
+    doc's OWN dataset, a SHARED dataset keyed by doc_id % 50 (the same
+    dataset surfacing under many search terms — the cross-term overlap
+    the reference dedupes by id), and, for doc_id % 10 == 0, a
+    malformed id-less entry the decoder must skip."""
+    i = F.col("doc_id").cast("string")
+    m = (F.col("doc_id") % 50).cast("string")
+
+    def ds(id_, name, title, notes, lic_title, lic_id, org_title):
+        return F.struct(
+            id_.alias("id"),
+            name.alias("name"),
+            title.alias("title"),
+            notes.alias("notes"),
+            lic_title.alias("license_title"),
+            lic_id.alias("license_id"),
+            F.struct(org_title.alias("title")).alias("organization"),
+        )
+
+    nulls = F.lit(None).cast("string")
+    own = ds(
+        F.concat(F.lit("pkg-"), i),
+        F.concat(F.lit("dataset-"), i),
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 3)),
+        F.substring("text", 1, 50),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit("Datenlizenz Deutschland Namensnennung 2.0"),
+        ),
+        F.when(F.col("doc_id") % 3 == 1, F.lit("dl-de-by-2.0")),
+        F.concat(F.lit("org"), (F.col("doc_id") % 7).cast("string")),
+    )
+    shared = ds(
+        F.concat(F.lit("pkg-shared-"), m),
+        F.concat(F.lit("shared-"), m),
+        F.concat(F.lit("Shared catalog slice "), m),
+        nulls,
+        nulls,
+        F.lit("dl-de-zero-2.0"),
+        F.concat(F.lit("org"), ((F.col("doc_id") % 50) % 7).cast("string")),
+    )
+    broken = F.when(
+        F.col("doc_id") % 10 == 0,
+        ds(F.lit(""), F.lit(""), F.lit("no id"), nulls, nulls, nulls, nulls),
+    )
+    results = F.filter(
+        F.array(own, shared, broken), lambda x: x.isNotNull()
+    )
+    return F.to_json(
+        F.struct(
+            F.lit(True).alias("success"),
+            F.struct(
+                F.size(results).alias("count"), results.alias("results")
+            ).alias("result"),
+        )
+    )
+
+
+_CKAN_SCHEMA = (
+    "STRUCT<success: BOOLEAN, result: STRUCT<count: INT, results: "
+    "ARRAY<STRUCT<id: STRING, name: STRING, title: STRING, notes: STRING, "
+    "license_title: STRING, license_id: STRING, "
+    "organization: STRUCT<title: STRING, name: STRING>>>>>"
+)
+
+
+@register(
+    "ckan_package_decode",
+    oracle=f"""
+        WITH own AS (
+            SELECT 'pkg-' || doc_id AS dataset_id,
+                   'dataset-' || doc_id AS name,
+                   ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:3], ' ')
+                       AS title,
+                   SUBSTR(text, 1, 50) AS notes,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN 'Datenlizenz Deutschland Namensnennung 2.0'
+                        WHEN doc_id % 3 = 1 THEN 'dl-de-by-2.0'
+                        ELSE '{_CKAN_DEFAULT_LICENSE}' END AS license,
+                   'https://www.govdata.de/dataset/dataset-' || doc_id
+                       AS canonical_url,
+                   'org' || (doc_id % 7) AS publisher
+            FROM documents
+        ), shared AS (
+            SELECT DISTINCT 'pkg-shared-' || (doc_id % 50) AS dataset_id,
+                   'shared-' || (doc_id % 50) AS name,
+                   'Shared catalog slice ' || (doc_id % 50) AS title,
+                   CAST(NULL AS VARCHAR) AS notes,
+                   'dl-de-zero-2.0' AS license,
+                   'https://www.govdata.de/dataset/shared-' || (doc_id % 50)
+                       AS canonical_url,
+                   'org' || ((doc_id % 50) % 7) AS publisher
+            FROM documents
+        )
+        SELECT * FROM own UNION ALL SELECT * FROM shared
+        ORDER BY dataset_id
+    """,
+    tags=("source", "json", "dedup"),
+    doc="S18 GovData CKAN package_search decode "
+    "(study_scraper/sources/govdata.py:128-245): typed decoder for the "
+    "CKAN action-API response shape — from_json + explode "
+    "result.results, skip entries without an id (the reference's "
+    "_build_record guard), license = license_title -> license_id -> "
+    "portal default (per-dataset overrides, govdata.py:24-27), "
+    "canonical_url from the dataset name with id fallback, publisher "
+    "from organization.title/.name, then CROSS-TERM dropDuplicates on "
+    "dataset id — the same dataset returned under many search terms "
+    "collapses to one row (duplicate rows are bit-identical per id by "
+    "construction, so keep-any is deterministic). Zero UDFs; the dedup "
+    "is the single shuffle. Oracle regenerates both the per-term and "
+    "the shared-slice rows from the fixture formulas.",
+)
+def ckan_package_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents"))
+    parsed = d.select(F.from_json(_ckan_json_col(), _CKAN_SCHEMA).alias("r"))
+    rows = (
+        parsed.select(F.explode("r.result.results").alias("ds"))
+        .filter(F.nullif(F.trim(F.col("ds.id")), F.lit("")).isNotNull())
+        .select(
+            F.col("ds.id").alias("dataset_id"),
+            F.col("ds.name").alias("name"),
+            F.col("ds.title").alias("title"),
+            F.col("ds.notes").alias("notes"),
+            F.coalesce(
+                F.col("ds.license_title"),
+                F.col("ds.license_id"),
+                F.lit(_CKAN_DEFAULT_LICENSE),
+            ).alias("license"),
+            F.concat(
+                F.lit("https://www.govdata.de/dataset/"),
+                F.coalesce(
+                    F.nullif(F.col("ds.name"), F.lit("")), F.col("ds.id")
+                ),
+            ).alias("canonical_url"),
+            F.coalesce(
+                F.col("ds.organization.title"), F.col("ds.organization.name")
+            ).alias("publisher"),
+        )
+    )
+    return rows.dropDuplicates(["dataset_id"]).orderBy("dataset_id")
+
+
 @register(
     "image_decode_features",
     oracle="""

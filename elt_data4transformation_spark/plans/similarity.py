@@ -212,6 +212,122 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_ivf_scaled",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ), kk AS (
+            -- the executable K rule: K = ceil(sqrt(N)) from the DATA,
+            -- not a constant — per-probe work K + N/K is minimized at
+            -- K = sqrt(N) (~2*sqrt(N) instead of ~N/K at fixed K)
+            SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS k FROM e
+        ), cent0 AS (
+            SELECT vec_id AS centroid_id, v AS cv FROM e
+            WHERE vec_id < (SELECT k FROM kk)
+        ), assigned0 AS (
+            SELECT vec_id, v, centroid_id FROM (
+                SELECT e.vec_id, e.v, cent0.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY {cosine_sql('e.v', 'cent0.cv')} DESC,
+                                    cent0.centroid_id) AS crn
+                FROM e CROSS JOIN cent0
+            ) WHERE crn = 1
+        ), cent AS (
+            SELECT centroid_id, LIST(m ORDER BY dim) AS cv FROM (
+                SELECT centroid_id, dim, ROUND(AVG(val), 6) AS m
+                FROM (
+                    SELECT centroid_id, UNNEST(v) AS val,
+                           generate_subscripts(v, 1) AS dim
+                    FROM assigned0
+                )
+                GROUP BY centroid_id, dim
+            )
+            GROUP BY centroid_id
+        ), assigned AS (
+            SELECT vec_id, v, centroid_id FROM (
+                SELECT e.vec_id, e.v, cent.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY {cosine_sql('e.v', 'cent.cv')} DESC,
+                                    cent.centroid_id) AS crn
+                FROM e CROSS JOIN cent
+            ) WHERE crn = 1
+        ), q AS (
+            SELECT vec_id AS query_id, v AS qv, centroid_id AS qc
+            FROM assigned WHERE vec_id < {N_QUERIES}
+        ), scored AS (
+            SELECT q.query_id, a.vec_id AS neighbor_id,
+                   ROUND({cosine_sql('q.qv', 'a.v')}, 6) AS cos
+            FROM q JOIN assigned a
+              ON a.centroid_id = q.qc AND a.vec_id <> q.query_id
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, rank, neighbor_id, cos AS cosine,
+               (SELECT k FROM kk) AS k
+        FROM ranked WHERE rank <= {TOP_K}
+        ORDER BY query_id, rank
+    """,
+    tags=("similarity",),
+    doc="IVF ANN with the K-SCALING RULE EXECUTABLE (round-9: the "
+    "round-8 verdict's one measured scale cliff was fixed K=16 -> "
+    "bucket width ~N/16 -> per-probe work ~N; SCALE.md documented the "
+    "K ∝ sqrt(N) fix as prose only). Here K = ceil(sqrt(N)) is "
+    "COMPUTED FROM THE CORPUS (one metadata-only parquet count — no "
+    "data scan), seeds are vec_id < K, one deterministic Lloyd "
+    "refinement, same probe as ann_ivf_topk; the chosen K is emitted "
+    "as an output column so the rule itself is oracle-checked. "
+    "Per-probe cost is K (centroid scan) + N/K (bucket scan), "
+    "minimized at K = sqrt(N) to ~2*sqrt(N): at 100x the corpus the "
+    "bucket width grows 10x instead of 100x. The streaming ingest "
+    "twin is env-gated (SPARK_GRAFT_IVF_K=sqrt, stress-only — the "
+    "registered stream_ivf_ingest keeps K=16 so its fixtures stay "
+    "pinned); measured 10x unique-mode row in SCALE.md. "
+    "Round-before-rank: both engines rank the 6dp-rounded cosine so "
+    "fold-order ties cannot flip the top-k cut.",
+)
+def ann_ivf_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    e = _vectors(spark, sf_dir)
+    # metadata-only count (parquet row-group stats); the one scalar the
+    # plan needs — the same pattern AQE uses for runtime re-planning
+    n = table(spark, sf_dir, "embeddings").count()
+    k = max(1, math.ceil(math.sqrt(n)))
+    cent = _refined_centroids(e.select("vec_id", "v"), k=k)
+    assigned = assign_nearest(e.select("vec_id", "v"), cent).drop("cos")
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("centroid_id").alias("qc"),
+    )
+    scored = assigned.join(
+        F.broadcast(q),
+        (F.col("centroid_id") == F.col("qc"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine_col(F.col("qv"), F.col("v")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "rank",
+            F.col("neighbor_id"),
+            F.col("cos").alias("cosine"),
+            F.lit(k).cast("long").alias("k"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def _ivf_oracle(exclude: str | None = None) -> str:
     """Shared DuckDB twin for ann_ivf_topk and ann_stored_ivf — the
     stored round-trip changes where the index lives, not the math.
@@ -353,9 +469,15 @@ def _ensure_stream_ivf_src(spark: SparkSession, sf_dir: str) -> str:
                 os.path.join(tmp, f"batch{t}.parquet"), index=False
             )
 
+    # the src fingerprint must track the base K (assignments are a
+    # function of the centroids): a scaled-K stress run publishes its
+    # own fixture instead of poisoning the pinned one
+    k = _stream_ivf_k(
+        _vectors(spark, sf_dir).filter(F.col("vec_id") % 5 >= 2)
+    )
     return _ensure_stream_fixture(
         spark, sf_dir, "stream_ivf_src", "embeddings", build,
-        params_extra=f"|assigned=k{N_CENTROIDS}_lloyd1",
+        params_extra=f"|assigned=k{k}_lloyd1",
     )
 
 
@@ -422,12 +544,12 @@ def ann_stored_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 NPROBE = 2  # buckets searched per query in the multi-probe variant
 
 
-def _refined_centroids(e: DataFrame) -> DataFrame:
-    """Seed centroids (vec_id < N_CENTROIDS) refined by one
-    deterministic Lloyd iteration — the same math as ann_ivf_topk's
-    inline pipeline (elementwise member mean rounded to 6dp, vector
-    rebuilt in dim order)."""
-    cent0 = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+def _refined_centroids(e: DataFrame, k: int = N_CENTROIDS) -> DataFrame:
+    """Seed centroids (vec_id < ``k``) refined by one deterministic
+    Lloyd iteration — the same math as ann_ivf_topk's inline pipeline
+    (elementwise member mean rounded to 6dp, vector rebuilt in dim
+    order)."""
+    cent0 = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
     )
     assigned0 = assign_nearest(e.select("vec_id", "v"), cent0).drop("cos")
@@ -626,17 +748,39 @@ def _ivf_maintain_oracle() -> str:
     """
 
 
-def _ivf_builder(base: DataFrame):
+def _stream_ivf_k(base: DataFrame) -> int:
+    """K for the stream-ingest IVF base. Default: the pinned
+    N_CENTROIDS=16 (the registered stream_ivf_ingest oracle and its
+    fixtures assume it). SPARK_GRAFT_IVF_K=sqrt applies the executable
+    K = ceil(sqrt(N)) rule from ann_ivf_scaled to the STREAMING base —
+    a stress-only knob (scripts/stream_stress.py --scaled-k) that must
+    never be set under the driver's oracle runs: it changes bucket
+    geometry, so probe answers legitimately differ from the pinned-K
+    oracle. An integer value pins K explicitly. The artifact
+    fingerprints embed the chosen K, so scaled and pinned indexes
+    never collide."""
+    import math
+    import os
+
+    mode = os.environ.get("SPARK_GRAFT_IVF_K", "")
+    if mode == "sqrt":
+        return max(1, math.ceil(math.sqrt(base.count())))
+    if mode.isdigit():
+        return int(mode)
+    return N_CENTROIDS
+
+
+def _ivf_builder(base: DataFrame, k: int = N_CENTROIDS):
     """Artifact builder for a base-trained IVF index: centroid seeds =
-    the base vectors with vec_id < N_CENTROIDS, one deterministic
-    Lloyd iteration (elementwise mean rounded to 6dp so both engines
+    the base vectors with vec_id < ``k``, one deterministic Lloyd
+    iteration (elementwise mean rounded to 6dp so both engines
     produce identical centroids), base assigned to the refined
     centroids, written as ``centroids`` + ``index`` (partitioned by
     centroid_id). Shared by the maintain/compact lifecycle and the
     streaming ingest loop."""
 
     def build(tmp: str) -> None:
-        cent0 = base.filter(F.col("vec_id") < N_CENTROIDS).select(
+        cent0 = base.filter(F.col("vec_id") < k).select(
             F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
         )
         assigned0 = assign_nearest(
@@ -909,6 +1053,7 @@ def _ensure_stream_ivf_base(spark: SparkSession, sf_dir: str) -> str:
     from .dedup import _index_root
 
     base = _vectors(spark, sf_dir).filter(F.col("vec_id") % 5 >= 2)
+    k = _stream_ivf_k(base)
     base_idx = os.path.join(
         os.path.dirname(_index_root()),
         "ann_ivf_stream_base",
@@ -917,9 +1062,9 @@ def _ensure_stream_ivf_base(spark: SparkSession, sf_dir: str) -> str:
     fp = artifacts.source_fingerprint(
         [os.path.join(sf_dir, "embeddings.parquet")],
         params=f"stream_ivf_ingest|base=vec_id%5>=2"
-        f"|k={N_CENTROIDS}|lloyd=1|round=6",
+        f"|k={k}|lloyd=1|round=6",
     )
-    artifacts.publish(base_idx, fp, _ivf_builder(base))
+    artifacts.publish(base_idx, fp, _ivf_builder(base, k=k))
     return base_idx
 
 
@@ -1006,7 +1151,7 @@ def _stream_ivf_oracle() -> str:
     "N+1 can match batch N's vectors, proving the merge), then MERGED "
     "as a centroid-partitioned segment with the meta stamped after "
     "the segment write completes (crashed merge = unlisted orphan). "
-    "Out-of-order arrival is handled by the same disk-buffered "
+    "Out-of-order arrival is handled by the same executor-buffered "
     "sequencer as the dedup loop (the fixture writes the later batch "
     "first, forcing the reorder path every run) — results are "
     "deterministic under ANY file-arrival order. The probe log "
@@ -1050,8 +1195,6 @@ def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = _ensure_stream_ivf_src(spark, sf_dir)
 
         results = os.path.join(work, "probes")
-        spill = os.path.join(work, "spill")
-        os.makedirs(spill)
         base_index = spark.read.parquet(f"{idx}/index").persist(
             StorageLevel.MEMORY_AND_DISK
         )
@@ -1099,7 +1242,9 @@ def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "matched_vec_id",
                     "cosine",
                 )
-                .coalesce(1)
+                # no coalesce(1): it serialized the rank window + the
+                # write into one task per drain (round 9, mirrors
+                # stream_index_ingest)
                 .write.mode("append")
                 .parquet(results)
             )
@@ -1122,33 +1267,41 @@ def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             state["merges"].append((str(tag), th, assigned))
             state["idx"] = state["idx"].unionByName(seg)
 
+        buffered: dict[int, DataFrame] = {}
+
         def sink(batch_df: DataFrame, _batch_id: int) -> None:
-            tags = [
-                r["_t"]
-                for r in batch_df.select(
-                    (F.col("vec_id") % 5).alias("_t")
+            # one narrow min/max agg discovers the (normally single)
+            # tag; out-of-order batches pin in executor storage via
+            # localCheckpoint — round 9, mirrors stream_index_ingest
+            lo, hi = batch_df.agg(
+                F.min(F.col("vec_id") % 5), F.max(F.col("vec_id") % 5)
+            ).first()
+            if lo is None:
+                return
+            if lo == hi:
+                tags = [lo]
+            else:
+                tags = sorted(
+                    r["_t"]
+                    for r in batch_df.select(
+                        (F.col("vec_id") % 5).alias("_t")
+                    )
+                    .distinct()
+                    .collect()
                 )
-                .distinct()
-                .collect()
-            ]
             for t in tags:
-                part = batch_df.filter(F.col("vec_id") % 5 == t)
+                part = (
+                    batch_df
+                    if lo == hi
+                    else batch_df.filter(F.col("vec_id") % 5 == t)
+                )
                 if t == state["expected"]:
                     drain(t, part)
                     state["expected"] += 1
-                else:
-                    part.write.mode("overwrite").parquet(
-                        os.path.join(spill, str(t))
-                    )
-            while os.path.exists(
-                os.path.join(spill, str(state["expected"]), "_SUCCESS")
-            ):
-                drain(
-                    state["expected"],
-                    spark.read.parquet(
-                        os.path.join(spill, str(state["expected"]))
-                    ),
-                )
+                elif t > state["expected"]:
+                    buffered[t] = part.localCheckpoint(eager=True)
+            while state["expected"] in buffered:
+                drain(state["expected"], buffered.pop(state["expected"]))
                 state["expected"] += 1
 
         stream = (

@@ -26,6 +26,10 @@ def _default_heap() -> str:
         return "16g"
     if total_gb >= 32:
         return "8g"
+    if total_gb >= 16:
+        # mid-size hosts previously got the 8g default; 4g can newly
+        # OOM Arrow-heavy queries that fit before, so hold 6g here
+        return "6g"
     return "4g"
 
 
@@ -38,6 +42,10 @@ def get_spark(
     shuffle = shuffle_partitions or int(
         os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
     )
+    heap = os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_heap())
+    # log the chosen heap so a heap-tier regression on a differently
+    # sized host is diagnosable from the run output alone
+    print(f"[session] driver heap {heap} (override: SPARK_GRAFT_DRIVER_MEM)")
     return (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -60,10 +68,7 @@ def get_spark(
         # SPARK_GRAFT_DRIVER_MEM. On a real cluster the driver never
         # holds executor state, so this is a local-mode sizing
         # concern, not a scale parameter.
-        .config(
-            "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_heap()),
-        )
+        .config("spark.driver.memory", heap)
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

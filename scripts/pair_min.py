@@ -36,7 +36,10 @@ def main() -> None:
     base = dict(docs[0])
     names = set(docs[0]["queries"])
     for d in docs[1:]:
-        assert set(d["queries"]) == names, "runs cover different registries"
+        if set(d["queries"]) != names:
+            # not assert: must survive python -O — silently merging
+            # runs over different registries would fabricate a total
+            raise SystemExit("pair_min: runs cover different registries")
     def best(vals: list[float]) -> float:
         # bench.py records -1.0 for a query that FAILED in that run;
         # a failure is a missing measurement, not a fast one — min()
@@ -59,9 +62,11 @@ def main() -> None:
             and all(isinstance(x, (int, float)) for x in val.values())
             and all(key in d and set(d[key]) == set(val) for d in docs)
         ):
-            base[key] = {
-                n: round(min(d[key][n] for d in docs), 3) for n in val
-            }
+            # same -1.0 failure-sentinel rule as the primary queries
+            # dict: a failed run is a missing measurement, not a fast
+            # one, and bench_duckdb.py records the sentinel into
+            # full_queries too.
+            base[key] = {n: best([d[key][n] for d in docs]) for n in val}
     with open(out, "w") as fh:
         fh.write(json.dumps(base) + "\n")
     print(out, "value", base["value"], "runs", base["runs"])

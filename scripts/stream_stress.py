@@ -11,7 +11,14 @@ joins (same documented super-linearity as the dedup stress replicas);
 state rows should grow ~10x (events per side), which is the claim
 under test.
 
-Usage: python scripts/stream_stress.py [replicas] [--unique]
+Usage: python scripts/stream_stress.py [replicas] [--unique] [--scaled-k]
+
+``--scaled-k`` (round-9 VERDICT ask #1) sets SPARK_GRAFT_IVF_K=sqrt so
+the stream-IVF base index is built with the executable K = ceil(sqrt(N))
+rule (ann_ivf_scaled's rule applied to the streaming base) instead of
+the pinned K=16 — bucket width then grows ~sqrt(10) instead of ~10 at
+10x data, turning the measured fixed-K ingest cliff into the sqrt-N
+regime. Stress-only: the registered oracle assumes K=16.
 
 ``--unique`` (round-7 VERDICT ask #4) switches the replica fixture to
 the NON-duplicate mode (scale_stress.replicate(unique=True)): replica
@@ -85,8 +92,11 @@ def run(name: str, sf_dir: str) -> dict:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--unique"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     unique = "--unique" in sys.argv[1:]
+    scaled_k = "--scaled-k" in sys.argv[1:]
+    if scaled_k:
+        _os.environ["SPARK_GRAFT_IVF_K"] = "sqrt"
     n = int(args[0]) if args else 10
     spark = (
         SparkSession.builder.master("local[32]")
@@ -111,7 +121,10 @@ def main() -> None:
             f"state_{n}x": rn["state"],
         }
         print(json.dumps({q: out[q]}), flush=True)
-    print(json.dumps({"replicas": n, "unique": unique, "results": out}))
+    print(json.dumps({
+        "replicas": n, "unique": unique, "scaled_k": scaled_k,
+        "results": out,
+    }))
 
 
 if __name__ == "__main__":

@@ -288,6 +288,18 @@ def test_stored_band_index_probe_never_rereads_corpus(spark, tmp_path):
     assert set(out) == {(100, 1)}
     assert out[(100, 1)] > 0.7
 
+    # oversize-delta declaration: past BROADCAST_DELTA_MAX_DOCS the
+    # probe drops its broadcast hints (shuffle-join fallback, no 8 GB
+    # ceiling) but must return the identical rows and scores
+    fallback = {
+        (r["new_doc_id"], r["matched_doc_id"]): r["jaccard_raw"]
+        for r in dedup_ops.probe_band_index(
+            spark, idx_path, delta, threshold=0.5,
+            delta_rows=dedup_ops.BROADCAST_DELTA_MAX_DOCS + 1,
+        ).collect()
+    }
+    assert fallback == out
+
 
 def test_stored_artifact_queries_reuse_index_across_invocations(spark):
     """The stored-artifact family (dedup_stored_index, ann_stored_ivf,
@@ -574,6 +586,10 @@ def test_greedy_cluster_ceiling_enforced(spark, monkeypatch):
 
     out = cl.greedy_cluster(spark, SF_SMALL)
     assert out.count() > 0  # under the ceiling: normal operation
+
+    # round-9 tightening: the O(N*C) sequential loop, not memory, is
+    # the binding constraint — the ceiling must stay interactive-sized
+    assert cl.GREEDY_MAX_ROWS == 20_000
 
     monkeypatch.setattr(cl, "GREEDY_MAX_ROWS", 1)
     with pytest.raises(ValueError, match="dedup_components"):
@@ -964,6 +980,32 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     # one Lloyd iteration over the seeded centroids: 0.88 measured;
     # gate well below to stay robust to fixture regeneration
     assert recall >= 0.8, f"IVF recall {recall} dropped below 0.8"
+
+
+def test_ann_ivf_scaled_k_rule_and_recall(spark):
+    """ann_ivf_scaled: the emitted k column IS ceil(sqrt(N)) of the
+    corpus (the executable K rule, round-9), and scaled-K recall vs
+    brute force stays usable — more, narrower buckets trade recall for
+    the sqrt(N) per-probe bound, so the gate sits below the fixed-K
+    one."""
+    import math
+
+    from elt_data4transformation_spark.plans import REGISTRY
+    from elt_data4transformation_spark.sources import table
+    from tests.conftest import SF_SMALL
+
+    rows = REGISTRY["ann_ivf_scaled"].fn(spark, SF_SMALL).collect()
+    n = table(spark, SF_SMALL, "embeddings").count()
+    assert {r.k for r in rows} == {math.ceil(math.sqrt(n))}
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["ann_cosine_topk"].fn(spark, SF_SMALL).collect()
+    }
+    scaled = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(bf & scaled) / len(bf)
+    # measured at sf0.001 (N=500, K=23): narrower buckets than K=16;
+    # gate loose for fixture regeneration
+    assert recall >= 0.5, f"scaled-K recall {recall} below 0.5"
 
 
 # --- foreachBatch snapshot diff: multi-micro-batch correctness -------------
@@ -5057,3 +5099,47 @@ def test_pair_min_ignores_failure_sentinel(tmp_path):
     got = json.loads(out.read_text())
     assert got["queries"] == {"a": 2.0, "b": 1.5, "c": -1.0}
     assert got["value"] == 3.5
+
+
+def test_pair_min_side_dicts_and_registry_guard(tmp_path):
+    """scripts/pair_min.py: (a) side-specific per-query dicts (e.g.
+    bench_duckdb's full_queries) get the SAME -1.0 failure-sentinel
+    rule as the primary queries dict; (b) the registry-coverage check
+    survives ``python -O`` (it must not be a bare assert)."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    runs = []
+    for i, (q, fq) in enumerate(
+        [
+            ({"a": 2.0, "b": 4.0}, {"a": 2.0, "b": -1.0}),
+            ({"a": 3.0, "b": 1.5}, {"a": -1.0, "b": 1.5}),
+        ]
+    ):
+        p = tmp_path / f"run{i}.json"
+        p.write_text(json.dumps(
+            {"metric": "m", "value": 1.0, "unit": "sec",
+             "queries": q, "full_queries": fq, "sf": 0.1}
+        ))
+        runs.append(str(p))
+    out = tmp_path / "min.json"
+    subprocess.run(
+        [_sys.executable, "scripts/pair_min.py", str(out), *runs],
+        check=True, capture_output=True, cwd="/root/repo",
+    )
+    got = json.loads(out.read_text())
+    assert got["full_queries"] == {"a": 2.0, "b": 1.5}
+
+    mismatch = tmp_path / "mismatch.json"
+    mismatch.write_text(json.dumps(
+        {"metric": "m", "value": 1.0, "unit": "sec",
+         "queries": {"a": 1.0}, "sf": 0.1}
+    ))
+    p = subprocess.run(
+        [_sys.executable, "-O", "scripts/pair_min.py",
+         str(out), runs[0], str(mismatch)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert p.returncode != 0
+    assert "different registries" in p.stderr

@@ -637,3 +637,104 @@ def test_jsonstat_spark_variant_mutations_never_raise(spark, muts):
     assert len([r for r in rows if r["record_id"] == "ok"]) == 5
     for r in rows:
         assert r["value"] is None or isinstance(r["value"], float)
+
+
+# --- round-9 ask #8: per-codec fuzz at the layer container fuzz misses -----
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.integers(0, 10_000),
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(0, 255)),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(0, 10_000),
+)
+def test_png_idat_filter_mutations_only_raise_valueerror(seed, muts, cut):
+    """Round-9 VERDICT ask #8: PNG quarantine at the FILTER layer.
+    Whole-file mutation (the container property above) nearly always
+    dies in the zlib stream or a chunk CRC before the filter dispatch
+    runs. Here the POST-zlib raw scanline bytes are mutated (filter
+    type bytes included — 5..255 are invalid) and/or truncated, then
+    re-deflated with the chunk CRC recomputed, so the decode reaches
+    the filter/reconstruction code with arbitrary garbage. Contract:
+    decode or ValueError — never IndexError/KeyError out of the
+    filter tables."""
+    import struct as _struct
+    import zlib
+
+    import numpy as np
+
+    from elt_data4transformation_spark.operators import pngcodec as P
+
+    rng = np.random.default_rng(seed)
+    w, h = 4 + seed % 9, 4 + seed % 6
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    data = P.write_png(w, h, px.tobytes())
+    # parse the writer's chunks to get the IHDR body and IDAT payload
+    pos, ihdr, idat = 8, None, b""
+    while pos + 8 <= len(data):
+        (n,) = _struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + n]
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat += body
+        pos += 12 + n
+    raw = bytearray(zlib.decompress(idat))
+    for off, val in muts:
+        raw[off % len(raw)] = val
+    payload = bytes(raw)[: max(1, cut % (len(raw) + 1))]
+    rebuilt = (
+        data[:8]
+        + P._chunk(b"IHDR", ihdr)
+        + P._chunk(b"IDAT", zlib.compress(payload))
+        + P._chunk(b"IEND", b"")
+    )
+    try:
+        P.read_png(rebuilt)
+    except ValueError:
+        pass  # the one permitted failure mode
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.integers(0, 10_000),
+    st.integers(-32768, 32767),
+    st.integers(0, 255),
+    st.integers(0, 255),
+    st.integers(0, 65535),
+)
+def test_adpcm_block_header_mutations_only_raise_valueerror(
+    seed, pred, index_byte, reserved, align
+):
+    """Round-9 VERDICT ask #8: IMA ADPCM quarantine at the BLOCK
+    layer. The per-block header (int16 predictor, step index,
+    reserved) and the fmt chunk's block_align are overwritten with
+    arbitrary values IN PLACE (RIFF framing stays valid, so the
+    decode always reaches the block loop). index > 88 must raise
+    ValueError — not index the 89-entry step table out of range;
+    block_align < 4 must report a truncated block, not loop or
+    divide by zero."""
+    import struct as _struct
+
+    import numpy as np
+
+    from elt_data4transformation_spark.operators import adpcmcodec as A
+
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-3000, 3000, size=300).astype(np.int16)
+    data = bytearray(A.write_wav_adpcm(samples, 8000))
+    # patch the first block header (4 bytes after the data chunk id+len)
+    di = bytes(data).index(b"data") + 8
+    data[di : di + 4] = _struct.pack("<hBB", pred, index_byte, reserved)
+    # patch fmt block_align (fmt body offset 12: <HHIIHH -> 2+2+4+4)
+    fi = bytes(data).index(b"fmt ") + 8 + 12
+    data[fi : fi + 2] = _struct.pack("<H", align)
+    try:
+        A.read_wav_adpcm(bytes(data))
+    except ValueError:
+        pass  # the one permitted failure mode
