@@ -477,6 +477,146 @@ def retrain_ivf_index(spark, index_path: str, iters: int = 3) -> None:
     artifacts.swap(index_path, build, {**meta, "ingests": [], "deletes": []})
 
 
+def split_wide_clusters(
+    spark, index_path: str, width_factor: float = 1.5
+) -> int:
+    """WIDTH-BOUNDED SPLIT COMPACTION — the scale-safe alternative to a
+    full re-train: any cluster holding more than ``width_factor * N/K``
+    vectors is split in two, so per-probe bucket width stays bounded as
+    the corpus grows WITHOUT moving any other cluster's boundary (a
+    re-train reassigns everything; a split touches only the fat
+    cluster's members). This is the stored-index twin of the
+    ann_ivf_scaled K = sqrt(N) rule: run after each compaction, the
+    centroid count tracks the corpus and per-probe work stays ~N/K
+    bounded instead of growing linearly at fixed K.
+
+    Deterministic 2-means-style split (both engines reproducible):
+    seed_a = the member with the LOWEST vec_id; seed_b = the member
+    FARTHEST from seed_a (lowest 6dp-rounded cosine, ties to lowest
+    vec_id); each member joins seed_b's half only when strictly closer
+    to it (6dp-rounded cosine — ties stay with seed_a). The a-half is
+    always non-empty (seed_a ties with itself and stays); the b-half
+    is non-empty whenever the cluster holds two distinct vectors
+    (seed_b's self-cosine 1.0 strictly beats its cosine to a distinct
+    seed_a) — a degenerate all-identical cluster "splits" into an
+    a-half only and mints no new id. The a-half keeps
+    the parent centroid_id; the b-half gets ``max_id + rank`` (rank =
+    1-based position of the parent among split clusters ordered by
+    id). Child centroid vectors are recomputed as the 6dp elementwise
+    member mean — the same refinement math every builder uses.
+
+    Folds ingest segments and applies tombstones like
+    compact_ivf_index (same temp-dir + meta-last + near-atomic swap;
+    the ``ingests``/``deletes`` lists clear). Assignment of UNSPLIT
+    clusters is untouched — frozen facts stay frozen. Returns the
+    number of clusters split (0 = no swap performed).
+
+    Cost: two tiny scalar aggs (N, K — same driver-scalar pattern as
+    ann_ivf_scaled's metadata count), one groupBy count over the
+    index, then seed/side joins that BROADCAST <=K-row tables against
+    only the wide clusters' members; the centroid-mean shuffle carries
+    split members only. One pass may leave a lopsided child still
+    over the bound — run per compaction cycle; widths converge
+    geometrically."""
+    import math
+
+    from . import artifacts
+
+    meta = artifacts.load_meta(index_path)
+    if meta is None:
+        return 0
+    idx = read_ivf_index(spark, index_path)
+    dels = read_ivf_tombstones(spark, index_path)
+    if dels is not None:
+        idx = idx.join(F.broadcast(dels), "vec_id", "left_anti")
+    cent = spark.read.parquet(f"{index_path}/centroids")
+
+    n = idx.count()
+    k = cent.count()
+    if k == 0:
+        return 0
+    bound = math.ceil(width_factor * n / k)
+    from pyspark.sql import Window
+
+    wide = (
+        idx.groupBy("centroid_id")
+        .count()
+        .filter(F.col("count") > bound)
+        .select("centroid_id")
+    )
+    n_wide = wide.count()
+    if n_wide == 0:
+        return 0
+    max_cid = cent.agg(F.max("centroid_id")).first()[0]
+    # <=K rows: the single-partition window is a scalar-sized sort
+    wide_ids = wide.withColumn(
+        "b_id",
+        F.lit(max_cid)
+        + F.row_number().over(Window.orderBy("centroid_id")),
+    ).localCheckpoint(eager=True)
+
+    members = idx.join(F.broadcast(wide_ids), "centroid_id")
+    sa = members.groupBy("centroid_id").agg(F.min("vec_id").alias("sa_id"))
+    sa_v = (
+        members.join(F.broadcast(sa), "centroid_id")
+        .filter(F.col("vec_id") == F.col("sa_id"))
+        .select("centroid_id", F.col("v").alias("sa_v"))
+    )
+    scored_a = members.join(F.broadcast(sa_v), "centroid_id").withColumn(
+        "cos_a", F.round(cosine_col("v", "sa_v"), 6)
+    )
+    wb = Window.partitionBy("centroid_id").orderBy(F.asc("cos_a"), "vec_id")
+    sb_v = (
+        scored_a.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select("centroid_id", F.col("v").alias("sb_v"))
+    )
+    split_index = (
+        scored_a.join(F.broadcast(sb_v), "centroid_id")
+        .withColumn("cos_b", F.round(cosine_col("v", "sb_v"), 6))
+        .select(
+            "vec_id",
+            "v",
+            F.when(F.col("cos_b") > F.col("cos_a"), F.col("b_id"))
+            .otherwise(F.col("centroid_id"))
+            .alias("centroid_id"),
+        )
+        # consumed by both the index write and the child-centroid
+        # mean; pin once instead of recomputing the seed chain twice
+        .localCheckpoint(eager=True)
+    )
+    keep_index = idx.join(
+        F.broadcast(wide_ids.select("centroid_id")), "centroid_id", "left_anti"
+    ).select("vec_id", "v", "centroid_id")
+    new_index = keep_index.unionByName(split_index)
+    child_cent = (
+        split_index.select(
+            "centroid_id", F.posexplode("v").alias("dim", "val")
+        )
+        .groupBy("centroid_id", "dim")
+        .agg(F.round(F.avg("val"), 6).alias("m"))
+        .groupBy("centroid_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda x: x["m"],
+            ).alias("cv")
+        )
+    )
+    new_cent = cent.join(
+        F.broadcast(wide_ids.select("centroid_id")), "centroid_id", "left_anti"
+    ).select("centroid_id", "cv").unionByName(child_cent)
+
+    def build(tmp: str) -> None:
+        new_cent.write.mode("overwrite").parquet(f"{tmp}/centroids")
+        new_index.write.mode("overwrite").partitionBy("centroid_id").parquet(
+            f"{tmp}/index"
+        )
+
+    artifacts.swap(index_path, build, {**meta, "ingests": [], "deletes": []})
+    return n_wide
+
+
 def ivf_drift_guard(
     spark, index_path: str, max_segment_fraction: float = 0.3
 ) -> bool:

@@ -5143,3 +5143,128 @@ def test_pair_min_side_dicts_and_registry_guard(tmp_path):
     )
     assert p.returncode != 0
     assert "different registries" in p.stderr
+
+
+def test_split_wide_clusters_bounds_bucket_width(spark, tmp_path):
+    """Width-bounded split compaction (round 9): a cluster wider than
+    ceil(factor * N/K) splits in two along its farthest-pair axis —
+    only that cluster's members move, the new centroid mints above the
+    stored max, child centroids are the 6dp member means, and the
+    artifact swap clears the segment lists. The 0-degree lobe keeps
+    the parent id (holds seed_a = min vec_id); the 40-degree lobe
+    (farthest from seed_a) becomes the new child."""
+    import json
+    import math
+    import os
+
+    from elt_data4transformation_spark.operators import artifacts, vectors
+
+    def unit(deg):
+        r = math.radians(deg)
+        return [round(math.cos(r), 6), round(math.sin(r), 6), 0.0, 0.0]
+
+    idx = str(tmp_path / "ivf")
+    os.makedirs(idx)
+    cent = spark.createDataFrame(
+        [(0, unit(20.0)), (1, unit(90.0))],
+        "centroid_id long, cv array<double>",
+    )
+    cent.write.parquet(f"{idx}/centroids")
+    # cluster 0 is FAT and bimodal: lobe at 0-4 deg (vec 1..5), lobe
+    # at 40-44 deg (vec 11..15); cluster 1 holds 3 vectors near 90
+    rows = (
+        [(i, unit(float(i - 1))) for i in range(1, 6)]
+        + [(10 + i, unit(39.0 + i)) for i in range(1, 6)]
+        + [(100 + i, unit(89.0 + i)) for i in range(1, 4)]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    vectors.assign_nearest(df, cent).drop("cos").write.partitionBy(
+        "centroid_id"
+    ).parquet(f"{idx}/index")
+    with open(os.path.join(idx, artifacts.META_NAME), "w") as fh:
+        json.dump({"fingerprint": "t", "ingests": []}, fh)
+
+    before = spark.read.parquet(f"{idx}/index")
+    assert before.filter(F.col("centroid_id") == 0).count() == 10
+    # N=13, K=2 -> bound = ceil(1.2 * 6.5) = 8; only cluster 0 is wider
+    assert vectors.split_wide_clusters(spark, idx, width_factor=1.2) == 1
+
+    after = spark.read.parquet(f"{idx}/index")
+    got = {
+        r["vec_id"]: r["centroid_id"]
+        for r in after.select("vec_id", "centroid_id").collect()
+    }
+    assert set(got) == {r[0] for r in rows}, "members lost or invented"
+    assert all(got[i] == 0 for i in range(1, 6)), "seed_a lobe moved"
+    assert all(got[10 + i] == 2 for i in range(1, 6)), "far lobe not split"
+    assert all(got[100 + i] == 1 for i in range(1, 4)), "thin cluster moved"
+
+    cents = {
+        r["centroid_id"]: r["cv"]
+        for r in spark.read.parquet(f"{idx}/centroids").collect()
+    }
+    assert set(cents) == {0, 1, 2}
+    # child centroid = 6dp elementwise mean of its members
+    exp = [
+        sum(unit(float(i - 1))[d] for i in range(1, 6)) / 5.0
+        for d in range(4)
+    ]
+    # 6dp-rounded mean; Spark rounds HALF_UP vs Python's banker's, so
+    # compare within one ulp of the rounding grain
+    assert all(abs(a - b) <= 1e-6 for a, b in zip(cents[0], exp))
+    assert cents[1] == unit(90.0), "unsplit centroid must stay frozen"
+    meta = artifacts.load_meta(idx)
+    assert meta["ingests"] == [] and meta["deletes"] == []
+    # every bucket is now inside the recomputed bound
+    widths = [
+        r["c"]
+        for r in after.groupBy("centroid_id").agg(F.count("*").alias("c"))
+        .collect()
+    ]
+    assert max(widths) <= math.ceil(1.2 * 13 / 3)
+
+
+def test_split_wide_clusters_degenerate_and_noop(spark, tmp_path):
+    """An all-identical fat cluster cannot split (every member ties to
+    seed_a): the pass processes it but mints no new centroid and moves
+    nothing. A below-bound index is a NO-OP (returns 0, no swap)."""
+    import json
+    import math
+    import os
+
+    from elt_data4transformation_spark.operators import artifacts, vectors
+
+    def unit(deg):
+        r = math.radians(deg)
+        return [round(math.cos(r), 6), round(math.sin(r), 6), 0.0, 0.0]
+
+    idx = str(tmp_path / "ivf")
+    os.makedirs(idx)
+    cent = spark.createDataFrame(
+        [(0, unit(0.0)), (1, unit(90.0))],
+        "centroid_id long, cv array<double>",
+    )
+    cent.write.parquet(f"{idx}/centroids")
+    rows = [(i, unit(0.0)) for i in range(1, 11)] + [
+        (100 + i, unit(89.0 + i)) for i in range(1, 4)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    vectors.assign_nearest(df, cent).drop("cos").write.partitionBy(
+        "centroid_id"
+    ).parquet(f"{idx}/index")
+    with open(os.path.join(idx, artifacts.META_NAME), "w") as fh:
+        json.dump({"fingerprint": "t", "ingests": []}, fh)
+
+    assert vectors.split_wide_clusters(spark, idx, width_factor=1.2) == 1
+    after = spark.read.parquet(f"{idx}/index")
+    assert after.filter(F.col("centroid_id") == 0).count() == 10
+    cents = {
+        r["centroid_id"]
+        for r in spark.read.parquet(f"{idx}/centroids").collect()
+    }
+    assert cents == {0, 1}, "degenerate split must mint no id"
+
+    # widths all inside a generous bound -> untouched, no swap
+    mtime = os.path.getmtime(os.path.join(idx, artifacts.META_NAME))
+    assert vectors.split_wide_clusters(spark, idx, width_factor=5.0) == 0
+    assert os.path.getmtime(os.path.join(idx, artifacts.META_NAME)) == mtime
