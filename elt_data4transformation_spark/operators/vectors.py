@@ -478,7 +478,10 @@ def retrain_ivf_index(spark, index_path: str, iters: int = 3) -> None:
 
 
 def split_wide_clusters(
-    spark, index_path: str, width_factor: float = 1.5
+    spark,
+    index_path: str,
+    width_factor: float = 1.5,
+    max_width: int | None = None,
 ) -> int:
     """WIDTH-BOUNDED SPLIT COMPACTION — the scale-safe alternative to a
     full re-train: any cluster holding more than ``width_factor * N/K``
@@ -490,26 +493,40 @@ def split_wide_clusters(
     centroid count tracks the corpus and per-probe work stays ~N/K
     bounded instead of growing linearly at fixed K.
 
-    Deterministic 2-means-style split (both engines reproducible):
+    Deterministic 2-means split (both engines reproducible):
     seed_a = the member with the LOWEST vec_id; seed_b = the member
     FARTHEST from seed_a (lowest 6dp-rounded cosine, ties to lowest
-    vec_id); each member joins seed_b's half only when strictly closer
-    to it (6dp-rounded cosine — ties stay with seed_a). The a-half is
-    always non-empty (seed_a ties with itself and stays); the b-half
-    is non-empty whenever the cluster holds two distinct vectors
-    (seed_b's self-cosine 1.0 strictly beats its cosine to a distinct
-    seed_a) — a degenerate all-identical cluster "splits" into an
-    a-half only and mints no new id. The a-half keeps
+    vec_id); members side with seed_b only when strictly closer to it
+    (6dp-rounded cosine — ties stay with seed_a); then ONE Lloyd
+    refinement of the side assignment — 6dp elementwise means of the
+    two seed-halves become the child candidates and every member
+    re-sides with the nearer mean (strictly-closer-to-b, same tie
+    rule). The refinement is what makes splits BALANCED on correlated
+    data: raw farthest-point seeds put seed_b on the cluster fringe
+    and peel a sliver, while the mean step pulls the cut to the mass
+    midpoint (same reason every builder here runs a Lloyd step after
+    seeding). A degenerate all-identical cluster takes the a-side
+    throughout and mints no new id. The a-half keeps
     the parent centroid_id; the b-half gets ``max_id + rank`` (rank =
     1-based position of the parent among split clusters ordered by
     id). Child centroid vectors are recomputed as the 6dp elementwise
-    member mean — the same refinement math every builder uses.
+    member mean of the FINAL membership.
 
     Folds ingest segments and applies tombstones like
     compact_ivf_index (same temp-dir + meta-last + near-atomic swap;
     the ``ingests``/``deletes`` lists clear). Assignment of UNSPLIT
     clusters is untouched — frozen facts stay frozen. Returns the
     number of clusters split (0 = no swap performed).
+
+    Two bound modes. The default RELATIVE bound ``width_factor * N/K``
+    fixes SKEW — it fires only on clusters fatter than their peers, so
+    a uniformly grown index never splits. Pass ``max_width`` for the
+    ABSOLUTE bound a growing stored index needs: with max_width kept
+    ~2*sqrt(N) (the per-probe optimum — probe cost is K centroids +
+    one bucket), K tracks sqrt(N) as the corpus grows, which is the
+    stored-index form of ann_ivf_scaled's build-time K = sqrt(N) rule
+    (see split_until_bounded and scripts/split_stress.py for the
+    measured 50x regime change).
 
     Cost: two tiny scalar aggs (N, K — same driver-scalar pattern as
     ann_ivf_scaled's metadata count), one groupBy count over the
@@ -535,7 +552,9 @@ def split_wide_clusters(
     k = cent.count()
     if k == 0:
         return 0
-    bound = math.ceil(width_factor * n / k)
+    bound = max_width if max_width is not None else math.ceil(
+        width_factor * n / k
+    )
     from pyspark.sql import Window
 
     wide = (
@@ -571,13 +590,50 @@ def split_wide_clusters(
         .filter(F.col("rn") == 1)
         .select("centroid_id", F.col("v").alias("sb_v"))
     )
-    split_index = (
+    sided0 = (
         scored_a.join(F.broadcast(sb_v), "centroid_id")
         .withColumn("cos_b", F.round(cosine_col("v", "sb_v"), 6))
         .select(
+            "centroid_id",
+            "b_id",
             "vec_id",
             "v",
-            F.when(F.col("cos_b") > F.col("cos_a"), F.col("b_id"))
+            (F.col("cos_b") > F.col("cos_a")).alias("side_b"),
+        )
+    )
+
+    def _side_mean(df: DataFrame, flag: bool, out: str) -> DataFrame:
+        return (
+            df.filter(F.col("side_b") == flag)
+            .select("centroid_id", F.posexplode("v").alias("dim", "val"))
+            .groupBy("centroid_id", "dim")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda x: x["m"],
+                ).alias(out)
+            )
+        )
+
+    # one Lloyd step over the seed halves: re-side every member with
+    # the nearer of the two half-means (a parent whose b-half is empty
+    # has a NULL mb_v -> NULL cosine -> the otherwise() a-branch, on
+    # both engines)
+    split_index = (
+        sided0.join(F.broadcast(_side_mean(sided0, False, "ma_v")),
+                    "centroid_id")
+        .join(F.broadcast(_side_mean(sided0, True, "mb_v")),
+              "centroid_id", "left")
+        .select(
+            "vec_id",
+            "v",
+            F.when(
+                F.round(cosine_col("v", "mb_v"), 6)
+                > F.round(cosine_col("v", "ma_v"), 6),
+                F.col("b_id"),
+            )
             .otherwise(F.col("centroid_id"))
             .alias("centroid_id"),
         )
@@ -609,12 +665,49 @@ def split_wide_clusters(
 
     def build(tmp: str) -> None:
         new_cent.write.mode("overwrite").parquet(f"{tmp}/centroids")
-        new_index.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        # bound files-per-bucket without serializing bucket reads:
+        # a bare partitionBy write leaves every task writing a sliver
+        # per bucket it holds (files = tasks x buckets, fragmenting
+        # across repeated split passes), while repartition(centroid_id)
+        # alone lands each bucket in ONE file — which caps local probe
+        # parallelism at one task per bucket (parquet splits by row
+        # group; small-file buckets are one split). The vec_id salt
+        # keeps <=8 files per bucket: compact AND probe-parallel.
+        new_index.repartition(
+            F.col("centroid_id"), F.pmod(F.col("vec_id"), F.lit(8))
+        ).write.mode("overwrite").partitionBy("centroid_id").parquet(
             f"{tmp}/index"
         )
 
     artifacts.swap(index_path, build, {**meta, "ingests": [], "deletes": []})
     return n_wide
+
+
+def split_until_bounded(
+    spark, index_path: str, max_width: int, max_passes: int = 16
+) -> int:
+    """Iterate split_wide_clusters with an ABSOLUTE width bound until
+    every bucket fits (or nothing can move): each pass halves the
+    over-bound clusters along their farthest-pair axis, so a bucket
+    ``w`` wide needs ~log2(w / max_width) passes — with max_width kept
+    ~2*sqrt(N) this is how a STORED index's K catches up with corpus
+    growth without the full re-train (the build-time rule is
+    ann_ivf_scaled's K = ceil(sqrt(N))). Stops early when a pass mints
+    no new centroid (only degenerate all-identical clusters remain
+    over the bound — unsplittable by definition). Returns total
+    clusters split. Each pass is a full artifact swap; run as the
+    compaction step of a maintenance cycle, not per ingest."""
+    total = 0
+    for _ in range(max_passes):
+        k_before = spark.read.parquet(f"{index_path}/centroids").count()
+        n = split_wide_clusters(spark, index_path, max_width=max_width)
+        if n == 0:
+            break
+        total += n
+        k_after = spark.read.parquet(f"{index_path}/centroids").count()
+        if k_after == k_before:
+            break
+    return total
 
 
 def ivf_drift_guard(

@@ -1040,15 +1040,44 @@ def _ivf_split_oracle() -> str:
                                     ASC, a.vec_id) AS rn
                 FROM assigned a JOIN sa USING (centroid_id)
             ) WHERE rn = 1
-        ), sided AS (
-            SELECT a.vec_id, a.v,
-                   CASE WHEN ROUND({cosine_sql('a.v', 'sb.sb_v')}, 6)
-                             > ROUND({cosine_sql('a.v', 'sa.sa_v')}, 6)
-                        THEN w.b_id ELSE a.centroid_id END AS centroid_id
+        ), sided0 AS (
+            -- seed-based halves, then ONE Lloyd step: the halves'
+            -- 6dp means become the child candidates and members
+            -- re-side with the nearer mean (balanced cuts on
+            -- correlated data; raw farthest-point seeds peel slivers)
+            SELECT a.centroid_id, w.b_id, a.vec_id, a.v,
+                   (ROUND({cosine_sql('a.v', 'sb.sb_v')}, 6)
+                    > ROUND({cosine_sql('a.v', 'sa.sa_v')}, 6)) AS side_b
             FROM assigned a
             JOIN wide w USING (centroid_id)
             JOIN sa USING (centroid_id)
             JOIN sb USING (centroid_id)
+        ), ma AS (
+            SELECT centroid_id, LIST(m ORDER BY dim) AS ma_v FROM (
+                SELECT centroid_id, dim, ROUND(AVG(val), 6) AS m FROM (
+                    SELECT centroid_id, UNNEST(v) AS val,
+                           generate_subscripts(v, 1) AS dim
+                    FROM sided0 WHERE NOT side_b
+                ) GROUP BY centroid_id, dim
+            ) GROUP BY centroid_id
+        ), mb AS (
+            SELECT centroid_id, LIST(m ORDER BY dim) AS mb_v FROM (
+                SELECT centroid_id, dim, ROUND(AVG(val), 6) AS m FROM (
+                    SELECT centroid_id, UNNEST(v) AS val,
+                           generate_subscripts(v, 1) AS dim
+                    FROM sided0 WHERE side_b
+                ) GROUP BY centroid_id, dim
+            ) GROUP BY centroid_id
+        ), sided AS (
+            -- an empty b-half leaves mb_v NULL -> NULL cosine -> the
+            -- ELSE a-branch, the same null semantics as the Spark side
+            SELECT s.vec_id, s.v,
+                   CASE WHEN ROUND({cosine_sql('s.v', 'mb.mb_v')}, 6)
+                             > ROUND({cosine_sql('s.v', 'ma.ma_v')}, 6)
+                        THEN s.b_id ELSE s.centroid_id END AS centroid_id
+            FROM sided0 s
+            JOIN ma USING (centroid_id)
+            LEFT JOIN mb USING (centroid_id)
         ), final_idx AS (
             SELECT vec_id, v, centroid_id FROM assigned
             WHERE centroid_id NOT IN (SELECT centroid_id FROM wide)
@@ -1097,8 +1126,11 @@ def _ensure_split_ivf(spark: SparkSession, sf_dir: str) -> str:
     )
     src = [os.path.join(sf_dir, "embeddings.parquet")]
     params = f"{name}|k={N_CENTROIDS}|lloyd=1|round=6|mod=5"
+    # the trailing token versions the split rule itself (v2 = one
+    # Lloyd refinement of the seed halves) — a stored artifact from an
+    # older rule must re-build, not silently serve different answers
     fp_split = artifacts.source_fingerprint(
-        src, params + f"|ingests=a|split={SPLIT_WIDTH_FACTOR}"
+        src, params + f"|ingests=a|split={SPLIT_WIDTH_FACTOR}|splitv=2"
     )
     if not artifacts.is_current(path, fp_split):
         _ensure_maintained_ivf(spark, sf_dir, name)
@@ -1126,11 +1158,12 @@ def _prep_split_ivf(spark: SparkSession, sf_dir: str) -> None:
     "ingests accumulate, without the full re-train the drift guard "
     "pays: after the maintain lifecycle and the compaction fold, "
     "operators/vectors.split_wide_clusters splits every cluster wider "
-    "than ceil(factor*N/K) in two (deterministic 2-means-style: "
-    "seed_a = min vec_id, seed_b = farthest member by 6dp cosine, "
-    "members move only when strictly closer to seed_b; child "
-    "centroids = 6dp member means, b-children minted above max id), "
-    "swapped in atomically. Only the fat clusters' members move — "
+    "than ceil(factor*N/K) in two (deterministic 2-means: seed_a = "
+    "min vec_id, seed_b = farthest member by 6dp cosine, seed halves "
+    "by strictly-closer, then ONE Lloyd re-side over the halves' 6dp "
+    "means so cuts land at the mass midpoint; child centroids = final "
+    "member means, b-children minted above max id), swapped in "
+    "atomically. Only the fat clusters' members move — "
     "every other assignment is a frozen fact, which is the whole "
     "point vs re-train at 100 TB: split cost is proportional to the "
     "fat clusters, not the index. The centroid count after the split "

@@ -1,0 +1,167 @@
+"""Measured regime change for width-bounded split compaction: build a
+fixed-K=16 IVF index over an R-replica decorrelated embedding corpus
+(the realistic "corpus grew Rx" case — every bucket grows ~Rx, which
+the RELATIVE skew bound never fires on), time an n-probe batch, then
+split_until_bounded to the ABSOLUTE bound max_width = ceil(2*sqrt(N))
+and time the same probes again.
+
+This is the stored-index twin of ann_ivf_scaled's measured build-time
+rule: the split grows K toward ~sqrt(N)/2 by touching only over-bound
+buckets, so per-probe work drops from ~N/16 to ~2*sqrt(N) without the
+full re-train. In-index probes read their bucket only (assignment is a
+stored fact); an external query additionally pays the K-row centroid
+scan — that K-vs-width tradeoff is exactly what the 2*sqrt(N) bound
+balances.
+
+Replica decorrelation matches scripts/scale_stress.py --unique:
+replica i's embedding gets a cyclic component shift, which in 64-dim
+space drops cross-replica cosine to ~0 while keeping norms and
+component distributions identical.
+
+Usage: python scripts/split_stress.py [replicas] [n_probes]
+Defaults: 50 replicas (100k vectors at sf0.1), 500 probes.
+Emits one JSON line; rows recorded in SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+from functools import reduce
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from elt_data4transformation_spark.operators import artifacts  # noqa: E402
+from elt_data4transformation_spark.operators.vectors import (  # noqa: E402
+    cosine_col,
+    split_until_bounded,
+)
+from elt_data4transformation_spark.plans.similarity import (  # noqa: E402
+    _ivf_builder,
+)
+from elt_data4transformation_spark.session import get_spark  # noqa: E402
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = "/tmp/split_stress"
+
+
+def main() -> None:
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    n_probes = int(sys.argv[2]) if len(sys.argv) > 2 else 500
+    spark = get_spark(app_name="split-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    base_k = emb.agg(F.max("vec_id")).first()[0] + 1
+    parts = []
+    for i in range(reps):
+        p = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * base_k))
+        if i > 0:
+            p = p.withColumn(
+                "embedding",
+                F.concat(
+                    F.slice(F.col("embedding"), i % 32 + 2, 10_000),
+                    F.slice(F.col("embedding"), 1, i % 32 + 1),
+                ),
+            )
+        parts.append(p)
+    vec = reduce(lambda a, b: a.unionByName(b), parts).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = vec.count()
+
+    idx_path = f"{OUT}/idx"
+    shutil.rmtree(OUT, ignore_errors=True)
+    t0 = time.time()
+    artifacts.publish(idx_path, "split-stress", _ivf_builder(vec))
+    build_s = round(time.time() - t0, 3)
+
+    def widths() -> dict:
+        w = (
+            spark.read.parquet(f"{idx_path}/index")
+            .groupBy("centroid_id")
+            .count()
+        )
+        row = w.agg(
+            F.count("*").alias("k"),
+            F.max("count").alias("max_w"),
+            F.round(F.avg("count"), 1).alias("avg_w"),
+        ).first()
+        return {"k": row["k"], "max_w": row["max_w"], "avg_w": row["avg_w"]}
+
+    def probe_time(runs: int = 3) -> float:
+        best = None
+        for _ in range(runs):
+            t = time.time()
+            idx = spark.read.parquet(f"{idx_path}/index")
+            q = idx.filter(F.col("vec_id") < n_probes).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("v").alias("qv"),
+                F.col("centroid_id").alias("qc"),
+            )
+            scored = idx.join(
+                F.broadcast(q),
+                (F.col("centroid_id") == F.col("qc"))
+                & (F.col("vec_id") != F.col("query_id")),
+            ).select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                F.round(cosine_col("qv", "v"), 6).alias("cos"),
+            )
+            w = Window.partitionBy("query_id").orderBy(
+                F.desc("cos"), "neighbor_id"
+            )
+            (
+                scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= 5)
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            dt = time.time() - t
+            best = dt if best is None or dt < best else best
+        return round(best, 3)
+
+    before = {**widths(), "probe_s": probe_time()}
+
+    target = math.ceil(2 * math.sqrt(n))
+    t0 = time.time()
+    n_split = split_until_bounded(spark, idx_path, max_width=target)
+    split_s = round(time.time() - t0, 3)
+
+    after = {**widths(), "probe_s": probe_time()}
+
+    print(
+        json.dumps(
+            {
+                "metric": "split_stress",
+                "replicas": reps,
+                "n_vectors": n,
+                "n_probes": n_probes,
+                "max_width_target": target,
+                "build_s": build_s,
+                "before": before,
+                "after": after,
+                "clusters_split": n_split,
+                "split_s": split_s,
+                "probe_speedup": round(
+                    before["probe_s"] / after["probe_s"], 2
+                )
+                if after["probe_s"]
+                else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

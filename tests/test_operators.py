@@ -5268,3 +5268,52 @@ def test_split_wide_clusters_degenerate_and_noop(spark, tmp_path):
     mtime = os.path.getmtime(os.path.join(idx, artifacts.META_NAME))
     assert vectors.split_wide_clusters(spark, idx, width_factor=5.0) == 0
     assert os.path.getmtime(os.path.join(idx, artifacts.META_NAME)) == mtime
+
+
+def test_split_until_bounded_absolute_width(spark, tmp_path):
+    """The ABSOLUTE width bound (max_width) is the scale mode: unlike
+    the relative skew bound, it keeps firing as a uniformly grown
+    index's buckets exceed the probe budget, and split_until_bounded
+    iterates the 2-way splits until every bucket fits. The bimodal
+    10-member cluster needs two passes for max_width=3: lobes first
+    (5+5), then within-lobe."""
+    import json
+    import math
+    import os
+
+    from elt_data4transformation_spark.operators import artifacts, vectors
+
+    def unit(deg):
+        r = math.radians(deg)
+        return [round(math.cos(r), 6), round(math.sin(r), 6), 0.0, 0.0]
+
+    idx = str(tmp_path / "ivf")
+    os.makedirs(idx)
+    cent = spark.createDataFrame(
+        [(0, unit(20.0)), (1, unit(90.0))],
+        "centroid_id long, cv array<double>",
+    )
+    cent.write.parquet(f"{idx}/centroids")
+    rows = (
+        [(i, unit(float(i - 1))) for i in range(1, 6)]
+        + [(10 + i, unit(39.0 + i)) for i in range(1, 6)]
+        + [(100 + i, unit(89.0 + i)) for i in range(1, 4)]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    vectors.assign_nearest(df, cent).drop("cos").write.partitionBy(
+        "centroid_id"
+    ).parquet(f"{idx}/index")
+    with open(os.path.join(idx, artifacts.META_NAME), "w") as fh:
+        json.dump({"fingerprint": "t", "ingests": []}, fh)
+
+    assert vectors.split_until_bounded(spark, idx, max_width=3) >= 2
+    after = spark.read.parquet(f"{idx}/index")
+    widths = [
+        r["c"]
+        for r in after.groupBy("centroid_id").agg(F.count("*").alias("c"))
+        .collect()
+    ]
+    assert max(widths) <= 3
+    assert after.count() == len(rows), "members lost or invented"
+    k = spark.read.parquet(f"{idx}/centroids").count()
+    assert k == len(widths), "centroid table out of sync with buckets"
