@@ -68,6 +68,10 @@ PREPARED_STORE_CTES: dict[str, list[str]] = {
     "ann_ivf_maintain": ["assigned"],
     "ann_ivf_delete": ["assigned"],
     "ann_ivf_compact": ["assigned"],
+    # the split store is the post-split index; cent and sided are also
+    # materialized because the probe's n_centroids scalar reads them
+    # (the Spark twin reads the stored centroid table's row count)
+    "ann_ivf_split_compact": ["cent", "sided", "final_idx"],
     "stream_ivf_ingest": ["assigned"],
 }
 
