@@ -131,14 +131,127 @@ def main() -> None:
             best = dt if best is None or dt < best else best
         return round(best, 3)
 
-    before = {**widths(), "probe_s": probe_time()}
+    def recall_at_5(sample: int = 200) -> float:
+        """IVF recall@5 vs brute force for the first ``sample`` probe
+        ids: |ivf_top5 ∩ brute_top5| / 5 averaged over queries. The
+        split narrows buckets, so recall can only drop — measure the
+        cost side of the probe win, don't assert it away."""
+        idx = spark.read.parquet(f"{idx_path}/index")
+        q = idx.filter(F.col("vec_id") < sample).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("centroid_id").alias("qc"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos"), "neighbor_id"
+        )
+
+        def top5(joined) -> DataFrame:
+            return (
+                joined.select(
+                    "query_id",
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.round(cosine_col("qv", "v"), 6).alias("cos"),
+                )
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= 5)
+                .select("query_id", "neighbor_id")
+            )
+
+        ivf = top5(
+            idx.join(
+                F.broadcast(q),
+                (F.col("centroid_id") == F.col("qc"))
+                & (F.col("vec_id") != F.col("query_id")),
+            )
+        )
+        brute = top5(
+            vec.crossJoin(F.broadcast(q.drop("qc"))).filter(
+                F.col("vec_id") != F.col("query_id")
+            )
+        )
+        hits = ivf.join(brute, ["query_id", "neighbor_id"]).count()
+        return round(hits / (5.0 * sample), 3)
+
+    before = {**widths(), "probe_s": probe_time(), "recall5": recall_at_5()}
 
     target = math.ceil(2 * math.sqrt(n))
     t0 = time.time()
     n_split = split_until_bounded(spark, idx_path, max_width=target)
     split_s = round(time.time() - t0, 3)
 
-    after = {**widths(), "probe_s": probe_time()}
+    after = {**widths(), "probe_s": probe_time(), "recall5": recall_at_5()}
+
+    # nprobe=3 over the split index: the standard recall compensation
+    # for finer buckets — probe the 3 nearest centroids instead of the
+    # home bucket. Candidates/query ~ 3*avg_w, still far below one
+    # fixed-K fat bucket.
+    def nprobe(p: int, sample: int, timed: bool) -> dict:
+        idx = spark.read.parquet(f"{idx_path}/index")
+        cent = spark.read.parquet(f"{idx_path}/centroids")
+        q = idx.filter(F.col("vec_id") < sample).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+        cw = Window.partitionBy("query_id").orderBy(
+            F.desc("ccos"), "centroid_id"
+        )
+        qc = (
+            q.crossJoin(F.broadcast(cent))
+            .withColumn("ccos", F.round(cosine_col("qv", "cv"), 6))
+            .withColumn("crn", F.row_number().over(cw))
+            .filter(F.col("crn") <= p)
+            .select("query_id", "qv", "centroid_id")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos"), "neighbor_id"
+        )
+        top = (
+            idx.join(F.broadcast(qc), "centroid_id")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                F.round(cosine_col("qv", "v"), 6).alias("cos"),
+            )
+            .dropDuplicates(["query_id", "neighbor_id"])
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "neighbor_id")
+        )
+        if timed:
+            best = None
+            for _ in range(3):
+                t = time.time()
+                top.write.format("noop").mode("overwrite").save()
+                dt = time.time() - t
+                best = dt if best is None or dt < best else best
+            return {"probe_s": round(best, 3)}
+        brute = (
+            vec.crossJoin(
+                F.broadcast(
+                    idx.filter(F.col("vec_id") < sample).select(
+                        F.col("vec_id").alias("query_id"),
+                        F.col("v").alias("qv"),
+                    )
+                )
+            )
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                F.round(cosine_col("qv", "v"), 6).alias("cos"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "neighbor_id")
+        )
+        hits = top.join(brute, ["query_id", "neighbor_id"]).count()
+        return {"recall5": round(hits / (5.0 * sample), 3)}
+
+    after_np3 = {
+        **nprobe(3, 2000, timed=True),
+        **nprobe(3, 200, timed=False),
+    }
 
     print(
         json.dumps(
@@ -151,6 +264,7 @@ def main() -> None:
                 "build_s": build_s,
                 "before": before,
                 "after": after,
+                "after_nprobe3": after_np3,
                 "clusters_split": n_split,
                 "split_s": split_s,
                 "probe_speedup": round(
