@@ -1179,6 +1179,116 @@ def ann_ivf_split_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_split_nprobe_oracle() -> str:
+    """Twin of ann_ivf_split_nprobe: the split oracle's final index
+    AND final centroid table (unsplit rows + recomputed child means —
+    exactly what the stored artifact holds after the split), then the
+    standard multi-probe: each query ranks the final centroids by
+    6dp cosine and searches its top-NPROBE buckets."""
+    split = _ivf_split_oracle()
+    # reuse everything up to final_idx; rebuild the probe half
+    head = split[: split.index("), q AS (")]
+    return (
+        head
+        + f"""), child_cent AS (
+            SELECT centroid_id, LIST(m ORDER BY dim) AS cv FROM (
+                SELECT centroid_id, dim, ROUND(AVG(val), 6) AS m FROM (
+                    SELECT centroid_id, UNNEST(v) AS val,
+                           generate_subscripts(v, 1) AS dim
+                    FROM sided
+                ) GROUP BY centroid_id, dim
+            ) GROUP BY centroid_id
+        ), final_cent AS (
+            SELECT centroid_id, cv FROM cent
+            WHERE centroid_id NOT IN (SELECT centroid_id FROM wide)
+            UNION ALL
+            SELECT centroid_id, cv FROM child_cent
+        ), probes AS (
+            SELECT query_id, qv, centroid_id AS qc FROM (
+                SELECT q.query_id, q.qv, fc.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.query_id
+                           ORDER BY ROUND({cosine_sql('q.qv', 'fc.cv')}, 6)
+                                    DESC, fc.centroid_id) AS pr
+                FROM (
+                    SELECT vec_id AS query_id, v AS qv
+                    FROM final_idx WHERE vec_id < {N_QUERIES}
+                ) q CROSS JOIN final_cent fc
+            ) WHERE pr <= {NPROBE}
+        ), scored AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   {cosine_sql('p.qv', 'a.v')} AS cos
+            FROM probes p JOIN final_idx a
+              ON a.centroid_id = p.qc AND a.vec_id <> p.query_id
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY ROUND(cos, 6) DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cosine
+        FROM ranked WHERE rank <= {TOP_K}
+        ORDER BY query_id, rank
+    """
+    )
+
+
+@register(
+    "ann_ivf_split_nprobe",
+    oracle=_ivf_split_nprobe_oracle(),
+    tags=("similarity", "incremental"),
+    prepare=_prep_split_ivf,
+    doc=f"Multi-probe (nprobe={NPROBE}) over the SPLIT-COMPACTED "
+    "index — the other half of what width bounding buys: the split "
+    "turns one coarse all-or-nothing bucket into a fine nprobe knob "
+    "(288 steps of ~sqrt(N) instead of 16 steps of N/16 at the "
+    "measured 50x fixture, SCALE.md round-9 addendum: recall@5 0.438 "
+    "vs fixed-K's 0.295 at the SAME scan budget, and 0.314 at HALF). "
+    "Shares ann_ivf_split_compact's stored artifact (one prepare, two "
+    "probes); queries rank the post-split centroid table — unsplit "
+    "rows frozen, child rows the recomputed member means, exactly "
+    "what the store holds — by 6dp-rounded cosine and search their "
+    f"top-{NPROBE} buckets; a vector lives in exactly one bucket so "
+    "probes can't duplicate neighbors. Same round-before-rank rule "
+    "as every IVF twin.",
+)
+def ann_ivf_split_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _ensure_split_ivf(spark, sf_dir)
+    idx = spark.read.parquet(f"{path}/index")
+    cent = spark.read.parquet(f"{path}/centroids")
+    qv = idx.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pw = Window.partitionBy("query_id").orderBy(
+        F.desc("_qcos"), F.asc("centroid_id")
+    )
+    probes = (
+        qv.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "_qcos", F.round(cosine_col(F.col("qv"), F.col("cv")), 6)
+        )
+        .withColumn("_pr", F.row_number().over(pw))
+        .filter(F.col("_pr") <= NPROBE)
+        .select("query_id", "qv", F.col("centroid_id").alias("qc"))
+    )
+    scored = idx.join(
+        F.broadcast(probes),
+        (F.col("centroid_id") == F.col("qc"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine_col(F.col("qv"), F.col("v")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "rank", "neighbor_id", F.col("cos").alias("cosine")
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 DEL_MOD = 7  # vec_id % 7 == 3 is the takedown batch
 DEL_REM = 3
 

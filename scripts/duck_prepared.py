@@ -72,6 +72,9 @@ PREPARED_STORE_CTES: dict[str, list[str]] = {
     # materialized because the probe's n_centroids scalar reads them
     # (the Spark twin reads the stored centroid table's row count)
     "ann_ivf_split_compact": ["cent", "sided", "final_idx"],
+    # nprobe twin over the same artifact: the probe ranks the final
+    # centroid table and scans the final index
+    "ann_ivf_split_nprobe": ["final_cent", "final_idx"],
     "stream_ivf_ingest": ["assigned"],
 }
 
