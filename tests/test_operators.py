@@ -5317,3 +5317,37 @@ def test_split_until_bounded_absolute_width(spark, tmp_path):
     assert after.count() == len(rows), "members lost or invented"
     k = spark.read.parquet(f"{idx}/centroids").count()
     assert k == len(widths), "centroid table out of sync with buckets"
+
+
+def test_ann_ivf_split_nprobe_recall_dominates_single_probe(spark):
+    """The nprobe twin over the split index must recover recall: its
+    per-query neighbor sets vs brute force can only improve on the
+    single-probe split query's (it searches a superset of buckets —
+    the home bucket ranks in the top-NPROBE by construction of the
+    assignment ordering only approximately, so gate on >=, measured
+    equal-or-better at the fixtures)."""
+    from elt_data4transformation_spark.plans import REGISTRY
+    from tests.conftest import SF_SMALL
+
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["ann_cosine_topk"].fn(spark, SF_SMALL).collect()
+    }
+    single = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["ann_ivf_split_compact"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    multi = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["ann_ivf_split_nprobe"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    r_single = len(bf & single) / len(bf)
+    r_multi = len(bf & multi) / len(bf)
+    assert r_multi >= r_single, (
+        f"nprobe recall {r_multi} below single-probe {r_single}"
+    )
+    assert r_multi >= 0.5, f"split-nprobe recall {r_multi} below 0.5"
