@@ -516,7 +516,11 @@ def split_wide_clusters(
     compact_ivf_index (same temp-dir + meta-last + near-atomic swap;
     the ``ingests``/``deletes`` lists clear). Assignment of UNSPLIT
     clusters is untouched — frozen facts stay frozen. Returns the
-    number of clusters split (0 = no swap performed).
+    number of clusters ACTUALLY SPLIT — child centroids minted (a
+    degenerate all-identical over-bound cluster is processed but
+    mints nothing and counts 0). 0 from a below-bound index means no
+    swap happened; 0 can also mean a swap that processed only
+    degenerate clusters (segments still fold in that case).
 
     Two bound modes. The default RELATIVE bound ``width_factor * N/K``
     fixes SKEW — it fires only on clusters fatter than their peers, so
@@ -679,8 +683,18 @@ def split_wide_clusters(
             f"{tmp}/index"
         )
 
+    # clusters ACTUALLY split = distinct minted child ids in the final
+    # membership (b_ids only appear when a member strictly re-sided);
+    # split_index is localCheckpointed above, so this is a count over
+    # pinned rows, not a recompute of the seed chain
+    n_split = (
+        split_index.filter(F.col("centroid_id") > max_cid)
+        .select("centroid_id")
+        .distinct()
+        .count()
+    )
     artifacts.swap(index_path, build, {**meta, "ingests": [], "deletes": []})
-    return n_wide
+    return n_split
 
 
 def split_until_bounded(

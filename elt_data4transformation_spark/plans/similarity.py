@@ -282,10 +282,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "as an output column so the rule itself is oracle-checked. "
     "Per-probe cost is K (centroid scan) + N/K (bucket scan), "
     "minimized at K = sqrt(N) to ~2*sqrt(N): at 100x the corpus the "
-    "bucket width grows 10x instead of 100x. The streaming ingest "
-    "twin is env-gated (SPARK_GRAFT_IVF_K=sqrt, stress-only — the "
-    "registered stream_ivf_ingest keeps K=16 so its fixtures stay "
-    "pinned); measured 10x unique-mode row in SCALE.md. "
+    "bucket width grows 10x instead of 100x. The same rule is the "
+    "DEFAULT for the registered stream_ivf_ingest as of round 10 "
+    "(was env-gated stress-only in round 9); measured 10x "
+    "unique-mode rows in SCALE.md. "
     "Round-before-rank: both engines rank the 6dp-rounded cosine so "
     "fold-order ties cannot flip the top-k cut.",
 )
@@ -749,25 +749,28 @@ def _ivf_maintain_oracle() -> str:
 
 
 def _stream_ivf_k(base: DataFrame) -> int:
-    """K for the stream-ingest IVF base. Default: the pinned
-    N_CENTROIDS=16 (the registered stream_ivf_ingest oracle and its
-    fixtures assume it). SPARK_GRAFT_IVF_K=sqrt applies the executable
-    K = ceil(sqrt(N)) rule from ann_ivf_scaled to the STREAMING base —
-    a stress-only knob (scripts/stream_stress.py --scaled-k) that must
-    never be set under the driver's oracle runs: it changes bucket
-    geometry, so probe answers legitimately differ from the pinned-K
-    oracle. An integer value pins K explicitly. The artifact
+    """K for the stream-ingest IVF base. DEFAULT (round 10): the
+    executable K = ceil(sqrt(N)) rule from ann_ivf_scaled applied to
+    the streaming base — the registered stream_ivf_ingest now runs the
+    bounded-bucket path by default (its oracle computes the identical
+    CEIL(SQRT(COUNT(*))) from the base CTE and the chosen K is an
+    oracle-checked output column), closing the round-9 verdict's last
+    super-linear registered plan: at fixed K=16 the per-probe bucket
+    width grew ~N (measured 15-17x at 10x unique data), with sqrt-K it
+    grows ~sqrt(N) (measured near-linear, SCALE.md round 10).
+    SPARK_GRAFT_IVF_K=<int> pins K explicitly — a stress-only knob
+    that must never be set under the driver's oracle runs: it changes
+    bucket geometry, so probe answers legitimately differ from the
+    sqrt-K oracle ('sqrt' is accepted and now redundant). The artifact
     fingerprints embed the chosen K, so scaled and pinned indexes
     never collide."""
     import math
     import os
 
     mode = os.environ.get("SPARK_GRAFT_IVF_K", "")
-    if mode == "sqrt":
-        return max(1, math.ceil(math.sqrt(base.count())))
     if mode.isdigit():
         return int(mode)
-    return N_CENTROIDS
+    return max(1, math.ceil(math.sqrt(base.count())))
 
 
 def _ivf_builder(base: DataFrame, k: int = N_CENTROIDS):
@@ -1096,14 +1099,43 @@ def _ivf_split_oracle() -> str:
                       ORDER BY ROUND(cos, 6) DESC, neighbor_id) AS rank
             FROM scored
         )
+        -- n_centroids mirrors what the STORE holds after the split:
+        -- unsplit cent rows (cent minus the split parents) UNION the
+        -- distinct child ids of the final split membership — exactly
+        -- new_cent in operators/vectors.split_wide_clusters. (The old
+        -- cent-count + minted-ids formula diverged by one if a Lloyd
+        -- re-side ever emptied a split parent's a-bucket: the parent
+        -- id would drop from the stored table but still be counted.)
         SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cosine,
-               (SELECT COUNT(*) FROM cent)
-               + (SELECT COUNT(DISTINCT centroid_id) FROM sided
-                  WHERE centroid_id > (SELECT MAX(centroid_id) FROM cent))
+               (SELECT COUNT(*) FROM cent
+                WHERE centroid_id NOT IN (SELECT centroid_id FROM wide))
+               + (SELECT COUNT(DISTINCT centroid_id) FROM sided)
                AS n_centroids
         FROM ranked WHERE rank <= {TOP_K}
         ORDER BY query_id, rank
     """
+
+
+def _split_ivf_fps(sf_dir: str) -> tuple[str, str]:
+    """(fp_presplit, fp_split) for ann_ivf_split_compact's artifact.
+    The trailing |splitv=2 token versions the split rule itself (v2 =
+    one Lloyd refinement of the seed halves) — a stored artifact from
+    an older rule must re-build, not silently serve different answers.
+    Extracted so the crash-idempotency test can stamp the intermediate
+    state without duplicating the parameter string."""
+    import os
+
+    from ..operators import artifacts
+
+    src = [os.path.join(sf_dir, "embeddings.parquet")]
+    params = (
+        f"ann_ivf_split_compact|k={N_CENTROIDS}|lloyd=1|round=6|mod=5"
+        f"|ingests=a|split={SPLIT_WIDTH_FACTOR}|splitv=2"
+    )
+    return (
+        artifacts.source_fingerprint(src, params + "|presplit"),
+        artifacts.source_fingerprint(src, params),
+    )
 
 
 def _ensure_split_ivf(spark: SparkSession, sf_dir: str) -> str:
@@ -1111,7 +1143,17 @@ def _ensure_split_ivf(spark: SparkSession, sf_dir: str) -> str:
     frozen-centroid ingest segment), compact, then width-bounded
     split. The split CHANGES probe answers (buckets narrow), so it
     gets its own fingerprint — checked FIRST so a finished artifact is
-    never torn back down to the maintain state."""
+    never torn back down to the maintain state.
+
+    CRASH-IDEMPOTENT (round 10): a distinct PRE-SPLIT fingerprint is
+    stamped before split_wide_clusters runs, and the swap inside the
+    split carries it forward — so a crash anywhere between that stamp
+    and the final fp_split stamp leaves meta at fp_presplit, which
+    matches NEITHER the maintain state (fp_a) nor the finished state:
+    the rerun tears the artifact down and rebuilds from scratch
+    instead of running a SECOND split pass over an already-split index
+    (which, at factor 1.1, could split more clusters and silently
+    serve answers diverging from the one-pass oracle)."""
     import os
 
     from ..operators import artifacts
@@ -1124,17 +1166,14 @@ def _ensure_split_ivf(spark: SparkSession, sf_dir: str) -> str:
         name,
         os.path.basename(os.path.normpath(sf_dir)),
     )
-    src = [os.path.join(sf_dir, "embeddings.parquet")]
-    params = f"{name}|k={N_CENTROIDS}|lloyd=1|round=6|mod=5"
-    # the trailing token versions the split rule itself (v2 = one
-    # Lloyd refinement of the seed halves) — a stored artifact from an
-    # older rule must re-build, not silently serve different answers
-    fp_split = artifacts.source_fingerprint(
-        src, params + f"|ingests=a|split={SPLIT_WIDTH_FACTOR}|splitv=2"
-    )
+    fp_presplit, fp_split = _split_ivf_fps(sf_dir)
     if not artifacts.is_current(path, fp_split):
+        # meta == fp_presplit here matches neither fp_a nor fp_split,
+        # so _ensure_maintained_ivf rebuilds the maintain state from
+        # scratch — a crashed split never gets a second pass
         _ensure_maintained_ivf(spark, sf_dir, name)
         compact_ivf_index(spark, path)
+        artifacts.update_meta(path, fp_presplit)
         split_wide_clusters(spark, path, width_factor=SPLIT_WIDTH_FACTOR)
         artifacts.update_meta(path, fp_split)
     return path
@@ -1402,10 +1441,12 @@ def _ensure_stream_ivf_base(spark: SparkSession, sf_dir: str) -> str:
 
 def _stream_ivf_oracle() -> str:
     """Twin of stream_ivf_ingest: centroids trained on the base
-    (vec_id % 5 >= 2, seeds = base vec_id < N_CENTROIDS + one Lloyd
-    iteration); per ingest tag t, every tag-t vector's nearest
+    (vec_id % 5 >= 2, K = ceil(sqrt(count(base))) — the executable
+    ann_ivf_scaled rule, round 10 — seeds = base vec_id < K + one
+    Lloyd iteration); per ingest tag t, every tag-t vector's nearest
     SAME-BUCKET neighbor among base ∪ {tags < t} — the sequential
-    ingest loop flattened into one batch query."""
+    ingest loop flattened into one batch query. The chosen K is an
+    output column so the scaling rule itself is oracle-checked."""
 
     def block(tag: int, idx_pred: str) -> str:
         return f"""p{tag} AS (
@@ -1428,9 +1469,14 @@ def _stream_ivf_oracle() -> str:
             FROM embeddings
         ), base AS (
             SELECT * FROM e WHERE vec_id % 5 >= 2
+        ), kk AS (
+            -- K tracks the BASE corpus: ceil(sqrt(N)) keeps per-probe
+            -- work ~2*sqrt(N) as ingests accumulate (the ann_ivf_scaled
+            -- rule applied to the streaming base index)
+            SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS k FROM base
         ), cent0 AS (
             SELECT vec_id AS centroid_id, v AS cv FROM base
-            WHERE vec_id < {N_CENTROIDS}
+            WHERE vec_id < (SELECT k FROM kk)
         ), assigned0 AS (
             SELECT vec_id, v, centroid_id FROM (
                 SELECT b.vec_id, b.v, cent0.centroid_id,
@@ -1461,7 +1507,7 @@ def _stream_ivf_oracle() -> str:
         ),
         {block(0, "a.vec_id % 5 >= 2")},
         {block(1, "a.vec_id % 5 <> 1")}
-        SELECT * FROM (
+        SELECT *, (SELECT k FROM kk) AS k FROM (
             SELECT * FROM p0 UNION ALL SELECT * FROM p1
         ) ORDER BY vec_id
     """
@@ -1491,9 +1537,18 @@ def _stream_ivf_oracle() -> str:
     "an embedding-ingest pipeline keeps (duplicate detection / "
     "provenance at insert time). Work per batch is delta-proportional"
     ": assignment broadcasts k centroids, the probe joins only the "
-    "batch's buckets, the merge writes only the batch. Oracle: the "
-    "loop flattened — per tag t, nearest same-bucket neighbor among "
-    "base ∪ {tags < t}, frozen base-trained centroids throughout.",
+    "batch's buckets, the merge writes only the batch. K-SCALING IS "
+    "THE DEFAULT (round 10, closing the round-9 verdict's last "
+    "super-linear registered plan): the base index is built with "
+    "K = ceil(sqrt(N)) — ann_ivf_scaled's executable rule — instead "
+    "of the pinned K=16 whose bucket width grew ~N (measured 15-17x "
+    "wall at 10x unique vectors; sqrt-K measured near-linear, "
+    "SCALE.md round 10), and the chosen K is emitted as an output "
+    "column the oracle recomputes via CEIL(SQRT(COUNT(*))) over the "
+    "same base CTE, so the scaling rule itself is oracle-checked. "
+    "Oracle: the loop flattened — per tag t, nearest same-bucket "
+    "neighbor among base ∪ {tags < t}, frozen base-trained centroids "
+    "throughout.",
 )
 def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -1512,6 +1567,11 @@ def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # so merges stay run-scoped and concurrent runs share one base
         # — same layout as stream_index_ingest
         base_idx = _ensure_stream_ivf_base(spark, sf_dir)
+        # the oracle-checked K column: same rule (and same env pin, if
+        # any) the base build used — ceil(sqrt(count(base)))
+        k = _stream_ivf_k(
+            _vectors(spark, sf_dir).filter(F.col("vec_id") % 5 >= 2)
+        )
         idx = os.path.join(work, "idx")
         os.makedirs(idx)
         for seg in ("centroids", "index"):
@@ -1664,7 +1724,7 @@ def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         base_index.unpersist()
-        return out.orderBy("vec_id")
+        return out.withColumn("k", F.lit(k).cast("long")).orderBy("vec_id")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -59,6 +59,7 @@ PREPARED_STORE_CTES: dict[str, list[str]] = {
     "decontamination_fuzzy": ["sh", "bands"],
     "stream_decontaminate": ["sh", "bands"],
     "stream_index_ingest": ["sh", "bands"],
+    "stream_index_probe": ["sh", "bands"],
     "embedding_neardup_srp": ["bands"],
     "image_neardup": ["bands"],
     "audio_neardup": ["bands"],
@@ -68,10 +69,11 @@ PREPARED_STORE_CTES: dict[str, list[str]] = {
     "ann_ivf_maintain": ["assigned"],
     "ann_ivf_delete": ["assigned"],
     "ann_ivf_compact": ["assigned"],
-    # the split store is the post-split index; cent and sided are also
-    # materialized because the probe's n_centroids scalar reads them
-    # (the Spark twin reads the stored centroid table's row count)
-    "ann_ivf_split_compact": ["cent", "sided", "final_idx"],
+    # the split store is the post-split index; cent, wide and sided
+    # are also materialized because the probe's n_centroids scalar
+    # reads them (round 10: the scalar now mirrors the stored table —
+    # unsplit cent rows + distinct child ids — so it references wide)
+    "ann_ivf_split_compact": ["cent", "wide", "sided", "final_idx"],
     # nprobe twin over the same artifact: the probe ranks the final
     # centroid table and scans the final index
     "ann_ivf_split_nprobe": ["final_cent", "final_idx"],

@@ -13,12 +13,13 @@ under test.
 
 Usage: python scripts/stream_stress.py [replicas] [--unique] [--scaled-k]
 
-``--scaled-k`` (round-9 VERDICT ask #1) sets SPARK_GRAFT_IVF_K=sqrt so
-the stream-IVF base index is built with the executable K = ceil(sqrt(N))
-rule (ann_ivf_scaled's rule applied to the streaming base) instead of
-the pinned K=16 — bucket width then grows ~sqrt(10) instead of ~10 at
-10x data, turning the measured fixed-K ingest cliff into the sqrt-N
-regime. Stress-only: the registered oracle assumes K=16.
+``--scaled-k`` sets SPARK_GRAFT_IVF_K=sqrt — REDUNDANT since round 10:
+the executable K = ceil(sqrt(N)) rule is now stream_ivf_ingest's
+registered DEFAULT (and its oracle checks the chosen K as an output
+column), so an unflagged run already measures the sqrt-N regime. The
+flag is kept accepted for older invocations; to reproduce the retired
+fixed-K cliff instead, pin SPARK_GRAFT_IVF_K=16 (stress-only — a
+pinned K diverges from the sqrt-K oracle).
 
 ``--unique`` (round-7 VERDICT ask #4) switches the replica fixture to
 the NON-duplicate mode (scale_stress.replicate(unique=True)): replica

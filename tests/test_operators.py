@@ -4170,6 +4170,21 @@ def test_stream_ivf_ingest_merges_and_sequences(spark):
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
 
 
+def test_stream_index_probe_equals_ingest_loop_rows(spark):
+    """The probe-only twin (round 10) must return EXACTLY the rows the
+    full streaming ingest loop logs — same probes, same sequencing
+    semantics (batch 1 sees batch 0's signatures), minus the stream
+    lifecycle and segment durability the like-for-like bench number
+    deliberately excludes. Column k aside, any divergence means the
+    twin is measuring a different computation than the loop."""
+    from elt_data4transformation_spark.plans import REGISTRY
+    from tests.conftest import SF_SMALL
+
+    probe = REGISTRY["stream_index_probe"].fn(spark, SF_SMALL).collect()
+    loop = REGISTRY["stream_index_ingest"].fn(spark, SF_SMALL).collect()
+    assert [tuple(r) for r in probe] == [tuple(r) for r in loop]
+
+
 def test_srp_band_store_rows_equal_fresh_computation(spark):
     """The SRP band store (plans/dedup._srp_band_store) must hold
     EXACTLY the band keys a fresh 24-plane projection computes —
@@ -5227,7 +5242,11 @@ def test_split_wide_clusters_bounds_bucket_width(spark, tmp_path):
 def test_split_wide_clusters_degenerate_and_noop(spark, tmp_path):
     """An all-identical fat cluster cannot split (every member ties to
     seed_a): the pass processes it but mints no new centroid and moves
-    nothing. A below-bound index is a NO-OP (returns 0, no swap)."""
+    nothing — and the return value counts clusters ACTUALLY split
+    (minted children), so the degenerate pass returns 0 (round 10; it
+    previously returned clusters processed, overcounting by one on
+    split_until_bounded's terminating pass). A below-bound index is a
+    NO-OP (returns 0, no swap)."""
     import json
     import math
     import os
@@ -5255,7 +5274,7 @@ def test_split_wide_clusters_degenerate_and_noop(spark, tmp_path):
     with open(os.path.join(idx, artifacts.META_NAME), "w") as fh:
         json.dump({"fingerprint": "t", "ingests": []}, fh)
 
-    assert vectors.split_wide_clusters(spark, idx, width_factor=1.2) == 1
+    assert vectors.split_wide_clusters(spark, idx, width_factor=1.2) == 0
     after = spark.read.parquet(f"{idx}/index")
     assert after.filter(F.col("centroid_id") == 0).count() == 10
     cents = {
@@ -5319,6 +5338,173 @@ def test_split_until_bounded_absolute_width(spark, tmp_path):
     assert k == len(widths), "centroid table out of sync with buckets"
 
 
+def test_split_index_recall_dominates_fixed_k_at_matched_budget(spark, tmp_path):
+    """SCALE.md round-9 claim, pinned as an invariant (round-10 verdict
+    ask #4): at a MATCHED scan budget, multi-probe over the
+    width-bounded SPLIT index recovers at least the recall of the
+    fixed-K single-probe index (measured 0.438 vs 0.295 at the 100k
+    stress; the split turns one coarse all-or-nothing bucket into a
+    fine nprobe knob). Fixture: the sf0.001 embeddings replicated 10x
+    with the cyclic-shift decorrelation scripts/split_stress.py uses —
+    deterministic, no RNG. The budget match is ASSERTED from the actual
+    scanned-pair counts, not assumed from the width arithmetic."""
+    import math
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    from elt_data4transformation_spark.operators import artifacts
+    from elt_data4transformation_spark.operators.vectors import (
+        cosine_col,
+        split_until_bounded,
+    )
+    from elt_data4transformation_spark.plans.similarity import _ivf_builder
+    from tests.conftest import SF_SMALL
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    base_n = emb.agg(F.max("vec_id")).first()[0] + 1
+    parts = []
+    for i in range(10):
+        p = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * base_n))
+        if i > 0:
+            p = p.withColumn(
+                "embedding",
+                F.concat(
+                    F.slice(F.col("embedding"), i % 32 + 2, 10_000),
+                    F.slice(F.col("embedding"), 1, i % 32 + 1),
+                ),
+            )
+        parts.append(p)
+    vec = reduce(lambda a, b: a.unionByName(b), parts).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).localCheckpoint(eager=True)
+    n = vec.count()
+
+    idx_path = str(tmp_path / "idx")
+    artifacts.publish(idx_path, "recall-budget-test", _ivf_builder(vec))
+
+    SAMPLE, TOPK = 50, 5
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+
+    def top5(joined):
+        return (
+            joined.filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                F.round(cosine_col("qv", "v"), 6).alias("cos"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOPK)
+            .select("query_id", "neighbor_id")
+        )
+
+    brute = top5(
+        vec.crossJoin(
+            F.broadcast(
+                vec.filter(F.col("vec_id") < SAMPLE).select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("v").alias("qv"),
+                )
+            )
+        )
+    ).localCheckpoint(eager=True)
+
+    def single_probe():
+        idx = spark.read.parquet(f"{idx_path}/index")
+        q = idx.filter(F.col("vec_id") < SAMPLE).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("centroid_id").alias("qc"),
+        )
+        joined = idx.join(
+            F.broadcast(q), F.col("centroid_id") == F.col("qc")
+        )
+        scanned = joined.count()
+        hits = top5(joined).join(brute, ["query_id", "neighbor_id"]).count()
+        return scanned, hits / (TOPK * SAMPLE)
+
+    def multi_probe(p, count_only=False):
+        idx = spark.read.parquet(f"{idx_path}/index")
+        cent = spark.read.parquet(f"{idx_path}/centroids")
+        q = idx.filter(F.col("vec_id") < SAMPLE).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+        cw = Window.partitionBy("query_id").orderBy(
+            F.desc("ccos"), "centroid_id"
+        )
+        qc = (
+            q.crossJoin(F.broadcast(cent))
+            .withColumn("ccos", F.round(cosine_col("qv", "cv"), 6))
+            .withColumn("crn", F.row_number().over(cw))
+            .filter(F.col("crn") <= p)
+            .select("query_id", "qv", "centroid_id")
+        )
+        joined = idx.join(F.broadcast(qc), "centroid_id")
+        scanned = joined.count()
+        if count_only:
+            return scanned, None
+        hits = top5(joined).join(brute, ["query_id", "neighbor_id"]).count()
+        return scanned, hits / (TOPK * SAMPLE)
+
+    fixed_scanned, fixed_recall = single_probe()
+    split_until_bounded(
+        spark, idx_path, max_width=math.ceil(2 * math.sqrt(n))
+    )
+    # fill the fixed-K budget: the finest knob the split buys is more
+    # probes per query — pick the largest p whose ACTUAL scanned-pair
+    # count stays within the fixed-K single-probe budget
+    s1, _ = multi_probe(1, count_only=True)
+    p = max(1, fixed_scanned // max(s1, 1))
+    while p > 1 and multi_probe(p, count_only=True)[0] > fixed_scanned:
+        p -= 1
+    split_scanned, split_recall = multi_probe(p)
+
+    assert split_scanned <= fixed_scanned, (
+        f"budget not matched: split scans {split_scanned} pairs vs "
+        f"fixed-K's {fixed_scanned} — the comparison would be unfair"
+    )
+    assert split_recall >= fixed_recall, (
+        f"split recall {split_recall} below fixed-K {fixed_recall} at "
+        f"budget {split_scanned} <= {fixed_scanned}"
+    )
+
+
+def test_ensure_split_ivf_crash_idempotent(spark):
+    """A crash between split_wide_clusters' artifact swap and the final
+    fp_split stamp leaves the index ALREADY SPLIT but stamped with the
+    pre-split fingerprint (round-9 ADVICE: without the distinct
+    intermediate stamp, the rerun accepted the artifact as the maintain
+    state and ran a SECOND split pass over already-split buckets —
+    at factor 1.1 that can split more clusters and silently diverge
+    from the one-pass oracle). The rerun must instead rebuild from
+    scratch and converge to the identical one-pass result."""
+    from elt_data4transformation_spark.operators import artifacts
+    from elt_data4transformation_spark.plans import REGISTRY
+    from elt_data4transformation_spark.plans import similarity as S
+    from tests.conftest import SF_SMALL
+
+    path = S._ensure_split_ivf(spark, SF_SMALL)
+    clean = REGISTRY["ann_ivf_split_compact"].fn(spark, SF_SMALL).collect()
+    k_clean = spark.read.parquet(f"{path}/centroids").count()
+
+    # simulate the crash window: content already split, meta still at
+    # the pre-split mark (exactly what the ensure path stamps before
+    # calling split_wide_clusters — the swap carries it forward)
+    fp_presplit, fp_split = S._split_ivf_fps(SF_SMALL)
+    artifacts.update_meta(path, fp_presplit)
+
+    again = REGISTRY["ann_ivf_split_compact"].fn(spark, SF_SMALL).collect()
+    assert spark.read.parquet(f"{path}/centroids").count() == k_clean, (
+        "rerun after simulated crash changed the centroid count — a "
+        "second split pass ran over the already-split index"
+    )
+    assert [tuple(r) for r in again] == [tuple(r) for r in clean]
+    assert artifacts.load_meta(path)["fingerprint"] == fp_split
+
+
 def test_ann_ivf_split_nprobe_recall_dominates_single_probe(spark):
     """The nprobe twin over the split index must recover recall: its
     per-query neighbor sets vs brute force can only improve on the
@@ -5347,7 +5533,13 @@ def test_ann_ivf_split_nprobe_recall_dominates_single_probe(spark):
     }
     r_single = len(bf & single) / len(bf)
     r_multi = len(bf & multi) / len(bf)
-    assert r_multi >= r_single, (
+    # the single-probe home bucket comes from the Lloyd re-side
+    # assignment, not from ranking the FINAL recomputed centroid
+    # table, so it lands in a query's top-NPROBE buckets only
+    # approximately — gate with a small tolerance instead of a strict
+    # superset claim a fixture change could flake (round-9 ADVICE);
+    # measured equal-or-better at every SF fixture
+    assert r_multi >= r_single - 0.05, (
         f"nprobe recall {r_multi} below single-probe {r_single}"
     )
     assert r_multi >= 0.5, f"split-nprobe recall {r_multi} below 0.5"
