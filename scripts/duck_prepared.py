@@ -65,6 +65,13 @@ PREPARED_STORE_CTES: dict[str, list[str]] = {
     "audio_neardup": ["bands"],
     "video_neardup": ["bands"],
     "substring_dup_spans_winnowed": ["anchors"],
+    # round 10: the exact pass is prepare-tagged (its Spark plan reads
+    # the stored winnow anchors as a candidate-doc PREFILTER only —
+    # the grams are still exploded and exactly re-checked at run
+    # time). The oracle computes raw grams directly and has no winnow
+    # CTE, i.e. no stored component to amortize — its like-for-like
+    # form IS the full oracle, so nothing is materialized.
+    "substring_dup_spans": [],
     "ann_stored_ivf": ["assigned"],
     "ann_ivf_maintain": ["assigned"],
     "ann_ivf_delete": ["assigned"],
