@@ -1603,6 +1603,126 @@ def test_quantile_sketch_rank_error(spark):
             assert abs(r[p] - r[pe]) <= max(0.1 * r[pe], 2.0), (p, r)
 
 
+def test_hll_sketch_exact_half_matches_duckdb(spark):
+    """Round-10 verdict ask #7: the rows-only sketch queries get a
+    seeded exact-value cross-check where exactness is computable. The
+    HLL row's exact_distinct column must equal an INDEPENDENT DuckDB
+    exact distinct count at sf0.001 — only the approx_distinct half is
+    legitimately engine-specific (no SQL engine reproduces another's
+    HLL bit-for-bit), and that half stays gated by the 3*rsd bound."""
+    import duckdb
+
+    from elt_data4transformation_spark.plans import REGISTRY
+    from elt_data4transformation_spark.plans.corpus import _HLL_RSD
+    from tests.conftest import SF_SMALL
+
+    rows = REGISTRY["hll_distinct_sketch"].fn(spark, SF_SMALL).collect()
+    con = duckdb.connect()
+    want = {
+        r[0]: r[1]
+        for r in con.execute(
+            "SELECT source, COUNT(DISTINCT MD5(text)) FROM "
+            f"'{SF_SMALL}/documents.parquet' GROUP BY source"
+        ).fetchall()
+    }
+    con.close()
+    assert {r["source"]: r["exact_distinct"] for r in rows} == want
+    for r in rows:
+        assert r["rel_err"] <= 3 * _HLL_RSD, r
+
+
+def test_quantile_sketch_exact_half_matches_duckdb(spark):
+    """Round-10 verdict ask #7, quantile twin: the p*_exact columns
+    must equal DuckDB's QUANTILE_CONT over the identical token counts
+    at sf0.001 (both engines linear-interpolate, values rounded to
+    4dp on both sides); the sketched halves stay gated by the rank
+    -error envelope in test_quantile_sketch_rank_error."""
+    import duckdb
+
+    from elt_data4transformation_spark.plans import REGISTRY
+    from tests.conftest import SF_SMALL
+
+    rows = REGISTRY["quantile_sketch"].fn(spark, SF_SMALL).collect()
+    con = duckdb.connect()
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            "SELECT lang, "
+            "ROUND(QUANTILE_CONT(n, 0.5), 4), "
+            "ROUND(QUANTILE_CONT(n, 0.9), 4), "
+            "ROUND(QUANTILE_CONT(n, 0.99), 4) FROM ("
+            "SELECT lang, CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) "
+            f"AS n FROM '{SF_SMALL}/documents.parquet') GROUP BY lang"
+        ).fetchall()
+    }
+    con.close()
+    got = {
+        r["lang"]: (r["p50_exact"], r["p90_exact"], r["p99_exact"])
+        for r in rows
+    }
+    assert got == want
+
+
+def test_greedy_cluster_matches_independent_reference(spark):
+    """Round-10 verdict ask #7, greedy twin: the driver-side greedy
+    linkage (rows-only by design — order-dependent, not
+    SQL-expressible) is cross-checked against an INDEPENDENTLY written
+    reference pass: the distinct-question set is re-derived in DuckDB
+    (same derivation, different engine), greedily clustered by a
+    second implementation (index-scan loop over plain sets rather than
+    the enumerate-over-members shape), and the full
+    question -> (cluster_id, cluster_size) mapping must agree."""
+    import duckdb
+
+    from elt_data4transformation_spark.plans import REGISTRY
+    from elt_data4transformation_spark.plans.cluster import (
+        _CLUSTER_THRESHOLD,
+    )
+    from tests.conftest import SF_SMALL
+
+    con = duckdb.connect()
+    qrows = con.execute(
+        "SELECT question, MIN(doc_id) AS first_seen FROM ("
+        "SELECT ARRAY_TO_STRING(LIST_SLICE(STRING_SPLIT(text, ' '), "
+        "1, 4), ' ') AS question, doc_id "
+        f"FROM '{SF_SMALL}/documents.parquet' WHERE lang = 'de') "
+        "GROUP BY question ORDER BY first_seen"
+    ).fetchall()
+    con.close()
+
+    cluster_members: list[set[frozenset]] = []
+    ref: dict[str, int] = {}
+    for question, _ in qrows:
+        toks = frozenset(question.split(" "))
+        cid = None
+        for i in range(len(cluster_members)):
+            for m in cluster_members[i]:
+                inter = len(toks & m)
+                union = len(toks) + len(m) - inter
+                if union and inter / union >= _CLUSTER_THRESHOLD:
+                    cid = i
+                    break
+            if cid is not None:
+                break
+        if cid is None:
+            cid = len(cluster_members)
+            cluster_members.append(set())
+        cluster_members[cid].add(toks)
+        ref[question] = cid
+    # note: a duplicate token-set joining its own cluster keeps set
+    # semantics here vs list in the query — sizes must count QUESTIONS,
+    # so derive sizes from the assignment map, not the member sets
+    ref_sizes: dict[int, int] = {}
+    for cid in ref.values():
+        ref_sizes[cid] = ref_sizes.get(cid, 0) + 1
+
+    got = REGISTRY["greedy_cluster"].fn(spark, SF_SMALL).collect()
+    assert {r["question"]: r["cluster_id"] for r in got} == ref
+    assert {
+        r["question"]: r["cluster_size"] for r in got
+    } == {q: ref_sizes[c] for q, c in ref.items()}
+
+
 def test_repetition_score_skips_single_word_docs(spark, tmp_path):
     # 1-word docs have no bigram and the engines disagree on the
     # out-of-range element — they are excluded by contract
