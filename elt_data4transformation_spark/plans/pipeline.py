@@ -540,6 +540,42 @@ _ATTR_SCHEMA = sql_types.StructType(
 _POSITIONS = ("support", "oppose", "neutral", "unspecified")
 
 
+def attribution_postprocess(resp: "DataFrame") -> "DataFrame":
+    """The T10 parse + post-check half, shared by the offline round-trip
+    (llm_attribution_parse below) and the LIVE batched-call path
+    (operators/llm_batch.llm_annotate_batched — integration-tested over
+    a localhost socket in tests/test_live_fetch.py): ``resp`` carries
+    (doc_id, text, response_json); the response is parsed against the
+    strict schema (the reference validates against a JSON schema —
+    from_json with a StructType is the analog, llm_v1.py:216-312), then
+    grounding (span must be a substring of the source text, else
+    confidence capped at 0.3) and the per-question distribution check
+    (sum <= 120%) run as column ops."""
+    from pyspark.sql import Window
+
+    parsed = resp.select(
+        "doc_id",
+        "text",
+        F.from_json("response_json", _ATTR_SCHEMA).alias("a"),
+    ).select("doc_id", "text", "a.*")
+    grounded = F.col("text").contains(F.col("source_span"))
+    confidence = F.when(grounded, F.col("confidence")).otherwise(
+        F.least(F.col("confidence"), F.lit(0.3))
+    )
+    checked = parsed.select(
+        "doc_id",
+        "question",
+        "position",
+        "percentage",
+        grounded.alias("grounded"),
+        F.round(confidence, 2).alias("confidence"),
+    )
+    qw = Window.partitionBy("question")
+    return checked.withColumn(
+        "dist_ok", F.sum("percentage").over(qw) <= 120.0
+    ).orderBy("doc_id")
+
+
 @register(
     "llm_attribution_parse",
     oracle=f"""
@@ -576,13 +612,16 @@ _POSITIONS = ("support", "oppose", "neutral", "unspecified")
     "from_json (schema-checked), then the reference's post-checks run as "
     "column ops: grounding = span-substring-of-source else confidence "
     "capped at 0.3, per-question distribution sum <= 120% "
-    "(study_scraper/extractors/llm_v1.py:216-312). Live model calls are "
-    "out of scope, as in the reference's own tests; the parser and "
-    "checks are the operator. Projection + one window over question.",
+    "(study_scraper/extractors/llm_v1.py:216-312). Live calls to a "
+    "real provider are out of scope, as in the reference's own tests — "
+    "but the batched CALL SHAPE is real and socket-proven (round 10): "
+    "operators/llm_batch.llm_annotate_batched posts Arrow-batched "
+    "prompts (one rate-limited, retrying fetcher per task) and its "
+    "responses feed the SAME attribution_postprocess used here, "
+    "integration-tested against a localhost messages-shaped server "
+    "(tests/test_live_fetch.py). Projection + one window over question.",
 )
 def llm_attribution_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     d = spread(table(spark, sf_dir, "documents"))
     w = F.split(F.col("text"), " ")
     question = F.concat_ws(
@@ -613,30 +652,7 @@ def llm_attribution_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("response_json"),
     )
-    parsed = resp.select(
-        "doc_id",
-        "text",
-        F.from_json("response_json", _ATTR_SCHEMA).alias("a"),
-    ).select("doc_id", "text", "a.*")
-    grounded = F.col("text").contains(F.col("source_span"))
-    confidence = F.when(grounded, F.col("confidence")).otherwise(
-        F.least(F.col("confidence"), F.lit(0.3))
-    )
-    checked = parsed.select(
-        "doc_id",
-        "question",
-        "position",
-        "percentage",
-        grounded.alias("grounded"),
-        F.round(confidence, 2).alias("confidence"),
-    )
-    qw = Window.partitionBy("question")
-    return (
-        checked.withColumn(
-            "dist_ok", F.sum("percentage").over(qw) <= 120.0
-        )
-        .orderBy("doc_id")
-    )
+    return attribution_postprocess(resp)
 
 
 # --- dbt macro: coalition combination generator --------------------------

@@ -205,23 +205,43 @@ class HttpFetcher:
             else {}
         )
 
-    def _open(self, url: str, headers: dict[str, str]):
-        req = urllib.request.Request(url, headers=headers, method="GET")
+    def _open(self, url: str, headers: dict[str, str], data: bytes | None = None):
+        req = urllib.request.Request(
+            url,
+            headers=headers,
+            method="GET" if data is None else "POST",
+            data=data,
+        )
         return urllib.request.urlopen(req, timeout=self.timeout_s)
+
+    def post_json(self, endpoint: str, payload: dict) -> dict | None:
+        """One logical POST of a JSON body under the SAME protocol as
+        request_json (rate-limit wait, bearer auth, Retry-After-aware
+        backoff on 429/5xx, raise after max retries) — the call shape
+        of a batched model-annotation endpoint: the LLM operators POST
+        a prompt and decode the JSON envelope. No conditional-GET
+        (POSTs are not cacheable)."""
+        body = _json.dumps(payload).encode()
+        return self.request_json(endpoint, _post_body=body)
 
     def request_json(
         self,
         endpoint: str,
         params: dict | None = None,
         cache_key: str | None = None,
+        _post_body: bytes | None = None,
     ) -> dict | None:
-        """One logical GET with the full reference protocol. Returns
-        the decoded JSON envelope ({'content': text} for non-JSON),
-        or None when a conditional GET answered 304 Not Modified."""
+        """One logical GET (or POST via post_json) with the full
+        reference protocol. Returns the decoded JSON envelope
+        ({'content': text} for non-JSON), or None when a conditional
+        GET answered 304 Not Modified."""
         url = f"{self.base_url}/{endpoint.lstrip('/')}"
         if params:
             url += "?" + urllib.parse.urlencode(params)
+        method = "GET" if _post_body is None else "POST"
         headers = self._auth_headers()
+        if _post_body is not None:
+            headers["Content-Type"] = "application/json"
         if cache_key:
             headers.update(self.cache.headers_for(cache_key))
         last_exc: Exception | None = None
@@ -232,7 +252,7 @@ class HttpFetcher:
             self.limiter.record(self._clock())
             self.request_count += 1
             try:
-                with self._open(url, headers) as resp:
+                with self._open(url, headers, _post_body) as resp:
                     if cache_key:
                         self.cache.update(
                             cache_key,
@@ -268,7 +288,7 @@ class HttpFetcher:
                         self._sleep(delay)
                         continue
                 raise FetchError(
-                    f"GET {url} failed: HTTP {exc.code}"
+                    f"{method} {url} failed: HTTP {exc.code}"
                 ) from exc
             except urllib.error.URLError as exc:
                 last_exc = exc
@@ -280,7 +300,7 @@ class HttpFetcher:
                         )
                     )
                     continue
-        raise FetchError(f"GET {url} failed after retries") from last_exc
+        raise FetchError(f"{method} {url} failed after retries") from last_exc
 
     def paginate(
         self,

