@@ -182,7 +182,9 @@ def run(name: str, sf_dir: str) -> float:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    unique = "--unique" in sys.argv[1:]  # realistic (non-dup) replicas
+    n = int(args[0]) if args else 10
     spark = (
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
@@ -192,7 +194,7 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    replicate(spark, n)
+    replicate(spark, n, unique=unique)
     # warm the Python worker pool (first Arrow stage pays startup)
     spark.range(1000).mapInPandas(lambda it: it, "id long").count()
     out = {}
@@ -201,7 +203,7 @@ def main() -> None:
         tn = run(q, OUT)
         out[q] = {"t_1x": t1, f"t_{n}x": tn, "ratio": round(tn / t1, 2)}
         print(json.dumps({q: out[q]}), flush=True)
-    print(json.dumps({"replicas": n, "results": out}))
+    print(json.dumps({"replicas": n, "unique": unique, "results": out}))
 
 
 if __name__ == "__main__":
