@@ -731,7 +731,7 @@ def test_retry_after_honoured_on_later_attempts():
         )
         attempts = iter(headers_by_attempt)
 
-        def fail_open(url, headers):
+        def fail_open(url, headers, data=None):
             raise urllib.error.HTTPError(
                 url, 503, "busy", next(attempts), io.BytesIO(b"")
             )
