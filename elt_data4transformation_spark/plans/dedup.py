@@ -2452,56 +2452,134 @@ def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "arrival fixture) probes the stored base index; batch 1 probes "
     "base ∪ batch 0's in-memory signature frames (the merge "
     "visibility the loop proves, minus the disk write). Everything "
-    "is lazily composed — the union-then-probe chain collapses into "
-    "ONE Spark action, the same fused capped-candidate probe plan "
-    "(operators/dedup_ops._probe_with_signatures) the loop runs per "
-    "drain. The 2x pair rule judges THIS query probe-vs-probe; "
-    "stream_index_ingest's number stays published with its pipeline "
-    "decomposition (BENCH_NOTES).",
+    "is fused into ONE job over ONE scan of each stored artifact: the "
+    "sequential visibility rule ('a tag-t probe sees base ∪ tags < "
+    "t') becomes a per-row predicate — index band rows carry a "
+    "visibility rank (_vis: 0 = base, 1 = batch 0's merged segment), "
+    "probe rows carry their tag, and the band join keeps (_vis <= "
+    "tag) — so BOTH batches' candidates come out of a single pass "
+    "over the band table and a single rescore pass over the shingle "
+    "table (the per-drain loop scans each artifact per batch; at "
+    "100 TB this is the WAVE-fUSED probe: one band-join per ingest "
+    "wave, not per batch). Candidate cap, integer-form jaccard gate "
+    "and tie-breaks are bit-identical to "
+    "operators/dedup_ops._probe_with_signatures; the best-match "
+    "collapse is a max_by partial aggregate (map-side combine, no "
+    "per-probe sort) reproducing the loop's (jaccard DESC, id ASC) "
+    "window exactly. The 2x pair rule judges THIS query "
+    "probe-vs-probe; stream_index_ingest's number stays published "
+    "with its pipeline decomposition (BENCH_NOTES).",
 )
 def stream_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_idx = _ensure_stream_base(spark, sf_dir)
     src = _ensure_stream_src(spark, sf_dir)
     sig = spark.read.schema(STREAM_SRC_SCHEMA).parquet(src)
-    idx_bands = spark.read.parquet(f"{base_idx}/bands")
-    idx_sh = spark.read.parquet(f"{base_idx}/shingles")
-    best = Window.partitionBy("new_doc_id").orderBy(
-        F.desc("jaccard_raw"), F.asc("matched_doc_id")
+    tag = (F.col("doc_id") % DELTA_MOD).cast("int")
+
+    # probe side: both batches' band rows, tagged (presigned bkeys in
+    # band order — posexplode position IS band_idx)
+    probe_bands = sig.select(
+        F.col("doc_id").alias("new_doc_id"),
+        tag.alias("_tag"),
+        F.posexplode("bkeys").alias("band_idx", "band_key"),
     )
-    outs = []
-    for tag in (0, 1):
-        batch = sig.filter(F.col("doc_id") % DELTA_MOD == tag)
-        delta_sh = batch.select("doc_id", "shingles", "n_sh", "sh_hash")
-        delta_bands = batch.select(
-            "doc_id", F.posexplode("bkeys").alias("band_idx", "band_key")
-        )
-        scored = dedup_ops.probe_band_index(
-            spark,
-            base_idx,
-            id_col="doc_id",
-            threshold=0.5,
-            delta_sh=delta_sh,
-            delta_bands=delta_bands,
-            idx_bands=idx_bands,
-            idx_sh=idx_sh,
-        )
-        outs.append(
-            scored.withColumn("rn", F.row_number().over(best))
-            .filter(F.col("rn") == 1)
-            .select(
-                F.lit(tag).alias("batch_tag"),
-                "new_doc_id",
-                "matched_doc_id",
-                F.round("jaccard_raw", 6).alias("jaccard"),
+    # index side: base rows visible to every tag (_vis=0); batch 0's
+    # rows visible only to later tags (_vis=1) — the flattened form of
+    # the loop's merge-before-next-probe ordering
+    idx_bands = (
+        spark.read.parquet(f"{base_idx}/bands")
+        .select("doc_id", "band_idx", "band_key", F.lit(0).alias("_vis"))
+        .unionByName(
+            sig.filter(tag == 0).select(
+                "doc_id",
+                F.posexplode("bkeys").alias("band_idx", "band_key"),
+            ).select(
+                "doc_id", "band_idx", "band_key", F.lit(1).alias("_vis")
             )
         )
-        # batch 1 probes base ∪ batch 0 — the same index view the
-        # ingest loop holds after its first merge, built lazily here
-        idx_bands = idx_bands.unionByName(
-            delta_bands.select("doc_id", "band_idx", "band_key")
+    )
+    cand = (
+        idx_bands.join(F.broadcast(probe_bands), ["band_idx", "band_key"])
+        .filter(F.col("_vis") <= F.col("_tag"))
+        .groupBy(
+            "new_doc_id", F.col("doc_id").alias("matched_doc_id")
         )
-        idx_sh = idx_sh.unionByName(delta_sh)
-    return outs[0].unionByName(outs[1]).orderBy("new_doc_id")
+        .agg(F.count(F.lit(1)).alias("_sb"))
+    )
+    # per-probe-doc candidate cap — same ordering and bound as
+    # _probe_with_signatures (shared bands DESC, lowest id; cap 64)
+    wcap = Window.partitionBy("new_doc_id").orderBy(
+        F.desc("_sb"), F.asc("matched_doc_id")
+    )
+    cand = (
+        cand.withColumn("_crn", F.row_number().over(wcap))
+        .filter(F.col("_crn") <= _PROBE_CAP)
+        .select("new_doc_id", "matched_doc_id")
+    )
+    # rescore side: base shingles ∪ batch 0's (candidate visibility was
+    # already enforced at the band stage, so the union is join-safe)
+    idx_sh = (
+        spark.read.parquet(f"{base_idx}/shingles")
+        .select("doc_id", "n_sh", "sh_hash")
+        .unionByName(
+            sig.filter(tag == 0).select("doc_id", "n_sh", "sh_hash")
+        )
+    )
+    scored = (
+        idx_sh.select(
+            F.col("doc_id").alias("matched_doc_id"),
+            F.col("sh_hash").alias("_sb_arr"),
+            F.col("n_sh").alias("_nb"),
+        )
+        .join(F.broadcast(cand), "matched_doc_id")
+        .join(
+            F.broadcast(
+                sig.select(
+                    F.col("doc_id").alias("new_doc_id"),
+                    F.col("sh_hash").alias("_sa"),
+                )
+            ),
+            "new_doc_id",
+        )
+        .select(
+            "new_doc_id",
+            "matched_doc_id",
+            F.size(F.array_intersect("_sa", "_sb_arr"))
+            .cast("long")
+            .alias("_i"),
+            F.size("_sa").cast("long").alias("_na"),
+            F.col("_nb"),
+        )
+    )
+    den = F.col("_na") + F.col("_nb") - F.col("_i")
+    # threshold 0.5 as the exact integer gate (same as the fused probe)
+    gated = scored.filter(F.col("_i") * 2 >= den).select(
+        "new_doc_id",
+        "matched_doc_id",
+        (F.col("_i").cast("double") / den).alias("jaccard_raw"),
+    )
+    # best match per probe doc: max_by over (jaccard DESC, id ASC) —
+    # partial-agg form of the loop's rn=1 window, identical rows
+    payload = F.struct(
+        F.col("matched_doc_id").alias("matched_doc_id"),
+        F.col("jaccard_raw").alias("jaccard_raw"),
+    )
+    key = F.struct(
+        F.col("jaccard_raw"), (-F.col("matched_doc_id")).cast("long")
+    )
+    return (
+        gated.groupBy("new_doc_id")
+        .agg(F.max_by(payload, key).alias("_b"))
+        .select(
+            (F.col("new_doc_id") % DELTA_MOD)
+            .cast("int")
+            .alias("batch_tag"),
+            "new_doc_id",
+            F.col("_b.matched_doc_id").alias("matched_doc_id"),
+            F.round("_b.jaccard_raw", 6).alias("jaccard"),
+        )
+        .orderBy("new_doc_id")
+    )
 
 
 # --- exact substring-duplication spans (suffix-array-style dedup) ----------
