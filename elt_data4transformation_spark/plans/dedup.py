@@ -2460,7 +2460,7 @@ def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tag) — so BOTH batches' candidates come out of a single pass "
     "over the band table and a single rescore pass over the shingle "
     "table (the per-drain loop scans each artifact per batch; at "
-    "100 TB this is the WAVE-fUSED probe: one band-join per ingest "
+    "100 TB this is the WAVE-FUSED probe: one band-join per ingest "
     "wave, not per batch). Candidate cap, integer-form jaccard gate "
     "and tie-breaks are bit-identical to "
     "operators/dedup_ops._probe_with_signatures; the best-match "
