@@ -65,6 +65,9 @@ PREPARED_STORE_CTES: dict[str, list[str]] = {
     "audio_neardup": ["bands"],
     "video_neardup": ["bands"],
     "substring_dup_spans_winnowed": ["anchors"],
+    # maintained store = base segment + delta segment; their union is
+    # exactly the full-corpus anchor set the oracle's CTE computes
+    "substring_winnow_maintain": ["anchors"],
     # round 10: the exact pass is prepare-tagged (its Spark plan reads
     # the stored winnow anchors as a candidate-doc PREFILTER only —
     # the grams are still exploded and exactly re-checked at run

@@ -5663,3 +5663,74 @@ def test_ann_ivf_split_nprobe_recall_dominates_single_probe(spark):
         f"nprobe recall {r_multi} below single-probe {r_single}"
     )
     assert r_multi >= 0.5, f"split-nprobe recall {r_multi} below 0.5"
+
+
+def test_winnow_maintain_lifecycle_appends_never_rewrites(spark):
+    """The maintained winnow store is LSM-shaped: the delta append
+    leaves the published base segment byte-identical (same file set),
+    a re-ensure is a no-op at the stamped fingerprint, and a crashed
+    append (segment present, meta still at the base fingerprint) is
+    an ignored orphan the rerun overwrites before restamping — the
+    final spans match the never-crashed run exactly."""
+    import os
+
+    from elt_data4transformation_spark.operators import artifacts
+    from elt_data4transformation_spark.plans import REGISTRY
+    from elt_data4transformation_spark.plans import dedup as D
+    from tests.conftest import SF_SMALL
+
+    path = D._ensure_winnow_maintain_store(spark, SF_SMALL)
+
+    def listing(seg):
+        return sorted(
+            (f, os.path.getmtime(os.path.join(path, seg, f)))
+            for f in os.listdir(os.path.join(path, seg))
+            if f.endswith(".parquet")
+        )
+
+    base_files = listing("anchors")
+    meta = artifacts.load_meta(path)
+    assert meta["ingests"] == ["delta"]
+
+    # segments hold ONLY their own docs: maintenance never re-winnowed
+    # the base (delta-proportional by construction)
+    mods = {
+        r[0] % D.DELTA_MOD
+        for r in spark.read.parquet(f"{path}/anchors_delta")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert mods == {0}, f"delta segment holds base docs: {mods}"
+
+    before = [
+        tuple(r)
+        for r in REGISTRY["substring_winnow_maintain"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    ]
+
+    # re-ensure: current fingerprint -> no-op, base untouched
+    assert D._ensure_winnow_maintain_store(spark, SF_SMALL) == path
+    assert listing("anchors") == base_files
+
+    # simulated crash window: delta segment on disk, meta rolled back
+    # to the base fingerprint (the append's stamp never happened)
+    src = [os.path.join(SF_SMALL, "documents.parquet")]
+    params = (
+        f"wsub_maintain|base=doc_id%{D.DELTA_MOD}!=0"
+        f"|k={D._WSUB_K}|w={D._WSUB_W}|m={D._WSUB_M}"
+    )
+    artifacts.update_meta(
+        path, artifacts.source_fingerprint(src, params + "|ingests=")
+    )
+    assert D._ensure_winnow_maintain_store(spark, SF_SMALL) == path
+    assert artifacts.load_meta(path)["ingests"] == ["delta"]
+    assert listing("anchors") == base_files, "rerun rewrote the base"
+    after = [
+        tuple(r)
+        for r in REGISTRY["substring_winnow_maintain"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    ]
+    assert after == before
