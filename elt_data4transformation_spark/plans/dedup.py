@@ -2940,6 +2940,167 @@ def substring_dup_spans_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ensure_winnow_delete_store(spark: SparkSession, sf_dir: str) -> str:
+    """Lifecycle half of substring_winnow_delete: the takedown list
+    (doc_id%10 == 7) published as a TOMBSTONE artifact beside — not
+    inside — the immutable full-corpus anchor store, which is SHARED
+    with substring_dup_spans_winnowed (the stream_index_ingest
+    pattern: one published base artifact, run-state in its own
+    store). Deleting from a winnow store never touches anchor rows:
+    exclusion happens at probe time, so the takedown costs one tiny
+    id-list write and the base stays bit-identical for every other
+    consumer."""
+    import os
+
+    d = table(spark, sf_dir, "documents")
+    path = os.path.join(
+        os.path.dirname(_index_root()),
+        "winnow_delete",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    src = [os.path.join(sf_dir, "documents.parquet")]
+    fp = artifacts.source_fingerprint(
+        src, "wsub_delete|take=doc_id%10==7|base=v2"
+    )
+    if not artifacts.is_current(path, fp):
+        artifacts.publish(
+            path,
+            fp,
+            lambda tmp: d.filter(F.col("doc_id") % 10 == 7)
+            .select("doc_id")
+            .distinct()
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/tombstones"),
+        )
+    return path
+
+
+def _prep_winnow_delete(spark: SparkSession, sf_dir: str) -> None:
+    _ensure_winnow_store(spark, sf_dir)
+    _ensure_winnow_delete_store(spark, sf_dir)
+
+
+@register(
+    "substring_winnow_delete",
+    prepare=_prep_winnow_delete,
+    oracle=f"""
+        WITH pos AS (
+            SELECT doc_id, LEN(text) - {_WSUB_K} + 1 AS np,
+                   UNNEST(RANGE(1, LEN(text) - {_WSUB_K} + 2)) AS p, text
+            FROM documents
+            WHERE LEN(text) >= {_WSUB_K + _WSUB_W - 1}
+              AND doc_id % 10 <> 7
+        ), keyed AS (
+            SELECT doc_id, np, p,
+                   CAST(('0x' || SUBSTR(MD5(SUBSTRING(text, p, {_WSUB_K})),
+                        1, 8)) AS BIGINT) * {_WSUB_M}
+                   + ({_WSUB_M} - 1 - p) AS key
+            FROM pos
+        ), win AS (
+            SELECT doc_id, np, p,
+                   MIN(key) OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN CURRENT ROW
+                       AND {_WSUB_W - 1} FOLLOWING) AS sk
+            FROM keyed
+        ), sel AS (
+            SELECT DISTINCT doc_id, sk FROM win
+            WHERE p <= np - {_WSUB_W} + 1
+        ), anchors AS (
+            SELECT doc_id, {_WSUB_M} - 1 - (sk % {_WSUB_M}) AS p,
+                   sk // {_WSUB_M} AS fp_hash
+            FROM sel
+        ), shared AS (
+            SELECT fp_hash FROM anchors GROUP BY fp_hash
+            HAVING COUNT(DISTINCT doc_id) >= 2
+        ), dup AS (
+            SELECT a.doc_id, a.p FROM anchors a JOIN shared USING (fp_hash)
+        ), mk AS (
+            SELECT doc_id, p,
+                   MAX(p + {_WSUB_K} - 1) OVER (PARTITION BY doc_id
+                       ORDER BY p
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev_e
+            FROM dup
+        ), isl AS (
+            SELECT doc_id, p,
+                   SUM(CASE WHEN prev_e IS NULL OR p > prev_e + 1
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY p
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS island
+            FROM mk
+        )
+        SELECT doc_id,
+               MIN(p) AS span_start,
+               MAX(p) + {_WSUB_K} - 1 AS span_end,
+               MAX(p) + {_WSUB_K} - MIN(p) AS span_len,
+               CAST(COUNT(*) AS BIGINT) AS n_anchors
+        FROM isl GROUP BY doc_id, island
+        ORDER BY doc_id, span_start
+    """,
+    tags=("dedup", "substring", "incremental"),
+    doc="Winnow-anchor store TAKEDOWN — the delete half of the "
+    "substring lifecycle, mirroring dedup_index_delete: when docs "
+    "leave the corpus (doc_id%10 == 7, the takedown fixture), their "
+    "anchors must stop contributing to sharing — a span that was "
+    "duplicated ONLY against a removed doc is no longer a duplicate. "
+    "The store is never rewritten: the takedown publishes a tiny "
+    "tombstone id list in its own artifact beside the SHARED "
+    "immutable full-corpus anchor store (_ensure_winnow_store — the "
+    "same artifact substring_dup_spans_winnowed probes; the "
+    "stream_index_ingest base-sharing pattern), and the probe "
+    "excludes tombstoned docs with one anti-join BEFORE the sharing "
+    "aggregate, so exclusion is recomputed-correct, not "
+    "mark-as-deleted-approximate. At 100 TB a takedown is one id "
+    "append + probe-side anti-join (broadcast while the tombstone "
+    "list fits, shuffle otherwise — no hint); the anchor store stays "
+    "bit-identical for every other consumer. Oracle: full winnowed "
+    "recompute over the surviving corpus.",
+)
+def substring_winnow_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K = _WSUB_K
+    tomb = spark.read.parquet(
+        f"{_ensure_winnow_delete_store(spark, sf_dir)}/tombstones"
+    )
+    anchors = _winnow_anchor_store(spark, sf_dir).join(
+        tomb, "doc_id", "left_anti"
+    )
+    shared = (
+        anchors.groupBy("fp_hash")
+        .agg(F.min("doc_id").alias("_a"), F.max("doc_id").alias("_b"))
+        .filter(F.col("_a") != F.col("_b"))
+        .select("fp_hash")
+    )
+    dup = anchors.join(shared, "fp_hash", "left_semi").select("doc_id", "p")
+    prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_e = F.max(F.col("p") + K - 1).over(prev)
+    marked = dup.withColumn(
+        "_new",
+        F.when(prev_e.isNull() | (F.col("p") > prev_e + 1), 1).otherwise(0),
+    ).withColumn("_island", F.sum("_new").over(run))
+    return (
+        marked.groupBy("doc_id", "_island")
+        .agg(
+            F.min("p").alias("span_start"),
+            (F.max("p") + K - 1).alias("span_end"),
+            (F.max("p") + K - F.min("p")).alias("span_len"),
+            F.count(F.lit(1)).alias("n_anchors"),
+        )
+        .drop("_island")
+        .orderBy("doc_id", "span_start")
+    )
+
+
 def _ensure_winnow_maintain_store(spark: SparkSession, sf_dir: str) -> str:
     """Lifecycle half of substring_winnow_maintain: winnow anchors over
     the BASE corpus (doc_id%5 != 0) published as the immutable base

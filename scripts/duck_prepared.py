@@ -68,6 +68,9 @@ PREPARED_STORE_CTES: dict[str, list[str]] = {
     # maintained store = base segment + delta segment; their union is
     # exactly the full-corpus anchor set the oracle's CTE computes
     "substring_winnow_maintain": ["anchors"],
+    # the takedown probe reads the shared full-corpus store minus the
+    # tombstone list; the oracle's anchors CTE is the surviving set
+    "substring_winnow_delete": ["anchors"],
     # round 10: the exact pass is prepare-tagged (its Spark plan reads
     # the stored winnow anchors as a candidate-doc PREFILTER only —
     # the grams are still exploded and exactly re-checked at run

@@ -5734,3 +5734,41 @@ def test_winnow_maintain_lifecycle_appends_never_rewrites(spark):
         .collect()
     ]
     assert after == before
+
+
+def test_winnow_delete_unshares_spans_monotonically(spark):
+    """The takedown probe RECOMPUTES sharing over the surviving corpus
+    — it is not a filter of the full-corpus spans: a span whose only
+    duplicate partner was tombstoned must vanish, and no span may
+    appear that the full corpus didn't have (deletion only removes
+    sharing). The sf0.001 fixture exercises both directions: 4 spans
+    survive the naive filter but not the recompute."""
+    from elt_data4transformation_spark.plans import REGISTRY
+    from tests.conftest import SF_SMALL
+
+    dele = [
+        tuple(r)
+        for r in REGISTRY["substring_winnow_delete"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    ]
+    full_kept = {
+        tuple(r)
+        for r in REGISTRY["substring_dup_spans_winnowed"]
+        .fn(spark, SF_SMALL)
+        .collect()
+        if r.doc_id % 10 != 7
+    }
+    # deletion can only REMOVE sharing: every surviving span must sit
+    # inside some full-corpus span of the same doc (tuple-identical
+    # when untouched, strictly contained when an island lost the
+    # anchors it shared with a tombstoned doc)
+    for doc_id, start, end, _len, _n in dele:
+        assert any(
+            d == doc_id and s <= start and end <= e
+            for d, s, e, _l, _a in full_kept
+        ), f"takedown minted a span the corpus lacked: {doc_id}"
+    assert len(full_kept) > len(dele), (
+        "fixture no longer exercises takedown un-sharing — no span "
+        "was shared solely with a tombstoned doc"
+    )
