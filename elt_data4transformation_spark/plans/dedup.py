@@ -3295,6 +3295,176 @@ def substring_winnow_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ensure_winnow_compact_store(spark: SparkSession, sf_dir: str) -> str:
+    """Lifecycle half of substring_winnow_compact: the maintained
+    store's segments (base + delta append) FOLD into one clean base
+    with the takedown list (doc_id%10 == 7) applied during the fold —
+    the LSM compaction step that ends the base -> append -> takedown
+    cycle. publish() builds into a temp dir and swaps near-atomically,
+    so readers never see a half-folded store; the maintained store
+    itself is left untouched (compaction writes a NEW artifact, the
+    segment-dropping twin of dedup_index_compact's fold)."""
+    import os
+
+    d = table(spark, sf_dir, "documents")
+    path = os.path.join(
+        os.path.dirname(_index_root()),
+        "winnow_compact",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    src = [os.path.join(sf_dir, "documents.parquet")]
+    fp = artifacts.source_fingerprint(
+        src,
+        f"wsub_compact|base=doc_id%{DELTA_MOD}!=0|delta=doc_id%"
+        f"{DELTA_MOD}==0|take=doc_id%10==7"
+        f"|k={_WSUB_K}|w={_WSUB_W}|m={_WSUB_M}|state=folded",
+    )
+    if not artifacts.is_current(path, fp):
+        mpath = _ensure_winnow_maintain_store(spark, sf_dir)
+        base = spark.read.parquet(f"{mpath}/anchors")
+        delta = spark.read.parquet(f"{mpath}/anchors_delta")
+        tomb = d.filter(F.col("doc_id") % 10 == 7).select("doc_id")
+        artifacts.publish(
+            path,
+            fp,
+            lambda tmp: base.unionByName(delta)
+            .join(tomb, "doc_id", "left_anti")
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/anchors"),
+        )
+        artifacts.update_meta(
+            path, fp, {"folded": ["base", "delta"], "deletes": ["d7"]}
+        )
+    return path
+
+
+def _prep_winnow_compact(spark: SparkSession, sf_dir: str) -> None:
+    _ensure_winnow_compact_store(spark, sf_dir)
+
+
+@register(
+    "substring_winnow_compact",
+    prepare=_prep_winnow_compact,
+    oracle=f"""
+        WITH pos AS (
+            SELECT doc_id, LEN(text) - {_WSUB_K} + 1 AS np,
+                   UNNEST(RANGE(1, LEN(text) - {_WSUB_K} + 2)) AS p, text
+            FROM documents
+            WHERE LEN(text) >= {_WSUB_K + _WSUB_W - 1}
+              AND doc_id % 10 <> 7
+        ), keyed AS (
+            SELECT doc_id, np, p,
+                   CAST(('0x' || SUBSTR(MD5(SUBSTRING(text, p, {_WSUB_K})),
+                        1, 8)) AS BIGINT) * {_WSUB_M}
+                   + ({_WSUB_M} - 1 - p) AS key
+            FROM pos
+        ), win AS (
+            SELECT doc_id, np, p,
+                   MIN(key) OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN CURRENT ROW
+                       AND {_WSUB_W - 1} FOLLOWING) AS sk
+            FROM keyed
+        ), sel AS (
+            SELECT DISTINCT doc_id, sk FROM win
+            WHERE p <= np - {_WSUB_W} + 1
+        ), anchors AS (
+            SELECT doc_id, {_WSUB_M} - 1 - (sk % {_WSUB_M}) AS p,
+                   sk // {_WSUB_M} AS fp_hash
+            FROM sel
+        ), shared AS (
+            SELECT fp_hash FROM anchors GROUP BY fp_hash
+            HAVING COUNT(DISTINCT doc_id) >= 2
+        ), dup AS (
+            SELECT a.doc_id, a.p FROM anchors a JOIN shared USING (fp_hash)
+            WHERE a.doc_id % {DELTA_MOD} = 0
+        ), mk AS (
+            SELECT doc_id, p,
+                   MAX(p + {_WSUB_K} - 1) OVER (PARTITION BY doc_id
+                       ORDER BY p
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev_e
+            FROM dup
+        ), isl AS (
+            SELECT doc_id, p,
+                   SUM(CASE WHEN prev_e IS NULL OR p > prev_e + 1
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY p
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS island
+            FROM mk
+        )
+        SELECT doc_id,
+               MIN(p) AS span_start,
+               MAX(p) + {_WSUB_K} - 1 AS span_end,
+               MAX(p) + {_WSUB_K} - MIN(p) AS span_len,
+               CAST(COUNT(*) AS BIGINT) AS n_anchors
+        FROM isl GROUP BY doc_id, island
+        ORDER BY doc_id, span_start
+    """,
+    tags=("dedup", "substring", "incremental"),
+    doc="Winnow-anchor store COMPACTION — the fold that ends the "
+    "substring lifecycle (base -> delta append -> takedown -> "
+    "compact), mirroring dedup_index_compact: the maintained store's "
+    "two segments fold into ONE clean base with the tombstoned docs "
+    "(doc_id%10 == 7) dropped during the fold, published as a new "
+    "artifact via the near-atomic tmp-and-swap (readers never see a "
+    "half-folded store; the maintained store is untouched). The "
+    "probe re-runs the delta-ingest question over the compacted "
+    "store — delta docs recovered by predicate (doc_id%5 == 0) since "
+    "the fold erased segment boundaries — and must give exactly the "
+    "surviving-corpus answer: compaction changes where anchor rows "
+    "live, never what they mean. At 100 TB compaction is a periodic "
+    "background fold of cold segments (one scan + anti-join + "
+    "write), bounding segment-count fan-in on every probe's read "
+    "path. Oracle: full winnowed recompute over the surviving "
+    "corpus, spans restricted to the delta batch.",
+)
+def substring_winnow_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K = _WSUB_K
+    path = _ensure_winnow_compact_store(spark, sf_dir)
+    anchors = spark.read.parquet(f"{path}/anchors")
+    delta = anchors.filter(F.col("doc_id") % DELTA_MOD == 0)
+    base = anchors.filter(F.col("doc_id") % DELTA_MOD != 0)
+    intra = (
+        delta.groupBy("fp_hash")
+        .agg(F.min("doc_id").alias("_a"), F.max("doc_id").alias("_b"))
+        .filter(F.col("_a") != F.col("_b"))
+        .select("fp_hash")
+    )
+    delta_fps = delta.select("fp_hash").distinct()
+    base_hit = base.join(delta_fps, "fp_hash", "left_semi").select(
+        "fp_hash"
+    ).distinct()
+    shared = intra.unionByName(base_hit).distinct()
+    dup = delta.join(shared, "fp_hash", "left_semi").select("doc_id", "p")
+    prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_e = F.max(F.col("p") + K - 1).over(prev)
+    marked = dup.withColumn(
+        "_new",
+        F.when(prev_e.isNull() | (F.col("p") > prev_e + 1), 1).otherwise(0),
+    ).withColumn("_island", F.sum("_new").over(run))
+    return (
+        marked.groupBy("doc_id", "_island")
+        .agg(
+            F.min("p").alias("span_start"),
+            (F.max("p") + K - 1).alias("span_end"),
+            (F.max("p") + K - F.min("p")).alias("span_len"),
+            F.count(F.lit(1)).alias("n_anchors"),
+        )
+        .drop("_island")
+        .orderBy("doc_id", "span_start")
+    )
+
+
 _WIN_K = 8  # winnowing gram size (chars)
 _WIN_W = 4  # winnowing window (grams); detects repeats >= K + W - 1
 _WIN_M = 1 << 20  # position capacity of the packed (hash, pos) key

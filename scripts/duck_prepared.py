@@ -71,6 +71,8 @@ PREPARED_STORE_CTES: dict[str, list[str]] = {
     # the takedown probe reads the shared full-corpus store minus the
     # tombstone list; the oracle's anchors CTE is the surviving set
     "substring_winnow_delete": ["anchors"],
+    # the folded store IS the surviving-corpus anchor set
+    "substring_winnow_compact": ["anchors"],
     # round 10: the exact pass is prepare-tagged (its Spark plan reads
     # the stored winnow anchors as a candidate-doc PREFILTER only —
     # the grams are still exploded and exactly re-checked at run

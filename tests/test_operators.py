@@ -5772,3 +5772,45 @@ def test_winnow_delete_unshares_spans_monotonically(spark):
         "fixture no longer exercises takedown un-sharing — no span "
         "was shared solely with a tombstoned doc"
     )
+
+
+def test_winnow_compact_folds_exactly(spark):
+    """Compaction changes layout, never content: the folded store's
+    anchor row set is EXACTLY (maintained base ∪ delta segment) minus
+    the tombstoned docs, in one segment, with the maintained store
+    left untouched — the LSM fold invariant the dedup-index family
+    pins, applied to the winnow family."""
+    import os
+
+    from elt_data4transformation_spark.operators import artifacts
+    from elt_data4transformation_spark.plans import dedup as D
+    from tests.conftest import SF_SMALL
+
+    cpath = D._ensure_winnow_compact_store(spark, SF_SMALL)
+    mpath = D._ensure_winnow_maintain_store(spark, SF_SMALL)
+
+    folded = {
+        tuple(r) for r in spark.read.parquet(f"{cpath}/anchors").collect()
+    }
+    expected = {
+        tuple(r)
+        for r in spark.read.parquet(f"{mpath}/anchors")
+        .unionByName(spark.read.parquet(f"{mpath}/anchors_delta"))
+        .filter("doc_id % 10 != 7")
+        .collect()
+    }
+    assert folded == expected
+    # one clean segment; the fold is recorded in meta
+    segs = [
+        f
+        for f in os.listdir(cpath)
+        if os.path.isdir(os.path.join(cpath, f))
+    ]
+    assert segs == ["anchors"]
+    meta = artifacts.load_meta(cpath)
+    assert meta["folded"] == ["base", "delta"]
+    assert meta["deletes"] == ["d7"]
+    # the maintained store still holds BOTH its segments (compaction
+    # wrote a new artifact, it did not cannibalize its input)
+    assert os.path.isdir(f"{mpath}/anchors")
+    assert os.path.isdir(f"{mpath}/anchors_delta")
