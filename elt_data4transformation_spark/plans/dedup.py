@@ -3465,6 +3465,230 @@ def substring_winnow_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _prep_stream_substring_guard(spark: SparkSession, sf_dir: str) -> None:
+    _ensure_winnow_store(spark, sf_dir)
+    _ensure_decon_src(spark, sf_dir)
+
+
+def _register_stream_substring_guard() -> None:
+    """Registered via a builder so dataset_split's md5 bucket bounds
+    import lazily from text.py (same pattern as stream_decontaminate)."""
+    from .text import _SPLIT_TRAIN_MAX, _SPLIT_VAL_MAX
+
+    bucket_sql = "SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2)"
+
+    @register(
+        "stream_substring_guard",
+        oracle=f"""
+            WITH pos AS (
+                SELECT doc_id, LEN(text) - {_WSUB_K} + 1 AS np,
+                       UNNEST(RANGE(1, LEN(text) - {_WSUB_K} + 2)) AS p,
+                       text
+                FROM documents WHERE LEN(text) >= {_WSUB_K + _WSUB_W - 1}
+            ), keyed AS (
+                SELECT doc_id, np, p,
+                       CAST(('0x' || SUBSTR(MD5(SUBSTRING(text, p,
+                            {_WSUB_K})), 1, 8)) AS BIGINT) * {_WSUB_M}
+                       + ({_WSUB_M} - 1 - p) AS key
+                FROM pos
+            ), win AS (
+                SELECT doc_id, np, p,
+                       MIN(key) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS BETWEEN CURRENT ROW
+                           AND {_WSUB_W - 1} FOLLOWING) AS sk
+                FROM keyed
+            ), sel AS (
+                SELECT DISTINCT doc_id, sk FROM win
+                WHERE p <= np - {_WSUB_W} + 1
+            ), anchors AS (
+                SELECT doc_id, {_WSUB_M} - 1 - (sk % {_WSUB_M}) AS p,
+                       sk // {_WSUB_M} AS fp_hash
+                FROM sel
+            ), test_fps AS (
+                SELECT DISTINCT fp_hash FROM anchors
+                WHERE {bucket_sql} >= '{_SPLIT_VAL_MAX}'
+            ), dup AS (
+                SELECT a.doc_id, a.p FROM anchors a
+                JOIN test_fps USING (fp_hash)
+                WHERE {bucket_sql} < '{_SPLIT_TRAIN_MAX}'
+                  AND doc_id % {DELTA_MOD} = 0
+            ), mk AS (
+                SELECT doc_id, p,
+                       MAX(p + {_WSUB_K} - 1) OVER (PARTITION BY doc_id
+                           ORDER BY p
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS prev_e
+                FROM dup
+            ), isl AS (
+                SELECT doc_id, p,
+                       SUM(CASE WHEN prev_e IS NULL OR p > prev_e + 1
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY p
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS island
+                FROM mk
+            ), spans AS (
+                SELECT doc_id,
+                       MAX(p) + {_WSUB_K} - MIN(p) AS span_len
+                FROM isl GROUP BY doc_id, island
+            ), agg AS (
+                SELECT doc_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+                       MAX(span_len) AS max_span_len
+                FROM spans GROUP BY doc_id
+            ), arrivals AS (
+                SELECT doc_id FROM documents
+                WHERE {bucket_sql} < '{_SPLIT_TRAIN_MAX}'
+                  AND doc_id % {DELTA_MOD} = 0
+            )
+            SELECT a.doc_id,
+                   CASE WHEN g.doc_id IS NULL
+                        THEN 'clean' ELSE 'contaminated' END AS status,
+                   g.n_dup_spans,
+                   g.max_span_len
+            FROM arrivals a
+            LEFT JOIN agg g ON a.doc_id = g.doc_id
+            ORDER BY a.doc_id
+        """,
+        tags=("streaming", "dedup", "substring", "composite"),
+        prepare=_prep_stream_substring_guard,
+        doc="STREAMING substring-level leakage guard — the verbatim-"
+        "quote half of the ingest guard: stream_decontaminate catches "
+        "arriving docs that are fuzzy near-duplicates of an eval doc "
+        "(whole-doc Jaccard); this query catches arriving docs that "
+        "QUOTE eval text verbatim inside otherwise-different content "
+        "— the 'Deduplicating Training Data' overlap failure a doc-"
+        "level score misses. Same loop shape: train-candidate docs "
+        "arrive as file micro-batches (readStream, maxFilesPerTrigger"
+        "=1, availableNow); inside foreachBatch each batch's STORED "
+        "winnow anchors (the shared full-corpus artifact — zero re-"
+        "winnowing at ingest) probe the FIXED test split's anchor fp "
+        "set; any fp hit marks the position duplicated against eval "
+        "text, positions fold to maximal spans with the family's "
+        "integer gaps-and-islands, and each arriving doc's "
+        "disposition (clean, or contaminated with span count and "
+        "longest span length) lands in an append-only sink BEFORE "
+        "the doc enters the training corpus. The index never mutates "
+        "between batches and per-doc span math is a pure per-doc "
+        "function, so results are deterministic regardless of file "
+        "batching — the oracle is the one-shot batch query. The "
+        "winnowing guarantee bounds the miss: any verbatim overlap "
+        f">= {_WSUB_K + _WSUB_W - 1} chars shares a selected anchor "
+        "in both copies. Arrivals reuse stream_decontaminate's "
+        "published fixture; state is bounded (no streaming state "
+        "store, the sink absorbs match volume).",
+    )
+    def stream_substring_guard(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import os
+        import shutil
+        import tempfile
+
+        from pyspark import StorageLevel
+
+        K = _WSUB_K
+        bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+        # the anchor store is read once and cached for the whole loop;
+        # the test-split fp set is tiny (an eval set, not a corpus)
+        # and reused by every batch
+        anchors = _winnow_anchor_store(spark, sf_dir).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        test_fps = (
+            anchors.filter(bucket >= _SPLIT_VAL_MAX)
+            .select("fp_hash")
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        src = _ensure_decon_src(spark, sf_dir)
+        work = tempfile.mkdtemp(prefix="stream_subguard_")
+        try:
+            log = os.path.join(work, "log")
+
+            def guard(batch_df: DataFrame, _batch_id: int) -> None:
+                batch_ids = batch_df.select("doc_id")
+                probe = anchors.join(batch_ids, "doc_id", "left_semi")
+                dup = probe.join(test_fps, "fp_hash", "left_semi").select(
+                    "doc_id", "p"
+                )
+                prev = (
+                    Window.partitionBy("doc_id")
+                    .orderBy("p")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                )
+                run = (
+                    Window.partitionBy("doc_id")
+                    .orderBy("p")
+                    .rowsBetween(Window.unboundedPreceding, 0)
+                )
+                prev_e = F.max(F.col("p") + K - 1).over(prev)
+                spans = (
+                    dup.withColumn(
+                        "_new",
+                        F.when(
+                            prev_e.isNull() | (F.col("p") > prev_e + 1), 1
+                        ).otherwise(0),
+                    )
+                    .withColumn("_island", F.sum("_new").over(run))
+                    .groupBy("doc_id", "_island")
+                    .agg(
+                        (F.max("p") + K - F.min("p")).alias("span_len")
+                    )
+                )
+                agg = spans.groupBy("doc_id").agg(
+                    F.count(F.lit(1)).alias("n_dup_spans"),
+                    F.max("span_len").alias("max_span_len"),
+                )
+                (
+                    batch_ids.join(
+                        agg.withColumnRenamed("doc_id", "_hit_id"),
+                        batch_ids["doc_id"] == F.col("_hit_id"),
+                        "left",
+                    )
+                    .select(
+                        "doc_id",
+                        F.when(F.col("_hit_id").isNull(), "clean")
+                        .otherwise("contaminated")
+                        .alias("status"),
+                        "n_dup_spans",
+                        "max_span_len",
+                    )
+                    .write.mode("append")
+                    .parquet(log)
+                )
+
+            q = (
+                spark.readStream.schema("doc_id long")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .writeStream.foreachBatch(guard)
+                .option(
+                    "checkpointLocation", os.path.join(work, "ckpt")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            out_schema = (
+                "doc_id long, status string, n_dup_spans long, "
+                "max_span_len long"
+            )
+            return (
+                spark.read.schema(out_schema)
+                .parquet(log)
+                .orderBy("doc_id")
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            anchors.unpersist()
+            test_fps.unpersist()
+            shutil.rmtree(work, ignore_errors=True)
+
+
+_register_stream_substring_guard()
+
+
 _WIN_K = 8  # winnowing gram size (chars)
 _WIN_W = 4  # winnowing window (grams); detects repeats >= K + W - 1
 _WIN_M = 1 << 20  # position capacity of the packed (hash, pos) key

@@ -73,6 +73,9 @@ PREPARED_STORE_CTES: dict[str, list[str]] = {
     "substring_winnow_delete": ["anchors"],
     # the folded store IS the surviving-corpus anchor set
     "substring_winnow_compact": ["anchors"],
+    # the guard probes stored anchors (full-corpus artifact) against
+    # the test split's fp slice of the same store
+    "stream_substring_guard": ["anchors"],
     # round 10: the exact pass is prepare-tagged (its Spark plan reads
     # the stored winnow anchors as a candidate-doc PREFILTER only —
     # the grams are still exploded and exactly re-checked at run

@@ -5814,3 +5814,32 @@ def test_winnow_compact_folds_exactly(spark):
     # wrote a new artifact, it did not cannibalize its input)
     assert os.path.isdir(f"{mpath}/anchors")
     assert os.path.isdir(f"{mpath}/anchors_delta")
+
+
+def test_stream_substring_guard_flags_eval_quotes(spark):
+    """The streaming guard must exercise BOTH dispositions at the
+    fixture (hits prove the probe path, cleans prove the left join),
+    and a contaminated doc's longest span must satisfy the winnowing
+    floor arithmetic: a single shared anchor is a K-char span, so
+    max_span_len >= K with n_dup_spans >= 1, and clean docs carry
+    NULLs. sf0.01 is the smallest fixture whose arrivals contain a
+    verbatim eval quote (doc 45, one 419-char span); sf0.001's
+    arrivals are all clean."""
+    from elt_data4transformation_spark.plans import REGISTRY
+    from elt_data4transformation_spark.plans.dedup import _WSUB_K
+
+    rows = (
+        REGISTRY["stream_substring_guard"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .collect()
+    )
+    by_status = {"clean": [], "contaminated": []}
+    for r in rows:
+        by_status[r.status].append(r)
+    assert by_status["contaminated"], "fixture has no eval-quote hits"
+    assert by_status["clean"], "fixture has no clean arrivals"
+    for r in by_status["contaminated"]:
+        assert r.n_dup_spans >= 1
+        assert r.max_span_len >= _WSUB_K
+    for r in by_status["clean"]:
+        assert r.n_dup_spans is None and r.max_span_len is None
