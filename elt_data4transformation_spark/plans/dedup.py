@@ -3689,6 +3689,264 @@ def _register_stream_substring_guard() -> None:
 _register_stream_substring_guard()
 
 
+def _register_decontamination_excise() -> None:
+    """Registered via a builder for the lazy text.py split bounds
+    (same pattern as the guard this query applies)."""
+    from .text import _SPLIT_TRAIN_MAX, _SPLIT_VAL_MAX
+
+    bucket_sql = "SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2)"
+
+    @register(
+        "decontamination_excise",
+        prepare=_prep_stream_substring_guard,
+        oracle=f"""
+            WITH pos AS (
+                SELECT doc_id, LEN(text) - {_WSUB_K} + 1 AS np,
+                       UNNEST(RANGE(1, LEN(text) - {_WSUB_K} + 2)) AS p,
+                       text
+                FROM documents WHERE LEN(text) >= {_WSUB_K + _WSUB_W - 1}
+            ), keyed AS (
+                SELECT doc_id, np, p,
+                       CAST(('0x' || SUBSTR(MD5(SUBSTRING(text, p,
+                            {_WSUB_K})), 1, 8)) AS BIGINT) * {_WSUB_M}
+                       + ({_WSUB_M} - 1 - p) AS key
+                FROM pos
+            ), win AS (
+                SELECT doc_id, np, p,
+                       MIN(key) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS BETWEEN CURRENT ROW
+                           AND {_WSUB_W - 1} FOLLOWING) AS sk
+                FROM keyed
+            ), sel AS (
+                SELECT DISTINCT doc_id, sk FROM win
+                WHERE p <= np - {_WSUB_W} + 1
+            ), anchors AS (
+                SELECT doc_id, {_WSUB_M} - 1 - (sk % {_WSUB_M}) AS p,
+                       sk // {_WSUB_M} AS fp_hash
+                FROM sel
+            ), test_fps AS (
+                SELECT DISTINCT fp_hash FROM anchors
+                WHERE {bucket_sql} >= '{_SPLIT_VAL_MAX}'
+            ), dup AS (
+                SELECT a.doc_id, a.p FROM anchors a
+                JOIN test_fps USING (fp_hash)
+                WHERE {bucket_sql} < '{_SPLIT_TRAIN_MAX}'
+                  AND doc_id % {DELTA_MOD} = 0
+            ), mk AS (
+                SELECT doc_id, p,
+                       MAX(p + {_WSUB_K} - 1) OVER (PARTITION BY doc_id
+                           ORDER BY p
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS prev_e
+                FROM dup
+            ), isl AS (
+                SELECT doc_id, p,
+                       SUM(CASE WHEN prev_e IS NULL OR p > prev_e + 1
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY p
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS island
+                FROM mk
+            ), spans AS (
+                SELECT doc_id, MIN(p) AS s,
+                       MAX(p) + {_WSUB_K} - 1 AS e
+                FROM isl GROUP BY doc_id, island
+            ), ordered AS (
+                SELECT doc_id, s, e,
+                       LAG(e) OVER (PARTITION BY doc_id ORDER BY s)
+                           AS prev_e
+                FROM spans
+            ), segs AS (
+                SELECT doc_id, COALESCE(prev_e, 0) + 1 AS ks,
+                       s - 1 AS ke
+                FROM ordered
+                UNION ALL
+                SELECT doc_id, MAX(e) + 1 AS ks, NULL AS ke
+                FROM spans GROUP BY doc_id
+            ), rebuilt AS (
+                SELECT g.doc_id,
+                       STRING_AGG(
+                           CASE WHEN g.ke IS NULL
+                                THEN SUBSTRING(d.text, g.ks)
+                                ELSE SUBSTRING(d.text, g.ks,
+                                               g.ke - g.ks + 1)
+                           END, '' ORDER BY g.ks) AS clean_text
+                FROM segs g JOIN documents d ON g.doc_id = d.doc_id
+                WHERE g.ke IS NULL OR g.ks <= g.ke
+                GROUP BY g.doc_id
+            ), cut AS (
+                SELECT doc_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_cut,
+                       CAST(SUM(e - s + 1) AS BIGINT) AS chars_cut
+                FROM spans GROUP BY doc_id
+            ), arrivals AS (
+                SELECT doc_id, text FROM documents
+                WHERE {bucket_sql} < '{_SPLIT_TRAIN_MAX}'
+                  AND doc_id % {DELTA_MOD} = 0
+            )
+            SELECT a.doc_id,
+                   COALESCE(r.clean_text, a.text) AS clean_text,
+                   COALESCE(c.n_cut, 0) AS n_cut,
+                   COALESCE(c.chars_cut, 0) AS chars_cut
+            FROM arrivals a
+            LEFT JOIN rebuilt r ON a.doc_id = r.doc_id
+            LEFT JOIN cut c ON a.doc_id = c.doc_id
+            ORDER BY a.doc_id
+        """,
+        tags=("dedup", "substring", "text", "composite"),
+        doc="Substring decontamination APPLIED — the excision step the "
+        "guard stops short of ('Deduplicating Training Data Makes "
+        "Language Models Better', Lee et al. 2022, applied as eval-"
+        "overlap removal): every maximal span of an arriving train-"
+        "candidate doc that verbatim-overlaps the test split "
+        "(stream_substring_guard's dup set, from the same stored "
+        "winnow anchors) is CUT from the text, and the doc ships "
+        "clean — for eval overlap there is no canonical keeper, the "
+        "quote is removed everywhere it appears in train. The "
+        "rebuild is pure relational column work on both engines: "
+        "spans -> kept segments via a per-doc LAG (the gap before "
+        "each span, plus the tail after the last), segment "
+        "substrings concatenated in order (array_sort over collected "
+        "(ks, seg) structs on the Spark side — no UDF, no collect_"
+        "list ordering hazard), clean docs pass through joined text "
+        "untouched. chars_cut/n_cut make the excision auditable; "
+        "clean_text length + chars_cut = original length by "
+        "construction (pinned by test). One shuffle per aggregate, "
+        "all windows per-doc; text is read once for segments and "
+        "once for the pass-through join.",
+    )
+    def decontamination_excise(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        K = _WSUB_K
+        bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+        anchors = _winnow_anchor_store(spark, sf_dir)
+        test_fps = (
+            anchors.filter(bucket >= _SPLIT_VAL_MAX)
+            .select("fp_hash")
+            .distinct()
+        )
+        arrivals = (
+            table(spark, sf_dir, "documents")
+            .filter(
+                (bucket < _SPLIT_TRAIN_MAX)
+                & (F.col("doc_id") % DELTA_MOD == 0)
+            )
+            .select("doc_id", "text")
+        )
+        dup = (
+            anchors.join(
+                arrivals.select("doc_id"), "doc_id", "left_semi"
+            )
+            .join(test_fps, "fp_hash", "left_semi")
+            .select("doc_id", "p")
+        )
+        prev = (
+            Window.partitionBy("doc_id")
+            .orderBy("p")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        run = (
+            Window.partitionBy("doc_id")
+            .orderBy("p")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        prev_e = F.max(F.col("p") + K - 1).over(prev)
+        spans = (
+            dup.withColumn(
+                "_new",
+                F.when(
+                    prev_e.isNull() | (F.col("p") > prev_e + 1), 1
+                ).otherwise(0),
+            )
+            .withColumn("_island", F.sum("_new").over(run))
+            .groupBy("doc_id", "_island")
+            .agg(
+                F.min("p").alias("s"),
+                (F.max("p") + K - 1).alias("e"),
+            )
+            .drop("_island")
+        )
+        # kept segments: the gap before each span (LAG over span ends)
+        # plus the tail after the last span (ke NULL = to end of text)
+        lagw = Window.partitionBy("doc_id").orderBy("s")
+        before = spans.select(
+            "doc_id",
+            (F.coalesce(F.lag("e").over(lagw), F.lit(0)) + 1).alias(
+                "ks"
+            ),
+            (F.col("s") - 1).alias("ke"),
+        )
+        tail = spans.groupBy("doc_id").agg(
+            (F.max("e") + 1).alias("ks"), F.lit(None).cast("long").alias("ke")
+        )
+        segs = before.unionByName(tail).filter(
+            F.col("ke").isNull() | (F.col("ks") <= F.col("ke"))
+        )
+        rebuilt = (
+            segs.join(arrivals, "doc_id")
+            .select(
+                "doc_id",
+                F.struct(
+                    F.col("ks"),
+                    F.when(
+                        F.col("ke").isNull(),
+                        F.col("text").substr(
+                            F.col("ks"),
+                            F.length("text") - F.col("ks") + 1,
+                        ),
+                    )
+                    .otherwise(
+                        F.col("text").substr(
+                            F.col("ks"), F.col("ke") - F.col("ks") + 1
+                        )
+                    )
+                    .alias("seg"),
+                ).alias("kseg"),
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("kseg")),
+                        lambda x: x["seg"],
+                    ),
+                    "",
+                ).alias("clean_text")
+            )
+        )
+        cut = spans.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_cut"),
+            F.sum(F.col("e") - F.col("s") + 1).alias("chars_cut"),
+        )
+        return (
+            arrivals.join(
+                rebuilt.withColumnRenamed("doc_id", "_rid"),
+                arrivals["doc_id"] == F.col("_rid"),
+                "left",
+            )
+            .join(
+                cut.withColumnRenamed("doc_id", "_cid"),
+                arrivals["doc_id"] == F.col("_cid"),
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.coalesce(F.col("clean_text"), F.col("text")).alias(
+                    "clean_text"
+                ),
+                F.coalesce(F.col("n_cut"), F.lit(0)).alias("n_cut"),
+                F.coalesce(F.col("chars_cut"), F.lit(0)).alias(
+                    "chars_cut"
+                ),
+            )
+            .orderBy("doc_id")
+        )
+
+
+_register_decontamination_excise()
+
+
 _WIN_K = 8  # winnowing gram size (chars)
 _WIN_W = 4  # winnowing window (grams); detects repeats >= K + W - 1
 _WIN_M = 1 << 20  # position capacity of the packed (hash, pos) key

@@ -76,6 +76,8 @@ PREPARED_STORE_CTES: dict[str, list[str]] = {
     # the guard probes stored anchors (full-corpus artifact) against
     # the test split's fp slice of the same store
     "stream_substring_guard": ["anchors"],
+    # the excision reuses the guard's stored-anchor probe
+    "decontamination_excise": ["anchors"],
     # round 10: the exact pass is prepare-tagged (its Spark plan reads
     # the stored winnow anchors as a candidate-doc PREFILTER only —
     # the grams are still exploded and exactly re-checked at run

@@ -5843,3 +5843,41 @@ def test_stream_substring_guard_flags_eval_quotes(spark):
         assert r.max_span_len >= _WSUB_K
     for r in by_status["clean"]:
         assert r.n_dup_spans is None and r.max_span_len is None
+
+
+def test_decontamination_excise_conserves_characters(spark):
+    """The excision is an exact surgery: for every arriving doc,
+    len(clean_text) + chars_cut == len(original text); contaminated
+    docs shrink by exactly their span mass and the excised text no
+    longer contains the removed quote's middle (the doc-45 fixture:
+    one 419-char eval quote), while clean docs pass through
+    byte-identical."""
+    from elt_data4transformation_spark.plans import REGISTRY
+    from elt_data4transformation_spark.sources import table
+
+    SF = "/root/testdata/sf0.01"
+    out = {
+        r.doc_id: r
+        for r in REGISTRY["decontamination_excise"].fn(spark, SF).collect()
+    }
+    orig = {
+        r.doc_id: r.text
+        for r in table(spark, SF, "documents")
+        .select("doc_id", "text")
+        .collect()
+        if r.doc_id in out
+    }
+    cut_docs = [d for d, r in out.items() if r.n_cut > 0]
+    assert cut_docs == [45], f"fixture drifted: cut docs {cut_docs}"
+    for d, r in out.items():
+        assert len(r.clean_text) + r.chars_cut == len(orig[d]), d
+        if r.n_cut == 0:
+            assert r.clean_text == orig[d], d
+    r45 = out[45]
+    assert r45.chars_cut == 419
+    # the removed middle of the quote is gone from the clean text
+    guard = {
+        g.doc_id: g
+        for g in REGISTRY["stream_substring_guard"].fn(spark, SF).collect()
+    }
+    assert guard[45].max_span_len == 419
