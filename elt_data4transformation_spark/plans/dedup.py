@@ -2591,6 +2591,41 @@ _WSUB_W = 9  # winnowing window (grams): detects repeats >= 32+9-1 = 40
 _WSUB_M = 1 << 20
 
 
+def _wsub_anchor_ctes(doc_filter: str = "") -> str:
+    """Shared oracle-SQL prefix for the _WSUB family: the winnowing
+    selection decoded to (doc_id, p, fp_hash) — the DuckDB twin of the
+    stored anchor artifact (operators/dedup_ops.winnow_positions at
+    k=_WSUB_K, w=_WSUB_W). ``doc_filter`` narrows the corpus (e.g.
+    ``" AND doc_id % 10 <> 7"`` for the takedown's survivors). Written
+    once so every family oracle (winnowed spans, maintain, delete,
+    compact, guard, excise) carries identical selection semantics."""
+    return f"""pos AS (
+            SELECT doc_id, LEN(text) - {_WSUB_K} + 1 AS np,
+                   UNNEST(RANGE(1, LEN(text) - {_WSUB_K} + 2)) AS p, text
+            FROM documents
+            WHERE LEN(text) >= {_WSUB_K + _WSUB_W - 1}{doc_filter}
+        ), keyed AS (
+            SELECT doc_id, np, p,
+                   CAST(('0x' || SUBSTR(MD5(SUBSTRING(text, p, {_WSUB_K})),
+                        1, 8)) AS BIGINT) * {_WSUB_M}
+                   + ({_WSUB_M} - 1 - p) AS key
+            FROM pos
+        ), win AS (
+            SELECT doc_id, np, p,
+                   MIN(key) OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN CURRENT ROW
+                       AND {_WSUB_W - 1} FOLLOWING) AS sk
+            FROM keyed
+        ), sel AS (
+            SELECT DISTINCT doc_id, sk FROM win
+            WHERE p <= np - {_WSUB_W} + 1
+        ), anchors AS (
+            SELECT doc_id, {_WSUB_M} - 1 - (sk % {_WSUB_M}) AS p,
+                   sk // {_WSUB_M} AS fp_hash
+            FROM sel
+        )"""
+
+
 def _ensure_winnow_store(spark: SparkSession, sf_dir: str) -> str:
     """Stored winnow artifact at the substring-span parameters,
     two segments (v2, round 10):
@@ -2824,30 +2859,7 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "substring_dup_spans_winnowed",
     prepare=_prep_winnow_store,
     oracle=f"""
-        WITH pos AS (
-            SELECT doc_id, LEN(text) - {_WSUB_K} + 1 AS np,
-                   UNNEST(RANGE(1, LEN(text) - {_WSUB_K} + 2)) AS p, text
-            FROM documents WHERE LEN(text) >= {_WSUB_K + _WSUB_W - 1}
-        ), keyed AS (
-            SELECT doc_id, np, p,
-                   CAST(('0x' || SUBSTR(MD5(SUBSTRING(text, p, {_WSUB_K})),
-                        1, 8)) AS BIGINT) * {_WSUB_M}
-                   + ({_WSUB_M} - 1 - p) AS key
-            FROM pos
-        ), win AS (
-            SELECT doc_id, np, p,
-                   MIN(key) OVER (PARTITION BY doc_id ORDER BY p
-                       ROWS BETWEEN CURRENT ROW
-                       AND {_WSUB_W - 1} FOLLOWING) AS sk
-            FROM keyed
-        ), sel AS (
-            SELECT DISTINCT doc_id, sk FROM win
-            WHERE p <= np - {_WSUB_W} + 1
-        ), anchors AS (
-            SELECT doc_id, {_WSUB_M} - 1 - (sk % {_WSUB_M}) AS p,
-                   sk // {_WSUB_M} AS fp_hash
-            FROM sel
-        ), shared AS (
+        WITH {_wsub_anchor_ctes()}, shared AS (
             SELECT fp_hash FROM anchors GROUP BY fp_hash
             HAVING COUNT(DISTINCT doc_id) >= 2
         ), dup AS (
@@ -2985,32 +2997,7 @@ def _prep_winnow_delete(spark: SparkSession, sf_dir: str) -> None:
     "substring_winnow_delete",
     prepare=_prep_winnow_delete,
     oracle=f"""
-        WITH pos AS (
-            SELECT doc_id, LEN(text) - {_WSUB_K} + 1 AS np,
-                   UNNEST(RANGE(1, LEN(text) - {_WSUB_K} + 2)) AS p, text
-            FROM documents
-            WHERE LEN(text) >= {_WSUB_K + _WSUB_W - 1}
-              AND doc_id % 10 <> 7
-        ), keyed AS (
-            SELECT doc_id, np, p,
-                   CAST(('0x' || SUBSTR(MD5(SUBSTRING(text, p, {_WSUB_K})),
-                        1, 8)) AS BIGINT) * {_WSUB_M}
-                   + ({_WSUB_M} - 1 - p) AS key
-            FROM pos
-        ), win AS (
-            SELECT doc_id, np, p,
-                   MIN(key) OVER (PARTITION BY doc_id ORDER BY p
-                       ROWS BETWEEN CURRENT ROW
-                       AND {_WSUB_W - 1} FOLLOWING) AS sk
-            FROM keyed
-        ), sel AS (
-            SELECT DISTINCT doc_id, sk FROM win
-            WHERE p <= np - {_WSUB_W} + 1
-        ), anchors AS (
-            SELECT doc_id, {_WSUB_M} - 1 - (sk % {_WSUB_M}) AS p,
-                   sk // {_WSUB_M} AS fp_hash
-            FROM sel
-        ), shared AS (
+        WITH {_wsub_anchor_ctes(" AND doc_id % 10 <> 7")}, shared AS (
             SELECT fp_hash FROM anchors GROUP BY fp_hash
             HAVING COUNT(DISTINCT doc_id) >= 2
         ), dup AS (
@@ -3162,30 +3149,7 @@ def _prep_winnow_maintain(spark: SparkSession, sf_dir: str) -> None:
     "substring_winnow_maintain",
     prepare=_prep_winnow_maintain,
     oracle=f"""
-        WITH pos AS (
-            SELECT doc_id, LEN(text) - {_WSUB_K} + 1 AS np,
-                   UNNEST(RANGE(1, LEN(text) - {_WSUB_K} + 2)) AS p, text
-            FROM documents WHERE LEN(text) >= {_WSUB_K + _WSUB_W - 1}
-        ), keyed AS (
-            SELECT doc_id, np, p,
-                   CAST(('0x' || SUBSTR(MD5(SUBSTRING(text, p, {_WSUB_K})),
-                        1, 8)) AS BIGINT) * {_WSUB_M}
-                   + ({_WSUB_M} - 1 - p) AS key
-            FROM pos
-        ), win AS (
-            SELECT doc_id, np, p,
-                   MIN(key) OVER (PARTITION BY doc_id ORDER BY p
-                       ROWS BETWEEN CURRENT ROW
-                       AND {_WSUB_W - 1} FOLLOWING) AS sk
-            FROM keyed
-        ), sel AS (
-            SELECT DISTINCT doc_id, sk FROM win
-            WHERE p <= np - {_WSUB_W} + 1
-        ), anchors AS (
-            SELECT doc_id, {_WSUB_M} - 1 - (sk % {_WSUB_M}) AS p,
-                   sk // {_WSUB_M} AS fp_hash
-            FROM sel
-        ), shared AS (
+        WITH {_wsub_anchor_ctes()}, shared AS (
             SELECT fp_hash FROM anchors GROUP BY fp_hash
             HAVING COUNT(DISTINCT doc_id) >= 2
         ), dup AS (
@@ -3346,32 +3310,7 @@ def _prep_winnow_compact(spark: SparkSession, sf_dir: str) -> None:
     "substring_winnow_compact",
     prepare=_prep_winnow_compact,
     oracle=f"""
-        WITH pos AS (
-            SELECT doc_id, LEN(text) - {_WSUB_K} + 1 AS np,
-                   UNNEST(RANGE(1, LEN(text) - {_WSUB_K} + 2)) AS p, text
-            FROM documents
-            WHERE LEN(text) >= {_WSUB_K + _WSUB_W - 1}
-              AND doc_id % 10 <> 7
-        ), keyed AS (
-            SELECT doc_id, np, p,
-                   CAST(('0x' || SUBSTR(MD5(SUBSTRING(text, p, {_WSUB_K})),
-                        1, 8)) AS BIGINT) * {_WSUB_M}
-                   + ({_WSUB_M} - 1 - p) AS key
-            FROM pos
-        ), win AS (
-            SELECT doc_id, np, p,
-                   MIN(key) OVER (PARTITION BY doc_id ORDER BY p
-                       ROWS BETWEEN CURRENT ROW
-                       AND {_WSUB_W - 1} FOLLOWING) AS sk
-            FROM keyed
-        ), sel AS (
-            SELECT DISTINCT doc_id, sk FROM win
-            WHERE p <= np - {_WSUB_W} + 1
-        ), anchors AS (
-            SELECT doc_id, {_WSUB_M} - 1 - (sk % {_WSUB_M}) AS p,
-                   sk // {_WSUB_M} AS fp_hash
-            FROM sel
-        ), shared AS (
+        WITH {_wsub_anchor_ctes(" AND doc_id % 10 <> 7")}, shared AS (
             SELECT fp_hash FROM anchors GROUP BY fp_hash
             HAVING COUNT(DISTINCT doc_id) >= 2
         ), dup AS (
@@ -3480,31 +3419,7 @@ def _register_stream_substring_guard() -> None:
     @register(
         "stream_substring_guard",
         oracle=f"""
-            WITH pos AS (
-                SELECT doc_id, LEN(text) - {_WSUB_K} + 1 AS np,
-                       UNNEST(RANGE(1, LEN(text) - {_WSUB_K} + 2)) AS p,
-                       text
-                FROM documents WHERE LEN(text) >= {_WSUB_K + _WSUB_W - 1}
-            ), keyed AS (
-                SELECT doc_id, np, p,
-                       CAST(('0x' || SUBSTR(MD5(SUBSTRING(text, p,
-                            {_WSUB_K})), 1, 8)) AS BIGINT) * {_WSUB_M}
-                       + ({_WSUB_M} - 1 - p) AS key
-                FROM pos
-            ), win AS (
-                SELECT doc_id, np, p,
-                       MIN(key) OVER (PARTITION BY doc_id ORDER BY p
-                           ROWS BETWEEN CURRENT ROW
-                           AND {_WSUB_W - 1} FOLLOWING) AS sk
-                FROM keyed
-            ), sel AS (
-                SELECT DISTINCT doc_id, sk FROM win
-                WHERE p <= np - {_WSUB_W} + 1
-            ), anchors AS (
-                SELECT doc_id, {_WSUB_M} - 1 - (sk % {_WSUB_M}) AS p,
-                       sk // {_WSUB_M} AS fp_hash
-                FROM sel
-            ), test_fps AS (
+            WITH {_wsub_anchor_ctes()}, test_fps AS (
                 SELECT DISTINCT fp_hash FROM anchors
                 WHERE {bucket_sql} >= '{_SPLIT_VAL_MAX}'
             ), dup AS (
@@ -3700,31 +3615,7 @@ def _register_decontamination_excise() -> None:
         "decontamination_excise",
         prepare=_prep_stream_substring_guard,
         oracle=f"""
-            WITH pos AS (
-                SELECT doc_id, LEN(text) - {_WSUB_K} + 1 AS np,
-                       UNNEST(RANGE(1, LEN(text) - {_WSUB_K} + 2)) AS p,
-                       text
-                FROM documents WHERE LEN(text) >= {_WSUB_K + _WSUB_W - 1}
-            ), keyed AS (
-                SELECT doc_id, np, p,
-                       CAST(('0x' || SUBSTR(MD5(SUBSTRING(text, p,
-                            {_WSUB_K})), 1, 8)) AS BIGINT) * {_WSUB_M}
-                       + ({_WSUB_M} - 1 - p) AS key
-                FROM pos
-            ), win AS (
-                SELECT doc_id, np, p,
-                       MIN(key) OVER (PARTITION BY doc_id ORDER BY p
-                           ROWS BETWEEN CURRENT ROW
-                           AND {_WSUB_W - 1} FOLLOWING) AS sk
-                FROM keyed
-            ), sel AS (
-                SELECT DISTINCT doc_id, sk FROM win
-                WHERE p <= np - {_WSUB_W} + 1
-            ), anchors AS (
-                SELECT doc_id, {_WSUB_M} - 1 - (sk % {_WSUB_M}) AS p,
-                       sk // {_WSUB_M} AS fp_hash
-                FROM sel
-            ), test_fps AS (
+            WITH {_wsub_anchor_ctes()}, test_fps AS (
                 SELECT DISTINCT fp_hash FROM anchors
                 WHERE {bucket_sql} >= '{_SPLIT_VAL_MAX}'
             ), dup AS (
