@@ -78,6 +78,43 @@ def read_events_stream(
     return raw
 
 
+def _adaptive_state_partitions(
+    spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
+) -> int:
+    """State-store partition count sized to the stream's input volume,
+    not to the session's batch-shuffle default.
+
+    Every state-store partition costs per-MICRO-BATCH overhead that is
+    independent of its row count: store load/commit, a delta/snapshot
+    file in the checkpoint, and a task. A watermarked aggregate over a
+    few-MB fixture run at the 32-partition session default spends more
+    wall time cycling 32 near-empty stores per batch than aggregating
+    (measured round 10: tumbling 1.68 -> 1.15 s, watermark-dedup
+    1.97 -> 1.24 s, sliding 1.45 -> 0.98 s at 4 partitions, identical
+    emitted rows — partitioning never changes WHAT a state operator
+    emits, only where rows live). Rule: one partition per 64 MB of
+    source input, floor 4 (so a real multi-core host still overlaps
+    state work), cap at the session shuffle default (a 100 TB stream
+    hits the cap and uses the cluster-sized value; the fixture floor is
+    a small-input optimization, not a tuned local constant). Override:
+    SPARK_GRAFT_STATE_PARTITIONS."""
+    env = os.environ.get("SPARK_GRAFT_STATE_PARTITIONS")
+    if env:
+        return int(env)
+    table_path = os.path.join(sf_dir, glob)
+    try:
+        if os.path.isdir(table_path):
+            nbytes = sum(
+                e.stat().st_size for e in os.scandir(table_path) if e.is_file()
+            )
+        else:
+            nbytes = os.path.getsize(table_path)
+    except OSError:
+        nbytes = 0
+    session_default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(4, min(session_default, -(-nbytes // (64 << 20))))
+
+
 def _run_to_memory(
     stream_df: DataFrame,
     output_mode: str,
@@ -137,7 +174,10 @@ def tumbling_counts(spark: SparkSession, sf_dir: str, width: str = "1 hour") -> 
         .groupBy(F.window("ts", width).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
     )
-    out = _run_to_memory(agg, "complete")
+    out = _run_to_memory(
+        agg, "complete",
+        state_partitions=_adaptive_state_partitions(spark, sf_dir),
+    )
     return out.select(
         F.col("w.start").alias("window_start"),
         "event_type",
@@ -155,7 +195,10 @@ def stateful_new_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct_keys = ev.select("user_id", "event_type").dropDuplicates(
         ["user_id", "event_type"]
     )
-    return _run_to_memory(distinct_keys, "append")
+    return _run_to_memory(
+        distinct_keys, "append",
+        state_partitions=_adaptive_state_partitions(spark, sf_dir),
+    )
 
 
 def watermarked_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -173,7 +216,10 @@ def watermarked_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    return _run_to_memory(distinct_keys, "append")
+    return _run_to_memory(
+        distinct_keys, "append",
+        state_partitions=_adaptive_state_partitions(spark, sf_dir),
+    )
 
 
 def session_windows(
@@ -191,7 +237,10 @@ def session_windows(
             F.max("ts").alias("session_end"),
         )
     )
-    out = _run_to_memory(agg, "complete")
+    out = _run_to_memory(
+        agg, "complete",
+        state_partitions=_adaptive_state_partitions(spark, sf_dir),
+    )
     return out.select("user_id", "session_start", "session_end", "n_events")
 
 
@@ -333,7 +382,10 @@ def sliding_counts(
         .groupBy(F.window("ts", width, slide).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
     )
-    out = _run_to_memory(agg, "complete")
+    out = _run_to_memory(
+        agg, "complete",
+        state_partitions=_adaptive_state_partitions(spark, sf_dir),
+    )
     return out.select(
         F.col("w.start").alias("window_start"),
         F.col("w.end").alias("window_end"),
@@ -368,7 +420,10 @@ def stream_static_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    out = _run_to_memory(agg, "complete")
+    out = _run_to_memory(
+        agg, "complete",
+        state_partitions=_adaptive_state_partitions(spark, sf_dir),
+    )
     return out.select(
         F.col("w.start").alias("window_start"),
         "event_type",
@@ -468,7 +523,10 @@ def stream_stream_view_purchase(
             <= F.col("view_ts") + F.expr("INTERVAL 2 HOURS")
         ),
     )
-    out = _run_to_memory(j, "append", state_partitions=8)
+    out = _run_to_memory(
+        j, "append",
+        state_partitions=_adaptive_state_partitions(spark, sf_dir, glob),
+    )
     return out.select(
         F.col("view_id_uid").alias("user_id"),
         "view_id",
@@ -521,7 +579,10 @@ def stream_stream_view_purchase_outer(
         ),
         "left_outer",
     )
-    out = _run_to_memory(j, "append", state_partitions=8)
+    out = _run_to_memory(
+        j, "append",
+        state_partitions=_adaptive_state_partitions(spark, sf_dir, glob),
+    )
     return out.select(
         F.col("view_id_uid").alias("user_id"),
         "view_id",
