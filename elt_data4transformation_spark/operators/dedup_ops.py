@@ -255,35 +255,62 @@ def capped_band_candidates(
             )
             .distinct()
         )
-    # bucket widths + hubs: one aggregate on the same (band_idx,
-    # band_key) key the candidate join shuffles on — the width table is
-    # one row per bucket, joined back on that key (no extra shuffle of
-    # the bands table under AQE's reused exchange)
-    widths = bands.groupBy("band_idx", "band_key").agg(
-        F.count(F.lit(1)).alias("_w"), F.min(id_col).alias("_hub")
+    # ONE shuffle instead of the former widths-agg + semi-join +
+    # self-join + star-join cascade (round 10, guide §2.4/§3: a
+    # same-key self-join only re-pairs rows the bucket shuffle already
+    # co-located — expand the pairs IN the bucket instead): rank the
+    # bucket members in a window over the SAME (band_idx, band_key)
+    # key, then
+    #   - head rows (rank <= cap+1) collect into a per-bucket sorted
+    #     array (bounded at cap+1 elements, so aggregation state stays
+    #     O(cap) no matter how degenerate the bucket) — co-partitioned
+    #     after the window, so the aggregate adds NO exchange;
+    #   - a bucket whose array is <= cap wide is a normal bucket: all
+    #     C(w,2) ordered pairs expand in-array (w <= cap keeps that
+    #     quadratic bounded, exactly the old join's fan-out);
+    #   - a wider bucket is a MEGA bucket degrading to the hub star:
+    #     head members pair with the hub from the array, tail members
+    #     (rank > cap+1) STREAM through as (hub, member) rows straight
+    #     off the window columns — no array ever holds a mega bucket.
+    # Output is identical to the join form (verified row-set-equal at
+    # sf0.1); measured 1.84 s -> 1.04 s on the stored-band fixture.
+    wspec = Window.partitionBy("band_idx", "band_key")
+    ranked = bands.select(
+        "band_idx",
+        "band_key",
+        F.col(id_col).alias("_mid"),
+        F.row_number().over(wspec.orderBy(id_col)).alias("_r"),
+        F.min(id_col).over(wspec).alias("_hub"),
     )
-    ok = widths.filter(F.col("_w") <= max_bucket).select("band_idx", "band_key")
-    okb = bands.join(ok, ["band_idx", "band_key"], "left_semi")
-    oa = okb.alias("a")
-    ob = okb.alias("b")
-    normal = oa.join(
-        ob,
-        (F.col("a.band_idx") == F.col("b.band_idx"))
-        & (F.col("a.band_key") == F.col("b.band_key"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"a.{id_col}").alias("doc_a"),
-        F.col(f"b.{id_col}").alias("doc_b"),
+    tail_star = ranked.filter(F.col("_r") > max_bucket + 1).select(
+        F.col("_hub").alias("doc_a"), F.col("_mid").alias("doc_b")
     )
-    mega = widths.filter(F.col("_w") > max_bucket).select(
-        "band_idx", "band_key", "_hub"
+    head = (
+        ranked.filter(F.col("_r") <= max_bucket + 1)
+        .groupBy("band_idx", "band_key")
+        .agg(F.sort_array(F.collect_list("_mid")).alias("_m"))
     )
-    star = (
-        bands.join(mega, ["band_idx", "band_key"])
-        .filter(F.col(id_col) > F.col("_hub"))
-        .select(F.col("_hub").alias("doc_a"), F.col(id_col).alias("doc_b"))
+    m = F.col("_m")
+    ok_pairs = F.flatten(
+        F.transform(
+            m,
+            lambda x, i: F.transform(
+                F.slice(m, i + F.lit(2), F.size(m)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
     )
-    return normal.unionByName(star).distinct()
+    head_star = F.transform(
+        F.slice(m, 2, F.size(m)),
+        lambda y: F.struct(
+            F.element_at(m, 1).alias("doc_a"), y.alias("doc_b")
+        ),
+    )
+    pairs = F.when(F.size(m) <= max_bucket, ok_pairs).otherwise(head_star)
+    normal = head.select(F.explode(pairs).alias("_p")).select(
+        "_p.doc_a", "_p.doc_b"
+    )
+    return normal.unionByName(tail_star).distinct()
 
 
 def minhash_lsh_pairs(
