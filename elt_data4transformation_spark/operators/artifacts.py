@@ -66,6 +66,19 @@ class CheckedThread(threading.Thread):
             raise exc
 
 
+def sized(df, *partition_cols: str):
+    """REBALANCE a store frame immediately before its parquet write
+    (file sizing, the coalesce-on-write half of guide §6): AQE packs
+    the rebalance shuffle's output to the advisory partition size, so
+    a fixture-scale store lands as ONE file per partition directory
+    instead of one file per upstream task (the sf0.1 sigstore measured
+    480 tiny files for 10 MB; scanning it cost 0.55 s steady / 1.5 s
+    cold vs 0.33 s compacted), while a cluster-scale store still
+    splits into advisory-sized files — no local constant anywhere.
+    Purely physical layout; row content is unchanged."""
+    return df.hint("rebalance", *partition_cols)
+
+
 def source_fingerprint(sources: list[str], params: str = "") -> str:
     """Fingerprint of the artifact's inputs: file-level metadata of
     every data file under each source path (file or directory), plus

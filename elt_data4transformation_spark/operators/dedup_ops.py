@@ -529,9 +529,11 @@ def write_band_index(
         bands = bands.select("*", doc_mod)
         band_parts.append("doc_mod")
         sh_parts.append("doc_mod")
-    bands.write.mode("overwrite").partitionBy(*band_parts).parquet(
-        f"{path}/bands"
-    )
+    from . import artifacts
+
+    artifacts.sized(bands, *band_parts).write.mode("overwrite").partitionBy(
+        *band_parts
+    ).parquet(f"{path}/bands")
     sh_out = sh.select(
         id_col,
         "shingles",
@@ -542,7 +544,7 @@ def write_band_index(
         sh_out = sh_out.select(
             "*", (F.col(id_col) % partition_mod).alias("doc_mod")
         )
-    w = sh_out.write.mode("overwrite")
+    w = artifacts.sized(sh_out, *sh_parts).write.mode("overwrite")
     if sh_parts:
         w = w.partitionBy(*sh_parts)
     w.parquet(f"{path}/shingles")
@@ -641,15 +643,21 @@ def merge_band_index(
         F.col(id_col).alias(id_col),
         T.char_shingles_col(shingle, text_col).alias("shingles"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    from . import artifacts
+
     sig = minhash_signature(sh, id_col, "shingles", n_hashes, n_bands)
-    pack_band_keys(band_table(sig, id_col, n_bands)).write.mode(
-        "overwrite"
-    ).partitionBy("band_idx").parquet(f"{index_path}/bands_ingest_{tag}")
-    sh.select(
-        id_col,
-        "shingles",
-        F.size("shingles").cast("long").alias("n_sh"),
-        F.transform("shingles", lambda s: F.xxhash64(s)).alias("sh_hash"),
+    artifacts.sized(
+        pack_band_keys(band_table(sig, id_col, n_bands)), "band_idx"
+    ).write.mode("overwrite").partitionBy("band_idx").parquet(
+        f"{index_path}/bands_ingest_{tag}"
+    )
+    artifacts.sized(
+        sh.select(
+            id_col,
+            "shingles",
+            F.size("shingles").cast("long").alias("n_sh"),
+            F.transform("shingles", lambda s: F.xxhash64(s)).alias("sh_hash"),
+        )
     ).write.mode("overwrite").parquet(f"{index_path}/shingles_ingest_{tag}")
     sh.unpersist()
 
@@ -689,10 +697,10 @@ def compact_band_index(spark, index_path: str) -> bool:
     def build(tmp: str) -> None:
         # the writes read the old artifact while it still exists; the
         # swap happens only after both folded tables are on disk
-        bands.write.mode("overwrite").partitionBy("band_idx").parquet(
-            f"{tmp}/bands"
-        )
-        sh.write.mode("overwrite").parquet(f"{tmp}/shingles")
+        artifacts.sized(bands, "band_idx").write.mode("overwrite").partitionBy(
+            "band_idx"
+        ).parquet(f"{tmp}/bands")
+        artifacts.sized(sh).write.mode("overwrite").parquet(f"{tmp}/shingles")
 
     artifacts.swap(index_path, build, {**meta, "ingests": [], "deletes": []})
     return True

@@ -599,9 +599,11 @@ def _srp_band_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").cast("array<double>").alias("v"),
         )
         twin = _srp_twins_of(e0)
-        _srp_bands_of(e0.unionByName(twin)).write.mode(
-            "overwrite"
-        ).partitionBy("band_idx").parquet(f"{tmp}/bands")
+        artifacts.sized(
+            _srp_bands_of(e0.unionByName(twin)), "band_idx"
+        ).write.mode("overwrite").partitionBy("band_idx").parquet(
+            f"{tmp}/bands"
+        )
 
     artifacts.publish(store, fp, build)
     return spark.read.parquet(f"{store}/bands")
@@ -2657,13 +2659,15 @@ def _ensure_winnow_store(spark: SparkSession, sf_dir: str) -> str:
     )
 
     def build(tmp: str) -> None:
-        dedup_ops.winnow_positions(
-            spread(table(spark, sf_dir, "documents")),
-            "doc_id",
-            "text",
-            _WSUB_K,
-            _WSUB_W,
-            _WSUB_M,
+        artifacts.sized(
+            dedup_ops.winnow_positions(
+                spread(table(spark, sf_dir, "documents")),
+                "doc_id",
+                "text",
+                _WSUB_K,
+                _WSUB_W,
+                _WSUB_M,
+            )
         ).write.mode("overwrite").parquet(f"{tmp}/anchors")
         a = spark.read.parquet(f"{tmp}/anchors")
         shared_fp = (
@@ -3119,11 +3123,13 @@ def _ensure_winnow_maintain_store(spark: SparkSession, sf_dir: str) -> str:
         artifacts.publish(
             path,
             fp_base,
-            lambda tmp: dedup_ops.winnow_positions(
-                spread(d.filter(F.col("doc_id") % DELTA_MOD != 0)),
-                "doc_id",
-                "text",
-                **kw,
+            lambda tmp: artifacts.sized(
+                dedup_ops.winnow_positions(
+                    spread(d.filter(F.col("doc_id") % DELTA_MOD != 0)),
+                    "doc_id",
+                    "text",
+                    **kw,
+                )
             )
             .write.mode("overwrite")
             .parquet(f"{tmp}/anchors"),
@@ -3131,11 +3137,13 @@ def _ensure_winnow_maintain_store(spark: SparkSession, sf_dir: str) -> str:
         # ...then the delta batch arrives: winnow ONLY its docs and
         # append the segment (overwrite mode makes a crashed orphan
         # rerun-safe), stamping the meta after the write completes
-        dedup_ops.winnow_positions(
-            spread(d.filter(F.col("doc_id") % DELTA_MOD == 0)),
-            "doc_id",
-            "text",
-            **kw,
+        artifacts.sized(
+            dedup_ops.winnow_positions(
+                spread(d.filter(F.col("doc_id") % DELTA_MOD == 0)),
+                "doc_id",
+                "text",
+                **kw,
+            )
         ).write.mode("overwrite").parquet(f"{path}/anchors_delta")
         artifacts.update_meta(path, fp_delta, {"ingests": ["delta"]})
     return path
@@ -3291,8 +3299,9 @@ def _ensure_winnow_compact_store(spark: SparkSession, sf_dir: str) -> str:
         artifacts.publish(
             path,
             fp,
-            lambda tmp: base.unionByName(delta)
-            .join(tomb, "doc_id", "left_anti")
+            lambda tmp: artifacts.sized(
+                base.unionByName(delta).join(tomb, "doc_id", "left_anti")
+            )
             .write.mode("overwrite")
             .parquet(f"{tmp}/anchors"),
         )

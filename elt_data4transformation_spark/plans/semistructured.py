@@ -1321,9 +1321,9 @@ def _fingerprint_store(
             id_offset=twin_off,
             **twin_kwargs,
         )
-        decode(base.unionByName(twins)).write.mode("overwrite").parquet(
-            tmp
-        )
+        artifacts.sized(decode(base.unionByName(twins))).write.mode(
+            "overwrite"
+        ).parquet(tmp)
 
     artifacts.publish(store, fp, build)
     return store
