@@ -51,20 +51,31 @@ def jaccard_pairs(
     shared tokens are hotter than the cap. ``None`` (default) keeps
     the single-join count-based path with no rescore."""
     block = F.col(block_col) if block_col else F.lit("_all")
+    # materialize the per-doc set frame once — ONE level above the
+    # former posting-list persist, for two reasons:
+    # 1. both sides of the self-join (and the capped path's rescore)
+    #    would otherwise re-run the n-gram projection — the single
+    #    most expensive expression in the plan;
+    # 2. the cache is a PREDICATE-PUSHDOWN BARRIER for the filter that
+    #    InferFiltersFromGenerate derives from the explode below
+    #    (size(_set) > 0): without it that filter pushes through the
+    #    projections and INLINES the whole n-gram expression into the
+    #    scan filter — including the split() the callers deliberately
+    #    name first, re-inlined into every element_at = O(words^2)
+    #    re-splits per doc (measured: the explode stage ran 2.5-3.8 s
+    #    at sf0.1 vs 0.3 s for the grams projection itself). Against
+    #    the cache the inferred filter is a cheap size() probe.
     base = sets_df.select(
         block.alias("_blk"),
         F.col(id_col).alias("_id"),
         F.col(set_col).alias("_set"),
-        F.size(set_col).cast("long").alias("_n"),
-    )
-    # materialize the posting list once: both sides of the self-join
-    # (and every downstream job) would otherwise re-run the n-gram
-    # projection — the single most expensive expression in the plan.
-    # At scale this is the classic inverted-index build: posting rows
-    # are (block, token, id, set_size), far narrower than the documents.
-    tok = base.select(
-        "_blk", "_id", "_n", F.explode("_set").alias("_tok")
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    tok = base.select(
+        "_blk",
+        "_id",
+        F.size("_set").cast("long").alias("_n"),
+        F.explode("_set").alias("_tok"),
+    )
     join_tok = tok
     if max_df is not None:
         rare = (
@@ -113,13 +124,13 @@ def jaccard_pairs(
             "_blk",
             F.col("_id").alias("doc_a"),
             F.col("_set").alias("_seta"),
-            F.col("_n").alias("_na"),
+            F.size("_set").cast("long").alias("_na"),
         )
         sb = base.select(
             "_blk",
             F.col("_id").alias("doc_b"),
             F.col("_set").alias("_setb"),
-            F.col("_n").alias("_nb"),
+            F.size("_set").cast("long").alias("_nb"),
         )
         inter = (
             cand.join(sa, ["_blk", "doc_a"])
