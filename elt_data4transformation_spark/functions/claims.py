@@ -133,13 +133,22 @@ def _matches_with_pos(src: DataFrame, pattern: str) -> DataFrame:
         F.regexp_extract_all("text", F.lit(pattern), 0).alias("matches"),
         F.split("text", pattern, -1).alias("segs"),
     )
+    # posexplode_OUTER + isnotnull, not plain posexplode: the non-outer
+    # generator lets InferFiltersFromGenerate add `size(matches) > 0
+    # AND isnotnull(matches)` below the Generate, and predicate
+    # pushdown inlines the full regexp_extract_all into that scan
+    # filter — every row then pays the regex 2-3x (seen in the
+    # optimized plan). The outer form carries empty-match rows as one
+    # NULL row instead, and the isnotnull on the EXPLODED column drops
+    # them right after the Generate — same rows out (match strings are
+    # never null), regex evaluated once per input row.
     ex = ext.select(
         "study_id",
         "text",
         "segs",
         "matches",
-        F.posexplode("matches").alias("pos", "m"),
-    )
+        F.posexplode_outer("matches").alias("pos", "m"),
+    ).filter(F.col("m").isNotNull())
     start0 = F.expr(
         "aggregate(slice(segs, 1, pos + 1), 0, (a, x) -> a + length(x))"
         " + aggregate(slice(matches, 1, pos), 0, (a, x) -> a + length(x))"
