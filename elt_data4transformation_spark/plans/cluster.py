@@ -84,14 +84,23 @@ def trigram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.floor(F.col("n_chars") / 100))
         .alias("yr"),
         T.pg_trgm_col(_title_col()).alias("trgm"),
-    )
+    ).withColumn("ntr", F.size("trgm").cast("double"))
     a, b = t.alias("a"), t.alias("b")
     inter = F.size(
         F.array_intersect(F.col("a.trgm"), F.col("b.trgm"))
     ).cast("double")
-    union = (
-        F.size(F.col("a.trgm")) + F.size(F.col("b.trgm"))
-    ).cast("double") - inter
+    union = (F.col("a.ntr") + F.col("b.ntr")) - inter
+    sizes = F.col("a.ntr") + F.col("b.ntr")
+    # Threshold in the ON clause, cheap conjuncts first (see
+    # title_dedup_merge for the full rationale): the former post-select
+    # `.filter(sim >= t)` was pushed into the join condition as its
+    # FIRST conjunct, so every blocked pair paid array_intersect 2-3x
+    # before the cheap gates ran. t = 11/20 in cleared-fraction form
+    #   inter/(na+nb-inter) >= 11/20  <=>  31*inter >= 11*(na+nb)
+    # leaves ONE intersect occurrence, evaluated only for pairs that
+    # survive the size-ratio pre-gate (sim <= min/max). sizes > 0
+    # excludes the empty-set pair the old NULL sim dropped (the nullif
+    # guard below keeps protecting the projected sim itself).
     pairs = (
         a.join(
             b,
@@ -102,7 +111,14 @@ def trigram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("a.yr").isNull()
                 | F.col("b.yr").isNull()
                 | (F.col("a.yr") == F.col("b.yr"))
-            ),
+            )
+            & (sizes > 0)
+            & (
+                F.least(F.col("a.ntr"), F.col("b.ntr"))
+                >= F.lit(_TRGM_THRESHOLD)
+                * F.greatest(F.col("a.ntr"), F.col("b.ntr"))
+            )
+            & (F.lit(31.0) * inter >= F.lit(11.0) * sizes),
         )
         .select(
             F.col("a.lang").alias("lang"),
@@ -115,7 +131,6 @@ def trigram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             # parity break on empty/whitespace-only titles
             (inter / F.nullif(union, F.lit(0.0))).alias("sim"),
         )
-        .filter(F.col("sim") >= _TRGM_THRESHOLD)
     )
     best = Window.partitionBy("doc_a").orderBy(F.desc("sim"), "doc_b")
     return (
@@ -269,17 +284,50 @@ def title_dedup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("url"),
     )
     blk = F.lower(F.element_at(F.split("title", " "), 1))
-    ext = ex.withColumn("blk", blk).withColumn("trgm", T.pg_trgm_col(F.col("title")))
-    intk = inc.withColumn("blk", blk).withColumn(
-        "trgm", T.pg_trgm_col(F.col("title"))
+    # persist both join sides: the join condition's references to blk /
+    # ntr / trgm make constraint propagation infer isnotnull() guards
+    # on them, and predicate pushdown inlines the FULL trigram build
+    # into each side's scan filter (captured in
+    # plans/r10/title_dedup_merge_before.txt) — every doc paid
+    # pg_trgm_col twice. The cache is a pushdown barrier: the inferred
+    # guards probe the materialized columns instead. The working set is
+    # (title, trgm) per doc — the standard LSH candidate working set,
+    # MEMORY_AND_DISK spills at scale.
+    ext = (
+        ex.withColumn("blk", blk)
+        .withColumn("trgm", T.pg_trgm_col(F.col("title")))
+        .withColumn("ntr", F.size("trgm").cast("double"))
+        .persist()
+    )
+    intk = (
+        inc.withColumn("blk", blk)
+        .withColumn("trgm", T.pg_trgm_col(F.col("title")))
+        .withColumn("ntr", F.size("trgm").cast("double"))
+        .persist()
     )
     i, e = intk.alias("i"), ext.alias("e")
     inter = F.size(F.array_intersect(F.col("i.trgm"), F.col("e.trgm"))).cast(
         "double"
     )
     union = (
-        F.size(F.col("i.trgm")) + F.size(F.col("e.trgm"))
-    ).cast("double") - inter
+        F.col("i.ntr") + F.col("e.ntr")
+    ) - inter
+    sizes = F.col("i.ntr") + F.col("e.ntr")
+    # The threshold as a join-condition conjunct, CHEAP CONJUNCTS
+    # FIRST. The former post-select `.filter(sim >= t)` was pushed into
+    # the join condition AS ITS FIRST CONJUNCT (captured in
+    # plans/r10/title_dedup_merge_before.txt), so every blk-equal pair
+    # evaluated array_intersect 2-3x (numerator / nullif-guard /
+    # denominator) before the cheap year gate even ran. Rewriting
+    # t = 17/20 in cleared-fraction integer form
+    #   inter/(na+nb-inter) >= 17/20  <=>  37*inter >= 17*(na+nb)
+    # leaves a SINGLE intersect occurrence, evaluated once per pair
+    # and only after the cheap size-ratio pre-gate
+    # (sim <= min/max, so min < t*max can never reach the threshold)
+    # prunes the pair. Exact: set sizes are small integers, so the
+    # rational form and the double comparison agree (nearest-double
+    # gap >= 1/(20*u) >> double rounding error); the empty-set pair
+    # (old sim = 0/0 -> NULL -> dropped) is excluded by sizes > 0.
     cand = (
         i.join(
             e,
@@ -288,7 +336,14 @@ def title_dedup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("i.year").isNull()
                 | F.col("e.year").isNull()
                 | (F.col("i.year") == F.col("e.year"))
-            ),
+            )
+            & (sizes > 0)
+            & (
+                F.least(F.col("i.ntr"), F.col("e.ntr"))
+                >= F.lit(_MERGE_THRESHOLD)
+                * F.greatest(F.col("i.ntr"), F.col("e.ntr"))
+            )
+            & (F.lit(37.0) * inter >= F.lit(17.0) * sizes),
         )
         .select(
             "nid",
@@ -302,7 +357,6 @@ def title_dedup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("i.url").alias("iurl"),
             F.col("e.url").alias("eurl"),
         )
-        .filter(F.col("sim") >= _MERGE_THRESHOLD)
     )
     w_best = Window.partitionBy("nid").orderBy(F.desc("sim"), F.asc("created_at"))
     m = cand.withColumn("rn", F.row_number().over(w_best)).filter(F.col("rn") == 1)
@@ -1086,12 +1140,16 @@ def search_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cosine = numer / (norm * F.sqrt(F.lit(float(len(_QUERY_TERMS)))))
-    semantic = (
-        base.withColumn("cos", cosine)
-        .filter(F.col("cos") >= 0.35)
-        .select(
-            "doc_id", F.lit(2).alias("pass"), F.round("cos", 6).alias("score")
-        )
+    # materialize the narrow (doc_id, cos) frame before the threshold:
+    # the filter would otherwise push below the projection and inline
+    # the whole quadratic term-frequency aggregate, so every doc paid
+    # it twice (once in the filter, once for the rounded score — seen
+    # in plans/r10/search_union_before.txt). The cache is (id, double)
+    # per doc — negligible at any scale — and the score gate + round
+    # read the materialized column.
+    scored = base.select("doc_id", cosine.alias("cos")).persist()
+    semantic = scored.filter(F.col("cos") >= 0.35).select(
+        "doc_id", F.lit(2).alias("pass"), F.round("cos", 6).alias("score")
     )
     unioned = lexical.unionByName(semantic)
     fw = Window.partitionBy("doc_id").orderBy("pass")
@@ -1396,8 +1454,14 @@ def levenshtein_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("_b") == F.col("_b2"))
             & (F.col("doc_a") < F.col("doc_b")),
         )
-        .withColumn("dist", F.levenshtein("_ta", "_tb"))
-        .filter(F.col("dist") <= _LEV_MAX)
+        # thresholded levenshtein (Spark 3.5+): the DP early-exits as
+        # soon as the running distance exceeds _LEV_MAX and returns -1,
+        # so non-matching pairs stop after a band of the matrix instead
+        # of filling all of it (guide §1.2 per-task work). For
+        # surviving pairs it returns the exact distance — same rows,
+        # same dist values.
+        .withColumn("dist", F.levenshtein("_ta", "_tb", _LEV_MAX))
+        .filter(F.col("dist") >= 0)
         .select("doc_a", "doc_b", "dist")
         .orderBy("doc_a", "doc_b")
     )
@@ -1534,8 +1598,10 @@ def levenshtein_lsh_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         normal.unionByName(star)
-        .withColumn("dist", F.levenshtein("_ta", "_tb"))
-        .filter(F.col("dist") <= _LEV_MAX)
+        # thresholded levenshtein — early-exit DP, -1 past _LEV_MAX
+        # (see levenshtein_titles); identical surviving rows/values
+        .withColumn("dist", F.levenshtein("_ta", "_tb", _LEV_MAX))
+        .filter(F.col("dist") >= 0)
         .select("doc_a", "doc_b", "dist")
         .distinct()
         .orderBy("doc_a", "doc_b")
