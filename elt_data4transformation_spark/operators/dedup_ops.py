@@ -996,6 +996,22 @@ def _probe_with_signatures(
     # DELTA DOC — never join them before broadcasting, a per-PAIR
     # array replication inflates the exchange by the candidate cap
     # (measured 2x regression on the artifact-read probes).
+    # size-ratio pre-gate BEFORE the intersect: jac <= min(|A|,|B|) /
+    # max(|A|,|B|) (intersection bounded by the smaller set, union by
+    # the larger), so a pair whose set sizes differ beyond the
+    # threshold ratio can never clear it — prune on the cheap size
+    # columns and skip the hot array_intersect for those pairs
+    # entirely. Result-identical: the bound is sound, and at the 0.5
+    # operating point it is the exact integer form 2*min >= max.
+    _da = F.size("_sa").cast("long")
+    if threshold == 0.5:
+        size_gate = F.least(_da, F.col("_nb")) * 2 >= F.greatest(
+            _da, F.col("_nb")
+        )
+    else:
+        size_gate = F.least(_da, F.col("_nb")).cast("double") >= F.lit(
+            threshold
+        ) * F.greatest(_da, F.col("_nb")).cast("double")
     scored = idx_sh.select(
         F.col(id_col).alias("matched_doc_id"),
         F.col("sh_hash").alias("_sb"),
@@ -1003,7 +1019,7 @@ def _probe_with_signatures(
     ).join(hint(cand), "matched_doc_id").join(
         hint(dsh.select(F.col("_nid").alias("new_doc_id"), "_sa")),
         "new_doc_id",
-    ).select(
+    ).filter(size_gate).select(
         "new_doc_id",
         "matched_doc_id",
         F.size(F.array_intersect("_sa", "_sb")).cast("long").alias("_i"),

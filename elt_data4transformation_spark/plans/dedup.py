@@ -1102,11 +1102,22 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = bands_of(delta).select(
         F.col("doc_id").alias("new_doc_id"), "band_idx", "band_key"
     )
+    from pyspark import StorageLevel
+
     cand = (
         idx.join(F.broadcast(probe), ["band_idx", "band_key"])
         .select("new_doc_id", F.col("doc_id").alias("matched_doc_id"))
         .distinct()
+        # persist + eager count: cand feeds BOTH the corpus semi-join
+        # (sh_hit) and the rescore join below — without the
+        # materialization each consumer re-ran the full corpus
+        # band-table build (shingle + minhash over every corpus doc,
+        # the most expensive subtree here; measured ~1.5 s per extra
+        # execution at sf0.1). Eager because two consumers in one
+        # action race a cold cache and both compute.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    cand.count()
     # exact re-score: delta shingles are recomputed for the whole (small)
     # batch; corpus shingles only for rows that matched a band
     sh_new = delta.select(
@@ -1130,6 +1141,14 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow = (
         cand.join(F.broadcast(sh_new), "new_doc_id")
         .join(sh_hit, "matched_doc_id")
+        # size-ratio pre-gate before the intersect (the sound bound
+        # jac <= min/max; exact integer form at the 0.5 operating
+        # point — see operators/dedup_ops._probe_with_signatures):
+        # pairs whose set sizes differ >2x skip the hot intersect
+        .filter(
+            F.least(F.size("_sa"), F.size("_sb")) * 2
+            >= F.greatest(F.size("_sa"), F.size("_sb"))
+        )
         .select(
             "new_doc_id",
             "matched_doc_id",
