@@ -1202,39 +1202,59 @@ def _winnow_keys(
     ``(id, np, sk)`` BEFORE any distinct — consecutive windows usually
     select the same anchor, so callers dedupe, each at its own grain
     (winnow_select on the decoded hash, winnow_positions on the full
-    packed key) in a single exchange."""
-    pos = (
+    packed key) in a single exchange.
+
+    The sliding-window minimum is computed IN-ARRAY per document (each
+    doc's packed keys in one array column, w-wide array_min per
+    position) instead of the former Window over the exploded position
+    stream: a window partitioned by id had to hash-exchange and sort
+    every (id, position) row — the only shuffle in the selection whose
+    bytes scale with corpus CHARACTERS rather than selected anchors —
+    while the per-doc array already holds the positions adjacent and
+    ordered by construction. Array state is one long per gram (~8
+    bytes/char), bounded by the documents-shorter-than-m contract that
+    the packed key itself already imposes. Same integer arithmetic,
+    row-identical output (asserted by the crafted-fixture operator
+    test and the exact-hash audits)."""
+
+    def key_at(p: F.Column) -> F.Column:
+        # identical packing to the former per-row projection: 32-bit
+        # md5 prefix * m + (m-1-p), all integer — p is 1-based
+        return F.conv(
+            F.substring(F.md5(F.col("_t").substr(p, F.lit(k))), 1, 8),
+            16,
+            10,
+        ).cast("long") * m + (F.lit(m) - 1 - p.cast("long"))
+
+    keys = F.transform(
+        F.sequence(F.lit(1), F.length("_t") - k + 1), key_at
+    )
+    # let-binding via a 1-element-array transform: `ks` is a lambda
+    # VARIABLE, so the key array is computed once per document and the
+    # w references per window are lookups — a named column would be
+    # collapse-inlined into every slice (HOF lambdas sit outside CSE),
+    # recomputing the whole md5 chain per window position
+    sks = F.element_at(
+        F.transform(
+            F.array(keys),
+            lambda ks: F.transform(
+                F.sequence(F.lit(1), F.size(ks) - w + 1),
+                lambda i: F.array_min(F.slice(ks, i, F.lit(w))),
+            ),
+        ),
+        1,
+    )
+    # explode_OUTER: the inferred `size(e) > 0` guard a plain explode
+    # gets would inline the whole key computation into a filter and
+    # evaluate it twice per row (the claims_extract trap); the length
+    # gate above already guarantees >= 1 window per surviving doc, so
+    # outer emits the identical row set
+    return (
         df.filter(F.length(text_col) >= k + w - 1)
         .select(
             F.col(id_col),
             (F.length(text_col) - k + 1).cast("long").alias("np"),
-            F.explode(
-                F.sequence(F.lit(1), F.length(text_col) - k + 1)
-            ).alias("p"),
             F.col(text_col).alias("_t"),
         )
-        .select(
-            id_col,
-            "np",
-            F.col("p").cast("long").alias("p"),
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(F.col("_t").substr(F.col("p"), F.lit(k))),
-                        1,
-                        8,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                * m
-                + (F.lit(m) - 1 - F.col("p"))
-            ).alias("key"),
-        )
-    )
-    frame = Window.partitionBy(id_col).orderBy("p").rowsBetween(0, w - 1)
-    return (
-        pos.withColumn("sk", F.min("key").over(frame))
-        .filter(F.col("p") <= F.col("np") - w + 1)
-        .select(id_col, "np", "sk")
+        .select(id_col, "np", F.explode_outer(sks).alias("sk"))
     )

@@ -2866,6 +2866,55 @@ def test_winnow_fingerprints_density_and_dup_invariance(spark):
     assert not (fps[1] & fps[3] and fps[2] & fps[3])
 
 
+def test_winnow_positions_match_pure_python_reference(spark):
+    """Pin the in-array sliding-min rewrite of _winnow_keys to a
+    row-by-row pure-Python winnowing reference: exact per-window
+    argmin with rightmost tie-break (the packed-key integer
+    semantics), on texts engineered to contain hash ties (repeated
+    grams) and short-doc edge lengths around k + w - 1."""
+    import hashlib
+
+    from elt_data4transformation_spark.operators.dedup_ops import (
+        winnow_positions,
+    )
+
+    k, w, m = 8, 4, 1 << 20
+    texts = {
+        1: "ababababababababababab",  # heavy gram repetition -> ties
+        2: "the quick brown fox jumps over the lazy dog",
+        3: "exactly11ch",  # len 11 == k + w - 1: one window
+        4: "shortdoc",  # len 8 < k + w - 1: must be dropped
+        5: "x" * 30,  # a single repeated gram everywhere
+    }
+
+    def ref_rows(doc_id: int, t: str):
+        n = len(t)
+        if n < k + w - 1:
+            return set()
+        np_ = n - k + 1
+        keys = []
+        for p in range(1, np_ + 1):
+            h = int(hashlib.md5(t[p - 1 : p - 1 + k].encode()).hexdigest()[:8], 16)
+            keys.append(h * m + (m - 1 - p))
+        out = set()
+        for i in range(np_ - w + 1):
+            sk = min(keys[i : i + w])
+            out.add((doc_id, np_, m - 1 - sk % m, sk // m))
+        return out
+
+    expected = set()
+    for i, t in texts.items():
+        expected |= ref_rows(i, t)
+    crafted = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.np, r.p, r.fp_hash)
+        for r in winnow_positions(crafted, "doc_id", "text", k, w, m).collect()
+    }
+    assert got == expected
+
+
 def test_leakage_safe_split_keeps_components_together(spark):
     """The group-aware split's whole point: every near-dup component
     lands in exactly one split, the assignment covers all docs exactly
