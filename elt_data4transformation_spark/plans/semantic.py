@@ -347,12 +347,16 @@ def pagerank_citations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint: every iteration re-reads the checkpointed
     # partitions instead of replanning the edge derivation, and the
     # 5-iteration lineage stays flat (same rule as dedup_components)
-    ed = edges.join(outdeg, "src").localCheckpoint()
+    ed = edges.join(outdeg, "src").localCheckpoint(eager=False)
     # zero rows keep dangling / no-inflow nodes in every iteration's
     # aggregate, replacing a per-iteration (nodes LEFT JOIN contrib)
     # shuffle join with a union feeding the same groupBy — one shuffle
     # per iteration instead of two
-    zeros = d.select("doc_id", F.lit(0.0).alias("c")).localCheckpoint()
+    # both lazy: materialization folds into the first iteration's job
+    # (which computes all partitions), saving two eager pre-jobs
+    zeros = d.select("doc_id", F.lit(0.0).alias("c")).localCheckpoint(
+        eager=False
+    )
     ranks = d.select("doc_id", (F.lit(1.0) / n_docs).alias("pr"))
     base = (1.0 - _PR_DAMP) / n_docs
     for _ in range(_PR_ITERS):

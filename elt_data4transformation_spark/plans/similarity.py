@@ -553,6 +553,11 @@ def _refined_centroids(e: DataFrame, k: int = N_CENTROIDS) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
     )
     assigned0 = assign_nearest(e.select("vec_id", "v"), cent0).drop("cos")
+    # NOT checkpointed (measured): pinning the k-row result with an
+    # eager job read 0.93x on ann_ivf_nprobe but 1.67x on
+    # ann_ivf_scaled in the interleaved A/B — the runtime reuses the
+    # identical broadcast subtrees on its own, and the extra serial
+    # job costs more than the (already-shared) Lloyd pass
     return (
         assigned0.select("centroid_id", F.posexplode("v").alias("dim", "val"))
         .groupBy("centroid_id", "dim")
@@ -2055,6 +2060,11 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = base.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
     )
+    # eager stays (measured): the lazy form folds each centroid
+    # materialization into the NEXT iteration's broadcast-build
+    # thread, and the interleaved A/B read 1.10x for it — the
+    # broadcast path schedules the nested chain worse than three
+    # explicit tiny jobs do
     for _ in range(_KM_ITERS):
         cent = update(assign(base, cent)).localCheckpoint(eager=True)
     final = assign(base, cent)
@@ -2372,6 +2382,12 @@ def _pq_adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda x: x["marr"],
             ).alias("bsubs")
         )
+        # ONE row, but its subtree is the full-corpus seed encode +
+        # per-subspace Lloyd refinement; it is broadcast separately
+        # into the base encode and the query-LUT encode (no static
+        # exchange reuse) — pin it with one eager job so the codebook
+        # trains exactly once per query
+        .localCheckpoint(eager=True)
     )
     enc = encode(ev, book)
     # query LUT[m][c]: exact sub-L2 from the query's sub m to code c

@@ -319,11 +319,22 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated = feats.filter(F.col("q") >= _CLEAN_QUALITY_MIN).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    w_digest = Window.partitionBy("digest").orderBy("doc_id")
+    # keep-first-per-digest as a min_by AGGREGATE, not a row_number
+    # window: the hash aggregate partial-aggregates map-side (one
+    # surviving row per digest per mapper crosses the exchange) and
+    # never sorts, where the window shipped every row and sorted each
+    # digest group (guide §2.3/§2.4). Same row set: lowest doc_id wins
+    # per digest on both forms.
+    cols = [c for c in gated.columns if c != "digest"]
     exact_kept = (
-        gated.withColumn("drn", F.row_number().over(w_digest))
-        .filter(F.col("drn") == 1)
-        .drop("drn")
+        gated.groupBy("digest")
+        .agg(
+            F.min_by(
+                F.struct(*[F.col(c).alias(c) for c in cols]), F.col("doc_id")
+            ).alias("_r")
+        )
+        .select("digest", *[F.col(f"_r.{c}").alias(c) for c in cols])
+        .select(*gated.columns)
     )
     # split once into a named column — inlining the split() expression
     # into word_ngrams_col's element_at calls costs O(words^2) per doc
@@ -913,7 +924,14 @@ def _train_bpe(spark: SparkSession, sf_dir: str):
         .select(
             "word", "cnt", F.concat(chars, F.lit(f" {_EOW}")).alias("s")
         )
-        .localCheckpoint(eager=True)
+        # LAZY checkpoints throughout the loop: the plan is truncated
+        # immediately (constant-size re-planned tree, same as before)
+        # but materialization rides the round's own pair-count job
+        # instead of paying a separate eager job per round — halves
+        # the loop's job count; the count job computes every partition
+        # (TakeOrderedAndProject over the full aggregate), so each
+        # round's state is fully pinned exactly as with eager=True
+        .localCheckpoint(eager=False)
     )
     merges = []
     for step in range(_BPE_MERGES):
@@ -949,7 +967,7 @@ def _train_bpe(spark: SparkSession, sf_dir: str):
                     F.lit(" " + best["pr"].replace(" ", "") + " "),
                 )
             ),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return w, merges
 
 
