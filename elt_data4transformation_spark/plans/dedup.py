@@ -1164,14 +1164,22 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_i").cast("double")
         / (F.col("_na") + F.col("_nb") - F.col("_i")),
     )
-    best = Window.partitionBy("new_doc_id").orderBy(
-        F.desc("jac"), F.asc("matched_doc_id")
+    # best-match as a max_by aggregate (no per-group sort, map-side
+    # partial aggregation): key (jac, -matched) reproduces the former
+    # window's (jac DESC, matched ASC) tie-break exactly — jac is a
+    # ratio of positive ints, never NULL
+    best_key = F.struct(F.col("jac"), (-F.col("matched_doc_id")).cast("long"))
+    pay = F.struct(
+        F.col("matched_doc_id").alias("matched_doc_id"),
+        F.col("jac").alias("jac"),
     )
     return (
-        scored.withColumn("rn", F.row_number().over(best))
-        .filter(F.col("rn") == 1)
+        scored.groupBy("new_doc_id")
+        .agg(F.max_by(pay, best_key).alias("_b"))
         .select(
-            "new_doc_id", "matched_doc_id", F.round("jac", 6).alias("jaccard")
+            "new_doc_id",
+            F.col("_b.matched_doc_id").alias("matched_doc_id"),
+            F.round("_b.jac", 6).alias("jaccard"),
         )
         .orderBy("new_doc_id")
     )
