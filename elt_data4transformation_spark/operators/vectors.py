@@ -570,6 +570,20 @@ def split_wide_clusters(
     n_wide = wide.count()
     if n_wide == 0:
         return 0
+    # GUARD on the global window below (round 11, verdict #9): its
+    # input is the wide-centroid list, bounded by K by construction
+    # (wide is a filtered projection of the per-centroid counts).
+    # n_wide and k are both already-driver-known scalars, so the bound
+    # is enforced for free — if the invariant ever breaks (e.g. a
+    # future refactor feeds per-member rows in here), the job fails
+    # loudly instead of silently sorting an unbounded input on one
+    # task.
+    if n_wide > k:
+        raise AssertionError(
+            f"split_wide_clusters: {n_wide} wide-centroid rows exceed "
+            f"K={k} — single-task b_id window input must stay "
+            "centroid-bounded"
+        )
     max_cid = cent.agg(F.max("centroid_id")).first()[0]
     # <=K rows: the single-partition window is a scalar-sized sort
     wide_ids = wide.withColumn(

@@ -442,8 +442,9 @@ def _prep_deleted_ivf(spark: SparkSession, sf_dir: str) -> None:
 def _ensure_stream_ivf_src(spark: SparkSession, sf_dir: str) -> str:
     """stream_ivf_ingest's incoming files: tag = vec_id % 5 in {0, 1},
     one file per tag, published once per corpus state (see dedup's
-    _ensure_stream_fixture — tag 1 mtime-stamped older so the
-    sequencer's reorder path fires). The files CARRY each vector's
+    _ensure_stream_fixture — tag 1 mtime-stamped older, exercising
+    the sequencer whenever the source splits arrivals). The files
+    CARRY each vector's
     centroid assignment against the frozen stored base centroids —
     the at-arrival half of the vector-ingest contract: the upstream
     ingest worker assigns a vector to its bucket when it arrives (it
@@ -1526,17 +1527,18 @@ def _stream_ivf_oracle() -> str:
     doc="The VECTOR-STORE INGEST LOOP as a real Structured Streaming "
     "job — the streaming composition the stored-IVF family builds "
     "toward, and the vector mirror of stream_index_ingest: vector "
-    "batches arrive as files (readStream, maxFilesPerTrigger=1, "
-    "availableNow); inside foreachBatch each batch is assigned to the "
+    "batches arrive as files (readStream, availableNow — round 11: no "
+    "maxFilesPerTrigger cap, so co-arriving files share one trigger "
+    "and one probe pass); inside foreachBatch each batch is assigned to the "
     "FROZEN stored centroids (broadcast — the production no-re-cluster "
     "ingest), PROBED for its nearest same-bucket neighbor among the "
     "current index (base + every earlier merged segment — so batch "
     "N+1 can match batch N's vectors, proving the merge), then MERGED "
     "as a centroid-partitioned segment with the meta stamped after "
     "the segment write completes (crashed merge = unlisted orphan). "
-    "Out-of-order arrival is handled by the same executor-buffered "
-    "sequencer as the dedup loop (the fixture writes the later batch "
-    "first, forcing the reorder path every run) — results are "
+    "Out-of-order arrival is handled by the same tag sequencer as the "
+    "dedup loop (tag-ordered drains within a batch; the executor-"
+    "buffered pin across split batches) — results are "
     "deterministic under ANY file-arrival order. The probe log "
     "(batch_tag, vec_id, matched_vec_id, cosine) is the audit trail "
     "an embedding-ingest pipeline keeps (duplicate detection / "
@@ -1586,9 +1588,10 @@ def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         artifacts.update_meta(idx, "run", {"ingests": []})
 
         # fixture plumbing: the ingest batch files (tag = vec_id % 5
-        # in {0, 1}; tag 1 mtime-older so the reorder path fires) are
-        # a published immutable artifact consumed read-only by every
-        # run's fresh checkpoint (see _ensure_stream_ivf_src)
+        # in {0, 1}; tag 1 mtime-older, exercising the sequencer
+        # whenever the source splits arrivals) are a published
+        # immutable artifact consumed read-only by every run's fresh
+        # checkpoint (see _ensure_stream_ivf_src)
         src = _ensure_stream_ivf_src(spark, sf_dir)
 
         results = os.path.join(work, "probes")
@@ -1604,79 +1607,124 @@ def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "batch_tag int, vec_id long, matched_vec_id long, "
             "cosine double"
         )
-        best = Window.partitionBy("vec_id").orderBy(
-            F.desc("cosine"), F.asc("matched_vec_id")
-        )
+        def drain_ready(ready: list[tuple[int, DataFrame]]) -> None:
+            # ONE probe pass + ONE sink append for every tag ready in
+            # this micro-batch (round 11, mirrors stream_index_ingest:
+            # per-tag drains each paid a job round and ran serially;
+            # the union lets tag 1's probe backfill tag 0's tail,
+            # guide §2.6, and halves write commits). Sequencing is
+            # plan-level: tag t+1's probe joins an index view that
+            # already unions tag t's in-memory segment, and tags own
+            # disjoint vec_id sets (vec_id % 5 == tag), so the
+            # per-vec_id best window over the union equals per-tag
+            # windows.
+            if not ready:
+                return
+            outs: list[DataFrame] = []
+            new_merges = []
+            for tag, delta in ready:
+                # the arriving batch CARRIES its centroid assignment
+                # (computed once against the frozen stored centroids
+                # by the upstream ingest writer — see
+                # _ensure_stream_ivf_src), so the loop's per-batch
+                # work is probe + persist only
+                assigned = delta.select(
+                    "vec_id", "v", "centroid_id"
+                ).persist(StorageLevel.MEMORY_AND_DISK)
+                probe = assigned.select(
+                    F.col("vec_id").alias("_pid"),
+                    F.col("v").alias("_pv"),
+                    F.col("centroid_id").alias("_pc"),
+                )
+                scored = state["idx"].join(
+                    F.broadcast(probe),
+                    F.col("centroid_id") == F.col("_pc"),
+                ).select(
+                    F.col("_pid").alias("vec_id"),
+                    F.col("vec_id").alias("matched_vec_id"),
+                    F.round(
+                        cosine_col(F.col("_pv"), F.col("v")), 6
+                    ).alias("cosine"),
+                )
+                outs.append(
+                    scored.select(
+                        F.lit(tag).alias("batch_tag"),
+                        "vec_id",
+                        "matched_vec_id",
+                        "cosine",
+                    )
+                )
+                seg = assigned.select("vec_id", "v", "centroid_id")
 
-        def drain(tag: int, delta: DataFrame) -> None:
-            # the arriving batch CARRIES its centroid assignment
-            # (computed once against the frozen stored centroids by
-            # the upstream ingest writer — see _ensure_stream_ivf_src),
-            # so the loop's per-batch work is probe + persist only
-            assigned = delta.select(
-                "vec_id", "v", "centroid_id"
-            ).persist(StorageLevel.MEMORY_AND_DISK)
-            probe = assigned.select(
-                F.col("vec_id").alias("_pid"),
-                F.col("v").alias("_pv"),
-                F.col("centroid_id").alias("_pc"),
+                def merge(seg=seg, tag=tag) -> None:
+                    seg.coalesce(4).write.mode("overwrite").partitionBy(
+                        "centroid_id"
+                    ).parquet(f"{idx}/index_ingest_{tag}")
+
+                new_merges.append((str(tag), merge, assigned))
+                state["idx"] = state["idx"].unionByName(seg)
+            un = outs[0]
+            for o in outs[1:]:
+                un = un.unionByName(o)
+            # best match as a max_by partial aggregate (round 11,
+            # mirrors dedup._probe_best): key (cosine, -matched)
+            # reproduces the former window's (cosine DESC, matched
+            # ASC) tie-break exactly on the pre-rounded cosine; tags
+            # own disjoint vec_id sets so grouping by (batch_tag,
+            # vec_id) equals per-tag windows
+            pay = F.struct(
+                F.col("matched_vec_id").alias("matched_vec_id"),
+                F.col("cosine").alias("cosine"),
             )
-            scored = state["idx"].join(
-                F.broadcast(probe), F.col("centroid_id") == F.col("_pc")
-            ).select(
-                F.col("_pid").alias("vec_id"),
-                F.col("vec_id").alias("matched_vec_id"),
-                F.round(cosine_col(F.col("_pv"), F.col("v")), 6).alias(
-                    "cosine"
-                ),
+            key = F.struct(
+                F.col("cosine"), (-F.col("matched_vec_id")).cast("long")
             )
             (
-                scored.withColumn("rn", F.row_number().over(best))
-                .filter(F.col("rn") == 1)
+                un.groupBy("batch_tag", "vec_id")
+                .agg(F.max_by(pay, key).alias("_b"))
                 .select(
-                    F.lit(tag).alias("batch_tag"),
+                    "batch_tag",
                     "vec_id",
-                    "matched_vec_id",
-                    "cosine",
+                    F.col("_b.matched_vec_id").alias("matched_vec_id"),
+                    F.col("_b.cosine").alias("cosine"),
                 )
-                # no coalesce(1): it serialized the rank window + the
-                # write into one task per drain (round 9, mirrors
+                # no coalesce(1): it serialized the best-match pass +
+                # the write into one task per drain (round 9, mirrors
                 # stream_index_ingest)
                 .write.mode("append")
                 .parquet(results)
             )
-            # probe materialized (sink-table append — the log never
-            # rides in driver memory) before the segment write starts;
-            # the write overlaps the next batch's probe, which reads
-            # the persisted in-memory frame (write once, reference
-            # twice); meta stamped only after join (below), and
-            # CheckedThread re-raises a failed write AT join, before
-            # the stamp — a failed segment is never listed
-            seg = assigned.select("vec_id", "v", "centroid_id")
-
-            def merge() -> None:
-                seg.coalesce(4).write.mode("overwrite").partitionBy(
-                    "centroid_id"
-                ).parquet(f"{idx}/index_ingest_{tag}")
-
-            th = artifacts.CheckedThread(target=merge)
-            th.start()
-            state["merges"].append((str(tag), th, assigned))
-            state["idx"] = state["idx"].unionByName(seg)
+            # probes materialized (sink-table append — the log never
+            # rides in driver memory) before any segment write starts;
+            # ALL ready segments then write concurrently on threads,
+            # overlapping the loop's tail. Meta stamped only after
+            # join (below), and CheckedThread re-raises a failed write
+            # AT join, before the stamp — a failed segment is never
+            # listed.
+            for tag, merge, assigned in new_merges:
+                th = artifacts.CheckedThread(target=merge)
+                th.start()
+                state["merges"].append((tag, th, assigned))
 
         buffered: dict[int, DataFrame] = {}
 
         def sink(batch_df: DataFrame, _batch_id: int) -> None:
-            # one narrow min/max agg discovers the (normally single)
-            # tag; out-of-order batches pin in executor storage via
-            # localCheckpoint — round 9, mirrors stream_index_ingest
-            lo, hi = batch_df.agg(
-                F.min(F.col("vec_id") % 5), F.max(F.col("vec_id") % 5)
+            # one narrow min/max agg discovers the tag set; out-of-
+            # order batches pin in executor storage via localCheckpoint
+            # — round 9, mirrors stream_index_ingest
+            lo, hi, nt = batch_df.agg(
+                F.min(F.col("vec_id") % 5),
+                F.max(F.col("vec_id") % 5),
+                F.countDistinct(F.col("vec_id") % 5),
             ).first()
             if lo is None:
                 return
             if lo == hi:
                 tags = [lo]
+            elif nt == hi - lo + 1:
+                # contiguous tags: one discovery agg, no collect job
+                # (round 11, mirrors stream_index_ingest)
+                tags = list(range(lo, hi + 1))
             else:
                 tags = sorted(
                     r["_t"]
@@ -1686,6 +1734,7 @@ def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .distinct()
                     .collect()
                 )
+            ready: list[tuple[int, DataFrame]] = []
             for t in tags:
                 part = (
                     batch_df
@@ -1693,21 +1742,26 @@ def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     else batch_df.filter(F.col("vec_id") % 5 == t)
                 )
                 if t == state["expected"]:
-                    drain(t, part)
+                    ready.append((t, part))
                     state["expected"] += 1
                 elif t > state["expected"]:
                     buffered[t] = part.localCheckpoint(eager=True)
             while state["expected"] in buffered:
-                drain(state["expected"], buffered.pop(state["expected"]))
+                ready.append(
+                    (state["expected"], buffered.pop(state["expected"]))
+                )
                 state["expected"] += 1
+            drain_ready(ready)
 
-        stream = (
-            spark.readStream.schema(
-                "vec_id long, v array<double>, centroid_id long"
-            )
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-        )
+        # no maxFilesPerTrigger cap (round 11, mirrors
+        # stream_index_ingest): availableNow delivers every pending
+        # file in ONE micro-batch — one trigger + one commit round,
+        # no out-of-order pin for co-arriving files, in-order tags
+        # drain in one probe pass. Results are arrival-order-
+        # independent either way; only stream lifecycle is removed.
+        stream = spark.readStream.schema(
+            "vec_id long, v array<double>, centroid_id long"
+        ).parquet(src)
         q = (
             stream.writeStream.foreachBatch(sink)
             .option("checkpointLocation", os.path.join(work, "ckpt"))

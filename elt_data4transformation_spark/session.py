@@ -46,7 +46,7 @@ def get_spark(
     # log the chosen heap so a heap-tier regression on a differently
     # sized host is diagnosable from the run output alone
     print(f"[session] driver heap {heap} (override: SPARK_GRAFT_DRIVER_MEM)")
-    return (
+    builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(shuffle))
@@ -70,5 +70,15 @@ def get_spark(
         # concern, not a scale parameter.
         .config("spark.driver.memory", heap)
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    # Optional JVM-flag passthrough (round 11): lets GC/region-geometry
+    # experiments run as session-shaped A/B (the ParallelGC lesson:
+    # per-query pairs mislead for session knobs) without editing code.
+    # Unset (the default) the session is byte-identical to round 10's.
+    java_opts = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTIONS")
+    if java_opts:
+        print(f"[session] driver java opts {java_opts}")
+        builder = builder.config(
+            "spark.driver.extraJavaOptions", java_opts
+        )
+    return builder.getOrCreate()

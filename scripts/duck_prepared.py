@@ -78,13 +78,14 @@ PREPARED_STORE_CTES: dict[str, list[str]] = {
     "stream_substring_guard": ["anchors"],
     # the excision reuses the guard's stored-anchor probe
     "decontamination_excise": ["anchors"],
-    # round 10: the exact pass is prepare-tagged (its Spark plan reads
-    # the stored winnow anchors as a candidate-doc PREFILTER only —
-    # the grams are still exploded and exactly re-checked at run
-    # time). The oracle computes raw grams directly and has no winnow
-    # CTE, i.e. no stored component to amortize — its like-for-like
-    # form IS the full oracle, so nothing is materialized.
+    # round 11: the raw registration is timed end-to-end again (no
+    # prepare hook, no stored component on either engine) — its
+    # like-for-like form IS the full oracle, nothing materialized.
     "substring_dup_spans": [],
+    # the declared stored-probe variant: the winnow anchor store and
+    # the derived shared-doc prefilter are published artifacts on the
+    # Spark side, so the duck twin materializes the same two tables
+    "substring_dup_spans_gated": ["anchors", "shared_docs"],
     "ann_stored_ivf": ["assigned"],
     "ann_ivf_maintain": ["assigned"],
     "ann_ivf_delete": ["assigned"],

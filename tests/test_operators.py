@@ -2977,6 +2977,23 @@ def test_substring_dup_spans_are_maximal_and_in_bounds(spark):
     ), "span fragment not found in any other doc"
 
 
+def test_substring_dup_spans_gated_equals_raw(spark):
+    """The stored-probe variant (winnow shared-doc prefilter, round 11)
+    must return EXACTLY the rows of the raw end-to-end query: the
+    winnowing guarantee at k+w-1 = _SUB_K makes the prefilter a strict
+    superset of every doc with a cross-doc repeat, and fp collisions
+    only add candidates the exact gram aggregate re-checks. Any
+    divergence means the gate dropped a true span."""
+    from elt_data4transformation_spark.plans import REGISTRY
+    from tests.conftest import SF_SMALL
+
+    raw = REGISTRY["substring_dup_spans"].fn(spark, SF_SMALL).collect()
+    gated = (
+        REGISTRY["substring_dup_spans_gated"].fn(spark, SF_SMALL).collect()
+    )
+    assert [tuple(r) for r in gated] == [tuple(r) for r in raw]
+
+
 def test_doc_perplexity_bounds_and_bigram_count(spark):
     """Perplexity under the self-trained smoothed bigram LM is bounded
     by the smoothed-uniform worst case, and n_bigrams == len(words)-1
