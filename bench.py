@@ -71,18 +71,31 @@ def main() -> None:
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "n_queries": len(timings),
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "total_query_wall_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "n_queries": len(timings),
+        }
     )
+    print(line)
+    # Round-10 verdict ask #2 (addition only — the printed contract line
+    # above is byte-identical to before): ALSO write the same JSON object
+    # to BENCH_LAST.json beside this script, so round-over-round per-query
+    # comparison survives stdout tail truncation (BENCH_r09's captured
+    # tail lost every query alphabetically < "n" and the driver's PERF
+    # diff collapsed to n_common=0).
+    try:
+        last = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json"
+        )
+        with open(last, "w") as fh:
+            fh.write(line + "\n")
+    except OSError as exc:  # never let the mirror write break the bench
+        print(f"# BENCH_LAST.json write failed: {exc}", file=sys.stderr)
     spark.stop()
 
 

@@ -1,7 +1,8 @@
-"""Dump `.explain("formatted")` for named queries to plans/r10/.
+"""Dump `.explain("formatted")` for named queries to plans/<round>/.
 
 Usage: python scripts/dump_plans.py <suffix> name [name ...]
-Writes plans/r10/<name>_<suffix>.txt (suffix = before|after).
+Writes plans/$SPARK_GRAFT_PLANS_ROUND/<name>_<suffix>.txt (suffix =
+before|after; round defaults to r11).
 
 The formatted plan is captured AFTER executing the query to the noop
 sink so the AQE-final plan is what lands in the file (the initial plan
@@ -20,7 +21,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from elt_data4transformation_spark.plans import REGISTRY  # noqa: E402
 from elt_data4transformation_spark.session import get_spark  # noqa: E402
 
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r10")
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r11"),
+)
 
 
 def main() -> None:
