@@ -979,7 +979,24 @@ def snapshot_fuzzy_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("position", pos_of(F.col("nid")))
     )
-    n_chunks = 8
+    # SCALE-ADAPTIVE chunk count (round 11): the kernel runs one task
+    # per (position, chunk) bucket, so the fixed n_chunks=8 left
+    # 3 x 8 = 24 tasks on 32 cores (25% idle through the whole pandas
+    # stage). positions * chunks is sized to ONE task wave —
+    # floor(parallelism / positions), never above it: ceil put 33
+    # tasks on 32 cores and the lone second-wave straggler erased the
+    # gain (measured 1.09x full-query). The floor of 8 keeps small
+    # hosts at the former grouping. Results are invariant to chunking
+    # — every (cur, prev) pair is scored in cur's bucket with the
+    # cosine rounded per pair inside the kernel — so this is a pure
+    # parallelism knob (decomposition probe: sims stage min 1.64 s at
+    # 8 chunks vs 1.43 s at 11 on local[32]; 32 chunks reads 1.59 s —
+    # prev-side replication grows with chunk count, so "one wave"
+    # is the sweet spot, not "as many as possible").
+    n_chunks = max(
+        8,
+        spark.sparkContext.defaultParallelism // len(_POSITIONS),
+    )
     cur = vecp.filter(F.col("side") == "c").withColumn(
         "chunk", (F.col("nid") % n_chunks).cast("int")
     )
