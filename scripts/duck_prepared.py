@@ -78,11 +78,11 @@ PREPARED_STORE_CTES: dict[str, list[str]] = {
     "stream_substring_guard": ["anchors"],
     # the excision reuses the guard's stored-anchor probe
     "decontamination_excise": ["anchors"],
-    # round 11: the raw registration is timed end-to-end again (no
-    # prepare hook, no stored component on either engine) — its
-    # like-for-like form IS the full oracle, nothing materialized.
-    "substring_dup_spans": [],
-    # the declared stored-probe variant: the winnow anchor store and
+    # round 11: substring_dup_spans (raw) is timed end-to-end again —
+    # no prepare hook, no stored component on either engine — so it is
+    # deliberately ABSENT from this map (the map covers exactly the
+    # prepare-tagged queries; see test_duck_prepared).
+    # The declared stored-probe variant: the winnow anchor store and
     # the derived shared-doc prefilter are published artifacts on the
     # Spark side, so the duck twin materializes the same two tables
     "substring_dup_spans_gated": ["anchors", "shared_docs"],
