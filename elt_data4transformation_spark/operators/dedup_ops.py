@@ -835,6 +835,103 @@ def ingest_band_index(
     return scored, merge, seg_bands, seg_sh, release
 
 
+def ingest_band_index_fused(
+    spark,
+    index_path: str,
+    ready: list[tuple[int, DataFrame]],
+    idx_bands_src: list[tuple[int, DataFrame]],
+    idx_sh: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+):
+    """Fused MULTI-TAG form of ingest_band_index's presigned branch
+    (round 11): every ready tag's probe runs in ONE
+    _probe_with_signatures pass over ONE source-tagged index view,
+    with the per-tag probe-sees-only-prior-state visibility enforced
+    by the ``_vsrc < _ptag`` gate instead of per-tag view construction
+    — the base band/shingle artifacts are scanned once per drain
+    instead of once per tag, and the drain builds one plan instead of
+    one per tag. Candidate sets per probe doc are IDENTICAL to the
+    sequential per-tag probes (tag t's view = base + segments of tags
+    < t, which is exactly the rows passing the gate), so the scored
+    output is the exact union of the per-tag outputs.
+
+    ``ready``: [(tag, presigned delta frame)] — each delta carries
+    (doc_id, text, shingles, n_sh, sh_hash, bkeys) as written by the
+    upstream signature store. ``idx_bands_src``: [(src, bands frame)]
+    — the caller's accumulated view, base at src -1 plus every
+    previously merged segment at its tag; this batch's own segments
+    join the view here, gated to later tags only. ``idx_sh``: the
+    caller's accumulated shingle view (fetch-by-matched-id — needs no
+    source tag; candidates are already visibility-gated).
+
+    Returns ``(scored, per_tag)``; per_tag rows are
+    ``(tag, merge_fn, seg_bands, seg_sh, release_fn)`` with the same
+    contracts as ingest_band_index (caller materializes ``scored``
+    before any ``merge_fn``, stamps meta after, releases once the
+    segment is durable and the in-memory view is re-pointed)."""
+    dbands_parts: list[DataFrame] = []
+    dsh_parts: list[DataFrame] = []
+    per_tag = []
+    view_parts = [
+        b.withColumn("_vsrc", F.lit(int(src))) for src, b in idx_bands_src
+    ]
+    sh_view = idx_sh
+    for tag, delta_sig in ready:
+        dsig = delta_sig.persist(StorageLevel.MEMORY_AND_DISK)
+        db = dsig.select(
+            F.col(id_col).alias("_nid"),
+            F.posexplode("bkeys").alias("band_idx", "band_key"),
+        )
+        dbands_parts.append(db.withColumn("_ptag", F.lit(int(tag))))
+        dsh_parts.append(
+            dsig.select(
+                F.col(id_col).alias("_nid"), F.col("sh_hash").alias("_sa")
+            )
+        )
+        seg_bands = db.select(
+            F.col("_nid").alias(id_col), "band_idx", "band_key"
+        )
+        seg_sh = dsig.select(id_col, "shingles", "n_sh", "sh_hash")
+        view_parts.append(seg_bands.withColumn("_vsrc", F.lit(int(tag))))
+        sh_view = sh_view.unionByName(seg_sh)
+
+        def merge_pre(
+            seg_bands: DataFrame = seg_bands,
+            seg_sh: DataFrame = seg_sh,
+            tag: int = tag,
+        ) -> None:
+            seg_bands.coalesce(4).write.mode("overwrite").partitionBy(
+                "band_idx"
+            ).parquet(f"{index_path}/bands_ingest_{tag}")
+            seg_sh.coalesce(4).write.mode("overwrite").parquet(
+                f"{index_path}/shingles_ingest_{tag}"
+            )
+
+        per_tag.append((tag, merge_pre, seg_bands, seg_sh, dsig.unpersist))
+    dbands = dbands_parts[0]
+    for p in dbands_parts[1:]:
+        dbands = dbands.unionByName(p)
+    dsh = dsh_parts[0]
+    for p in dsh_parts[1:]:
+        dsh = dsh.unionByName(p)
+    vb = view_parts[0]
+    for p in view_parts[1:]:
+        vb = vb.unionByName(p)
+    scored = _probe_with_signatures(
+        spark,
+        index_path,
+        dsh,
+        dbands,
+        id_col,
+        threshold,
+        idx_bands=vb,
+        idx_sh=sh_view,
+        src_gate=True,
+    )
+    return scored, per_tag
+
+
 def probe_band_index(
     spark,
     index_path: str,
@@ -908,6 +1005,7 @@ def _probe_with_signatures(
     idx_bands: DataFrame | None = None,
     idx_sh: DataFrame | None = None,
     delta_rows: int | None = None,
+    src_gate: bool = False,
 ) -> DataFrame:
     """Probe body shared by probe_band_index and ingest_band_index:
     ``dsh`` is (_nid, _sa) where _sa is the PACKED shingle-hash LONG
@@ -915,7 +1013,17 @@ def _probe_with_signatures(
     long-form (_nid, band_idx, band_key-LONG) signature of the batch. ``idx_bands``/
     ``idx_sh`` let an ingest loop substitute caller-held frames (base
     read once + in-memory segments) for the artifact read; tombstones
-    still come from the artifact meta either way."""
+    still come from the artifact meta either way.
+
+    ``src_gate`` (round 11, the fused multi-tag probe): ``idx_bands``
+    additionally carries an integer ``_vsrc`` source tag (base = -1,
+    ingest segment = its tag) and ``dbands`` carries the probe doc's
+    ``_ptag``; a band match is a candidate only when ``_vsrc <
+    _ptag`` — exactly the probe-sees-only-prior-state visibility the
+    sequential per-tag probes enforce by building per-tag index
+    views, applied as a filter so ONE pass over ONE unioned view
+    serves every tag (the base artifacts are scanned once per drain
+    instead of once per tag)."""
     if idx_bands is None or idx_sh is None:
         band_dirs, shingle_dirs = _index_segments(index_path)
         # per-segment reads + unionByName: passing several partitioned
@@ -933,13 +1041,21 @@ def _probe_with_signatures(
     else:
         hint = F.broadcast
     probe_bands = dbands.select(
-        F.col("_nid").alias("new_doc_id"), "band_idx", "band_key"
+        F.col("_nid").alias("new_doc_id"),
+        "band_idx",
+        "band_key",
+        *(["_ptag"] if src_gate else []),
     )
     # groupBy instead of distinct: same shuffle, but the shared-band
     # COUNT comes out free — it orders the per-probe-doc candidate cap
+    joined = idx_bands.join(hint(probe_bands), ["band_idx", "band_key"])
+    if src_gate:
+        # visibility gate BEFORE the pair aggregate: an index row is a
+        # candidate for a probe doc only when its source strictly
+        # precedes the probe doc's tag (see the docstring)
+        joined = joined.filter(F.col("_vsrc") < F.col("_ptag"))
     cand = (
-        idx_bands.join(hint(probe_bands), ["band_idx", "band_key"])
-        .groupBy("new_doc_id", F.col(id_col).alias("matched_doc_id"))
+        joined.groupBy("new_doc_id", F.col(id_col).alias("matched_doc_id"))
         .agg(F.count(F.lit(1)).alias("_shared_bands"))
     )
     # tombstoned docs must never surface from a probe: anti-join the

@@ -2251,13 +2251,6 @@ def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    kw = dict(
-        id_col="doc_id",
-        text_col="text",
-        shingle=SHINGLE,
-        n_hashes=N_MINHASH,
-        n_bands=N_BANDS,
-    )
     work = tempfile.mkdtemp(prefix="stream_index_ingest_")
     try:
         # the base corpus index is an IMMUTABLE stored artifact
@@ -2308,7 +2301,11 @@ def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         base_sh = spark.read.parquet(f"{idx}/shingles")
         state = {
             "expected": 0,
-            "bands": base_bands,
+            # source-tagged band view for the fused probe (round 11):
+            # base at src -1, each merged segment appended at its tag —
+            # ingest_band_index_fused's _vsrc < _ptag gate rebuilds
+            # every tag's per-tag view from this one list
+            "bands_src": [(-1, base_bands)],
             "sh": base_sh,
             "merges": [],
         }
@@ -2318,19 +2315,24 @@ def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         def drain_ready(ready: list[tuple[int, DataFrame]]) -> None:
-            # ONE probe pass and ONE sink append for every tag that is
-            # ready in this micro-batch (round 11, verdict ask #1: the
-            # per-tag drains each paid a full job round — probe write
-            # commit + scheduling — and ran strictly serially; folding
-            # them into one union lets tag 1's probe tasks backfill
-            # tag 0's tail, guide §2.6, and halves the write commits).
-            # Sequencing is preserved at PLAN level: tag t+1's probe
-            # plan unions tag t's in-memory segment frames into its
-            # index view before it is built, so probe-sees-all-prior-
-            # state holds exactly as with separate actions — and tags
-            # own disjoint new_doc_id sets (doc_id % DELTA_MOD == tag),
-            # so the per-new_doc_id best-match window over the union
-            # returns the same rows as per-tag windows.
+            # ONE FUSED probe pass and ONE sink append for every tag
+            # that is ready in this micro-batch (round 11, verdict ask
+            # #1 in two steps: first the per-tag drains were folded
+            # into one union action — one write commit, tag 1's tasks
+            # backfilling tag 0's tail, guide §2.6 — then the union of
+            # two per-tag probe PLANS, which still scanned the base
+            # band/shingle artifacts once per tag inside the one job,
+            # was fused into a single source-gated pass:
+            # ingest_band_index_fused tags every index row with its
+            # source (_vsrc: base -1, segment = its tag) and every
+            # probe band with its batch tag, and the _vsrc < _ptag
+            # gate reproduces each tag's probe-sees-only-prior-state
+            # view exactly — base scanned ONCE per drain, one plan
+            # build instead of one per tag, guide §2.3/§2.4. Tags own
+            # disjoint new_doc_id sets (doc_id % DELTA_MOD == tag), so
+            # batch_tag is recovered from new_doc_id and the
+            # per-(batch_tag, new_doc_id) best-match aggregate returns
+            # the same rows as per-tag aggregates.
             #
             # presigned ingest: the arriving batch CARRIES its
             # signatures (computed once by the upstream writer — see
@@ -2343,36 +2345,28 @@ def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             # sink, not the driver heap.
             if not ready:
                 return
-            outs: list[DataFrame] = []
+            scored, per_tag = dedup_ops.ingest_band_index_fused(
+                spark,
+                idx,
+                ready,
+                idx_bands_src=state["bands_src"],
+                idx_sh=state["sh"],
+                threshold=0.5,
+                id_col="doc_id",
+            )
             new_merges = []
-            for tag, delta in ready:
-                probed, merge, seg_bands, seg_sh, release = (
-                    dedup_ops.ingest_band_index(
-                        spark,
-                        idx,
-                        None,
-                        tag=str(tag),
-                        threshold=0.5,
-                        idx_bands=state["bands"],
-                        idx_sh=state["sh"],
-                        delta_sig=delta,
-                        **kw,
-                    )
-                )
-                outs.append(
-                    probed.select(
-                        F.lit(tag).alias("batch_tag"),
-                        "new_doc_id",
-                        "matched_doc_id",
-                        "jaccard_raw",
-                    )
-                )
+            for tag, merge, seg_bands, seg_sh, release in per_tag:
                 new_merges.append((str(tag), merge, release))
-                state["bands"] = state["bands"].unionByName(seg_bands)
+                state["bands_src"].append((tag, seg_bands))
                 state["sh"] = state["sh"].unionByName(seg_sh)
-            un = outs[0]
-            for o in outs[1:]:
-                un = un.unionByName(o)
+            un = scored.select(
+                (F.col("new_doc_id") % DELTA_MOD)
+                .cast("int")
+                .alias("batch_tag"),
+                "new_doc_id",
+                "matched_doc_id",
+                "jaccard_raw",
+            )
             (
                 # best match as a max_by partial aggregate (round 11 —
                 # _probe_best, grouped by (batch_tag, new_doc_id);

@@ -4728,6 +4728,103 @@ def test_probe_candidate_cap_bounds_adversarial_fanout(spark, tmp_path):
     assert sorted(map(tuple, scored)) == sorted(map(tuple, again))
 
 
+def test_ingest_band_index_fused_equals_sequential_per_tag(spark, tmp_path):
+    """The fused multi-tag probe (round 11): one source-gated pass
+    must return EXACTLY the union of the sequential per-tag probes —
+    tag 0 sees only the base (never its own or tag 1's segment),
+    tag 1 sees base + tag 0's segment. The fixture plants a cross-tag
+    near-dup pair so a visibility-gate failure would change rows in
+    both directions (a leak adds tag0->tag1 matches; an over-filter
+    drops the tag1->tag0 match)."""
+    import json
+    import os
+
+    from elt_data4transformation_spark.operators import artifacts
+
+    filler = (
+        "spark executors exchange shuffle blocks across the cluster "
+        "network while the scheduler assigns tasks to idle cores"
+    )
+    base = [(i, f"{filler} base doc number {i}") for i in range(2, 7)]
+    idx = str(tmp_path / "idx")
+    dedup_ops.write_band_index(
+        spark.createDataFrame(base, "doc_id long, text string"), idx
+    )
+    with open(os.path.join(idx, artifacts.META_NAME), "w") as fh:
+        json.dump({"fingerprint": "t", "ingests": []}, fh)
+
+    # tag = doc_id % 5: 10/15 -> tag 0, 11/16 -> tag 1; 11 is a
+    # near-dup of 10 (cross-tag pair), 16 of base doc 2
+    batch = [
+        (10, f"{filler} arriving first wave payload"),
+        (15, f"{filler} unrelated first wave item"),
+        (11, f"{filler} arriving first wave payload indeed"),
+        (16, f"{filler} base doc number 2"),
+    ]
+    # presign like _ensure_stream_src: shingles + packed hashes +
+    # band keys in band order
+    raw = spark.createDataFrame(
+        batch, "doc_id long, text string"
+    ).select("doc_id", "text", T.char_shingles_col(5).alias("shingles"))
+    keys = dedup_ops.minhash_signature(
+        raw.select("doc_id", "shingles"), "doc_id", "shingles", 8, 2
+    ).select(
+        "doc_id",
+        F.array(
+            *[F.xxhash64(F.col(f"band{b}")) for b in range(2)]
+        ).alias("bkeys"),
+    )
+    sig = raw.join(keys, "doc_id").select(
+        "doc_id",
+        "text",
+        "shingles",
+        F.size("shingles").cast("long").alias("n_sh"),
+        F.transform("shingles", lambda s: F.xxhash64(s)).alias("sh_hash"),
+        "bkeys",
+    )
+    d0 = sig.filter(F.col("doc_id") % 5 == 0)
+    d1 = sig.filter(F.col("doc_id") % 5 == 1)
+    base_bands = spark.read.parquet(f"{idx}/bands")
+    base_sh = spark.read.parquet(f"{idx}/shingles")
+
+    # sequential per-tag reference (the pre-fuse drain shape)
+    bands_view, sh_view, seq = base_bands, base_sh, []
+    for tag, delta in ((0, d0), (1, d1)):
+        probed, _m, seg_bands, seg_sh, release = (
+            dedup_ops.ingest_band_index(
+                spark, idx, None, tag=str(tag), threshold=0.5,
+                idx_bands=bands_view, idx_sh=sh_view, delta_sig=delta,
+                id_col="doc_id",
+            )
+        )
+        seq += [(tag, *r) for r in probed.collect()]
+        bands_view = bands_view.unionByName(
+            seg_bands.select("doc_id", "band_idx", "band_key")
+        )
+        sh_view = sh_view.unionByName(seg_sh)
+        release()
+
+    scored, per_tag = dedup_ops.ingest_band_index_fused(
+        spark, idx, [(0, d0), (1, d1)],
+        idx_bands_src=[(-1, base_bands)], idx_sh=base_sh,
+        threshold=0.5, id_col="doc_id",
+    )
+    fused = [
+        (r["new_doc_id"] % 5, r["new_doc_id"], r["matched_doc_id"],
+         r["jaccard_raw"])
+        for r in scored.collect()
+    ]
+    for _t, _m, _sb, _ss, release in per_tag:
+        release()
+    assert sorted(fused) == sorted(seq)
+    # the planted pair proves the gate is neither leaky nor over-tight
+    pairs = {(t, m) for t, _n, m, _j in fused}
+    assert (1, 10) in pairs, "tag1 cannot see tag0's segment"
+    assert not any(t == 0 and m >= 10 for t, m in pairs), (
+        "tag0 leaked a same-batch candidate"
+    )
+
+
 def test_cubefile_roundtrip_and_quarantine(spark):
     """GENESIS cubefile decode: parse(encode(x)) recovers every fact
     group exactly (axes in axis order, per-measure value/quality/
